@@ -1,0 +1,116 @@
+"""Distance expressions — the engine's "scalar function layer".
+
+The reference abstracts distance behind a ``VectorStore`` trait whose only
+obligations are ``eval_distance``, ``is_match`` and ``less_than``
+(reference: src/traits.rs:34-52). Here a *metric is a parameter*: each
+metric is a function ``(Column, Column) -> Column`` producing a real
+distance column, so ``less_than`` is the native ``<`` and ``is_match`` is
+``dist <= threshold`` — Spark always materializes, comparison is free
+(SURVEY.md §2.1).
+
+All expressions are JVM-side (whole-stage-codegen-able) built-ins — no
+Python in the hot path. The reference's example metric is Hamming over
+u64 codes: ``(a ^ b).count_ones()``
+(reference: src/vector_store/lazy_memory_store.rs:49-54) → ``hamming``.
+
+Float-vector math folds in DOUBLE left-to-right so results are
+bit-reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# code-space (binary) metrics
+
+
+def hamming(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit codes: popcount(a XOR b)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_code(vec: Column | str, nbits: int = 63) -> Column:
+    """Sign-bit binary code of a float vector: bit i set iff vec[i] > 0.
+
+    63 bits max so the code stays in non-negative BIGINT range (parity
+    with the DuckDB oracle's signed BIGINT shifts). Unrolled as a 63-term
+    sum of literal powers of two — pure codegen-able column arithmetic.
+    """
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    code = F.lit(0).cast("long")
+    for j in range(nbits):
+        code = code + F.when(
+            F.element_at(vec, j + 1) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return code
+
+
+# ---------------------------------------------------------------------------
+# float-vector metrics (ARRAY<FLOAT|DOUBLE> columns)
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared Euclidean distance (monotone in L2 — use for ranking; skip
+    the sqrt unless the caller needs metric values)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2(a: Column | str, b: Column | str) -> Column:
+    return F.sqrt(l2_sq(a, b))
+
+
+def cosine_sim(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_dist(a: Column | str, b: Column | str) -> Column:
+    return F.lit(1.0) - cosine_sim(a, b)
+
+
+METRICS = {
+    "hamming": hamming,
+    "l2": l2,
+    "l2_sq": l2_sq,
+    "cosine": cosine_dist,
+    "dot": lambda a, b: -dot(a, b),  # distance = negative inner product
+}
+
+
+def distance_expr(metric: str, a: Column | str, b: Column | str) -> Column:
+    """``eval_distance`` as an expression: store-defined metric, real column.
+
+    Reference contract: src/traits.rs:38-42 (eval_distance),
+    :44-45 (is_match = dist within threshold), :47-52 (less_than = ``<``).
+    """
+    try:
+        return METRICS[metric](a, b)
+    except KeyError:
+        raise KeyError(f"unknown metric {metric!r}; known: {sorted(METRICS)}") from None

@@ -1,0 +1,137 @@
+"""Text-analysis scalar expressions for the LLM-data-pipeline surface.
+
+All JVM-side built-ins (regexp/split/aggregate) — no Python UDFs — so the
+whole text pipeline stays inside whole-stage codegen and scales linearly
+with input bytes. Hashing is md5-based (first 60 bits) because md5 is
+identical across Spark and DuckDB, which makes every hash-derived
+operator oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def hash64(col: Column | str, salt: str = "") -> Column:
+    """Deterministic 60-bit hash: BIGINT of the first 15 hex chars of md5.
+
+    Engine-portable (Spark ``conv``/DuckDB hex cast agree), unlike
+    ``F.hash``/``F.xxhash64`` which are Spark-private.
+    """
+    s = _c(col)
+    if salt:
+        s = F.concat(F.lit(salt), s)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text (empty tokens dropped)."""
+    return F.filter(F.split(F.lower(_c(col)), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: split on word/non-word boundaries like a
+    BPE pre-tokenizer (letters runs, digit runs, punctuation singles)."""
+    return F.size(
+        F.filter(
+            F.split(_c(col), r"(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])(?=[a-zA-Z0-9])|\s+"),
+            lambda t: t != "",
+        )
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """All character n-grams (shingles) of the lowercased text."""
+    s = F.lower(_c(col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams (space-joined) of the token list."""
+    ts = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(-1)))
+    return F.when(F.size(ts) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n)))).otherwise(
+        F.array()
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    s = _c(col)
+    stripped = F.regexp_replace(s, r"[^\p{Punct}]", "")
+    return F.length(stripped) / F.greatest(F.length(s), F.lit(1))
+
+
+def upper_ratio(col: Column | str) -> Column:
+    s = _c(col)
+    return F.length(F.regexp_replace(s, r"[^A-Z]", "")) / F.greatest(F.length(s), F.lit(1))
+
+
+def digit_ratio(col: Column | str) -> Column:
+    s = _c(col)
+    return F.length(F.regexp_replace(s, r"[^0-9]", "")) / F.greatest(F.length(s), F.lit(1))
+
+
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this",
+)
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    ts = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(ts, lambda t: F.array_contains(sw, t)))
+    return n_sw / F.greatest(F.size(ts), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite doc-quality heuristic in [0,1]: rewards mid-length docs
+    with low punctuation/digit noise and a natural stopword rate."""
+    s = _c(col)
+    length_score = F.least(F.length(s) / F.lit(500.0), F.lit(1.0))
+    noise = punct_ratio(s) + digit_ratio(s)
+    noise_score = F.greatest(F.lit(1.0) - F.lit(4.0) * noise, F.lit(0.0))
+    sw = stopword_ratio(s)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.4))
+    return F.round((length_score + noise_score + sw_score) / F.lit(3.0), 6)
+
+
+# Deterministic lang-ID: score each language by its marker-token hit count.
+# (The fixture corpus is synthetic; the heuristic's value is that the SAME
+# rule is expressible in the DuckDB oracle, making lang-ID hash-checkable.)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "fr": ("le", "la", "et", "est"),
+    "de": ("der", "die", "und", "ist"),
+    "es": ("el", "los", "y", "es"),
+    "zh": ("de5", "shi4", "le5", "he2"),
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    ts = tokens(col)
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(ts, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    # max_by(lang, score) with deterministic lexicographic tie-break on lang
+    best = F.array_max(F.array(*scores))
+    return best["lang"]
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: 60-bit hash of the sorted
+    distinct token set (the exact-dedup key after token normalization)."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col))))
+    return hash64(canon)

@@ -1,0 +1,110 @@
+"""DuckDB-oracle parity checker — a local replica of the driver's gate.
+
+The driver runs each ``queries()`` entry on Spark and its ``oracle_sql()``
+on DuckDB over the same parquet, then compares row count + schema +
+order-insensitive value hash. This module reproduces that comparison so
+regressions surface in ``pytest`` before a round ends.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+
+from hawk_pack_spark.sources import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver-style canonicalization: repr of the rounded double
+        return repr(round(v, 9))
+    if isinstance(v, list):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return repr(v)
+
+
+def _canon_rows(cols, rows) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        "|".join(_canon_cell(r[i]) for i in order) for r in rows
+    )
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    detail: str = ""
+    spark_rows: int = 0
+    oracle_rows: int = 0
+    mismatches: list[str] = field(default_factory=list)
+
+
+def compare(
+    name: str,
+    spark_df: DataFrame,
+    oracle_sql: str,
+    con: duckdb.DuckDBPyConnection,
+    max_mismatch_report: int = 5,
+) -> ParityResult:
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    cur = con.execute(oracle_sql)
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+
+    if sorted(s_cols) != sorted(o_cols):
+        return ParityResult(
+            name, False, f"schema: spark={sorted(s_cols)} oracle={sorted(o_cols)}",
+            len(s_rows), len(o_rows),
+        )
+    if len(s_rows) != len(o_rows):
+        return ParityResult(
+            name, False, f"rowcount: spark={len(s_rows)} oracle={len(o_rows)}",
+            len(s_rows), len(o_rows),
+        )
+    s_canon = _canon_rows(s_cols, s_rows)
+    o_canon = _canon_rows(o_cols, o_rows)
+    if s_canon != o_canon:
+        diffs = [
+            f"spark={a!r} oracle={b!r}"
+            for a, b in zip(s_canon, o_canon)
+            if a != b
+        ][:max_mismatch_report]
+        return ParityResult(
+            name, False, "value mismatch", len(s_rows), len(o_rows), diffs
+        )
+    return ParityResult(name, True, "", len(s_rows), len(o_rows))
+
+
+def check_catalog(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[ParityResult]:
+    from hawk_pack_spark.queries import CATALOG
+
+    con = duck_connection(sf_dir)
+    results = []
+    for name, spec in CATALOG.items():
+        if names and name not in names:
+            continue
+        if spec.oracle is None:
+            continue
+        try:
+            results.append(compare(name, spec.fn(spark, sf_dir), spec.oracle, con))
+        except Exception as e:  # surface, don't abort the sweep
+            results.append(ParityResult(name, False, f"exception: {e}"))
+    return results

@@ -1,0 +1,701 @@
+"""The query catalog: every driver-checkable operator, Spark + DuckDB oracle.
+
+Each entry pairs a DataFrame program (the engine under test) with an
+ANSI-SQL oracle DuckDB runs on the same parquet. The driver hash-compares
+values order-insensitively, so parity conventions are strict:
+
+- Money/quantity sums: cast to DECIMAL(18,2) per row, sum exactly, cast
+  the total to DOUBLE — bit-identical in both engines.
+- Ratios/averages: exact-decimal numerator cast to DOUBLE, divided by the
+  COUNT — one double division of identical operands.
+- Derived doubles (distances, scores): computed with the same
+  left-to-right fold in both engines, then ROUND(x, 6).
+- String→int hashing: first 15 hex chars of md5 → BIGINT (`hash64`),
+  identical in Spark (`conv`) and DuckDB (hex cast).
+- Seconds: floor-truncated epoch in both engines.
+- Every computed column aliased identically on both sides.
+
+Queries cover SURVEY.md §2's inventory: the LinearDb/exact-kNN surface
+(§2.5, §2.12), queue semantics as group-wise top-k (§2.2), plus the
+north-star relational/text/dedup/similarity operators (§2.12).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawk_pack_spark.functions import distance as D
+from hawk_pack_spark.functions import text as T
+from hawk_pack_spark.operators.knn_exact import knn_exact
+from hawk_pack_spark.operators.topk import topk_rows
+from hawk_pack_spark.sources import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+def _dec_sum(col, alias: str, scale: int = 2):
+    """Exact decimal sum cast back to DOUBLE (engine-parity aggregation).
+
+    ONLY safe on base columns whose doubles are clean k-decimal values
+    (prices, quantities): the nearest-decimal rounding is then unambiguous
+    in both engines. Computed double products must NOT be cast — Spark
+    rounds the shortest repr while DuckDB scales in binary, and they
+    disagree on boundary values; use `_disc_price`/`_charge` decimals.
+    """
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def _disc_price():
+    """l_extendedprice * (1 - l_discount) in exact decimal arithmetic."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(12,6)")
+    return (price * (F.lit(1).cast("decimal(12,6)") - disc)).cast("decimal(24,8)")
+
+
+def _charge():
+    """disc_price * (1 + l_tax), decimal-exact, renormalized to scale 8
+    with half-up tie-handling (identical in Spark and DuckDB decimals)."""
+    tax = F.col("l_tax").cast("decimal(12,6)")
+    return (_disc_price() * (F.lit(1).cast("decimal(12,6)") + tax)).cast("decimal(24,8)")
+
+
+def _avg_exact(col, cnt, alias: str, scale: int = 6):
+    """sum(decimal)/count as one double division, rounded."""
+    return F.round(
+        F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / cnt, 6
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# relational: TPC-H-shaped
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            _avg_exact(F.col("l_quantity"), cnt, "avg_qty"),
+            _avg_exact(F.col("l_extendedprice"), cnt, "avg_price"),
+            _avg_exact(F.col("l_discount"), cnt, "avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))
+        * (1 + CAST(l_tax AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        )
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(_disc_price()).cast("double").alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+Q03_SQL = """
+SELECT l_orderkey, o_orderdate,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, "region", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.sum(_disc_price()).cast("double").alias("revenue")
+    )
+
+
+Q05_SQL = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return topk_rows(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        "o_totalprice",
+        3,
+        ascending=False,
+        tie_cols=["o_orderkey"],
+        rank_name="rk",
+    )
+
+
+Q_TOP3_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) t
+WHERE rk <= 3
+"""
+
+
+def q_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum(F.col("l_quantity"), "sum_qty"))
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+Q_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "sum_total"),
+        )
+    )
+
+
+Q_MONTHLY_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    cnt = F.count(F.lit(1))
+    return part.groupBy("p_brand").agg(
+        cnt.alias("n_parts"),
+        _avg_exact(F.col("p_retailprice"), cnt, "avg_price"),
+        F.max("p_size").alias("max_size"),
+        F.min("p_size").alias("min_size"),
+    )
+
+
+Q_PART_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts,
+  ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  MAX(p_size) AS max_size, MIN(p_size) AS min_size
+FROM part GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: JSON, time windows, sessionization
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q_EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): per user, number of sessions
+    and size of the largest session. Spark pattern: lag + cumulative sum
+    over an ordered window (SURVEY §2.12 / pyspark guide 'Sessionization')."""
+    ev = load_table(spark, "events", sf_dir)
+    sec = F.unix_timestamp(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.select("user_id", "event_id", "ts").withColumn(
+        "new_sess",
+        F.when(sec - F.lag(sec).over(w) > 1800, F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sess = with_gap.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = with_sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("sess_len")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("sess_len").alias("max_sess_len"),
+    )
+
+
+Q_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+), per_sess AS (
+  SELECT user_id, sess_id, COUNT(*) AS sess_len FROM s GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(sess_len) AS max_sess_len
+FROM per_sess GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cnt = F.count(F.lit(1))
+    return (
+        docs.select("lang", T.token_count("text").alias("n_tokens"), F.col("n_chars"))
+        .groupBy("lang")
+        .agg(
+            cnt.alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / cnt, 6).alias("avg_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+Q_TOKEN_SQL = """
+WITH t AS (
+  SELECT lang, n_chars,
+    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS n_tokens
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM t GROUP BY lang
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cnt = F.count(F.lit(1))
+    return (
+        docs.select("source", T.quality_score("text").alias("q"))
+        .groupBy("source")
+        .agg(cnt.alias("n_docs"), F.round(F.sum("q") / cnt, 6).alias("avg_quality"))
+    )
+
+
+_SW = "', '".join(T.STOPWORDS)
+Q_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT source, text,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents
+), q AS (
+  SELECT source,
+    ROUND((
+      least(length(text) / 500.0, 1.0)
+      + greatest(1.0 - 4.0 * (
+          (length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(length(text), 1))
+          + (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1))
+        ), 0.0)
+      + (1.0 - abs((len(list_filter(ts, t -> list_contains(['{_SW}'], t))) * 1.0
+                    / greatest(len(ts), 1)) - 0.4))
+    ) / 3.0, 6) AS q
+  FROM toks)
+SELECT source, COUNT(*) AS n_docs, ROUND(SUM(q) / COUNT(*), 6) AS avg_quality
+FROM q GROUP BY source
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(T.lang_id("text").alias("predicted_lang"), "lang")
+        .groupBy("predicted_lang", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_LANG_STRUCTS = ", ".join(
+    "{'score': len(list_filter(ts, t -> list_contains([%s], t))), 'lang': '%s'}"
+    % (", ".join(f"'{m}'" for m in markers), lang)
+    for lang, markers in T.LANG_MARKERS.items()
+)
+Q_LANG_SQL = f"""
+WITH toks AS (
+  SELECT lang,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents
+), pred AS (
+  SELECT lang, list_aggregate([{_LANG_STRUCTS}], 'max').lang AS predicted_lang
+  FROM toks)
+SELECT predicted_lang, lang, COUNT(*) AS n FROM pred GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("source", T.doc_fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("fp")).alias("n_distinct_fp"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+
+
+Q_FP_SQL = """
+WITH fp AS (
+  SELECT source,
+    CAST(concat('0x', substr(md5(array_to_string(
+      list_sort(list_distinct(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))), ' ')), 1, 15)) AS BIGINT) AS fp
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct_fp,
+  MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM fp GROUP BY source
+"""
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: keep lowest doc_id per md5 group
+    (LinearDb::insert dedup semantics, reference linear_db.rs:17-25,
+    applied to documents). Returns survivors per lang."""
+    docs = load_table(spark, "documents", sf_dir)
+    keyed = docs.select("lang", "doc_id", F.md5(F.lower(F.col("text"))).alias("h"))
+    keep = keyed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    kept = keyed.join(keep, "h").where(F.col("doc_id") == F.col("keep_id"))
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+Q_DEDUP_SQL = """
+WITH keyed AS (SELECT lang, doc_id, md5(lower(text)) AS h FROM documents),
+keep AS (SELECT h, MIN(doc_id) AS keep_id FROM keyed GROUP BY h)
+SELECT lang, COUNT(*) AS n_kept
+FROM keyed JOIN keep ON keyed.h = keep.h AND keyed.doc_id = keep.keep_id
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# vector: exact kNN (LinearDb port) + derived codes
+
+
+def _embeddings_vectors(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+
+
+def q_knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings_vectors(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_exact(emb, queries, k=10, metric="l2_sq")
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("dist"), 6).alias("dist"), "rank"
+    )
+
+
+KNN_L2_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+d AS (
+  SELECT query_id, vec_id,
+    list_sum(list_transform(range(1, 65), i -> (qv[i] - v[i]) * (qv[i] - v[i]))) AS dist
+  FROM q, e
+), r AS (
+  SELECT query_id, vec_id, dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings_vectors(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries))
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        D.cosine_sim(F.col("query_vec"), F.col("embedding")).alias("sim"),
+    )
+    top = topk_rows(scored, ["query_id"], "sim", 10, ascending=False, tie_cols=["vec_id"])
+    return top.select("query_id", "vec_id", F.round(F.col("sim"), 6).alias("sim"), "rank")
+
+
+KNN_COS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+d AS (
+  SELECT query_id, vec_id,
+    list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+         * sqrt(list_sum(list_transform(v, x -> x * x)))) AS sim
+  FROM q, e
+), r AS (
+  SELECT query_id, vec_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM d)
+SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_simhash_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming kNN over sign-bit codes — the reference's canonical metric
+    (popcount(a XOR b), lazy_memory_store.rs:49-54) applied to codes
+    derived from the embedding fixtures."""
+    emb = _embeddings_vectors(spark, sf_dir)
+    coded = emb.select("vec_id", D.simhash_code("embedding").alias("code"))
+    queries = coded.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("query_code")
+    )
+    pairs = coded.crossJoin(F.broadcast(queries))
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        D.hamming(F.col("query_code"), F.col("code")).cast("int").alias("dist"),
+    )
+    return topk_rows(scored, ["query_id"], "dist", 5, ascending=True, tie_cols=["vec_id"])
+
+
+SIMHASH_KNN_SQL = """
+WITH c AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(range(0, 63),
+      i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS code
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, code AS qcode FROM c WHERE vec_id < 10),
+d AS (
+  SELECT query_id, vec_id, CAST(bit_count(xor(qcode, code)) AS INTEGER) AS dist
+  FROM q, c
+), r AS (
+  SELECT query_id, vec_id, dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d)
+SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-duplicate pairs (sim >= 0.3) — `is_match` thresholding
+    (traits.rs:44-45) as a similarity self-join."""
+    emb = _embeddings_vectors(spark, sf_dir)
+    # norms once per vector BEFORE the O(n²) join — per-pair work is one
+    # dot product + one division (identical arithmetic to the oracle's
+    # dot/(sqrt(ss_a)*sqrt(ss_b)), so rounded values hash-match)
+    with_norm = emb.select(
+        "vec_id", "embedding", D.norm("embedding").alias("nrm")
+    )
+    a = with_norm.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    sim = D.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("sim")).where(
+        F.col("sim") >= 0.3
+    )
+
+
+NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3
+"""
+
+
+def q_vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cnt = F.count(F.lit(1))
+    return (
+        emb.select("label", F.round(D.norm("embedding"), 6).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            cnt.alias("n_vecs"),
+            F.round(F.sum("nrm") / cnt, 6).alias("avg_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+NORM_SQL = """
+WITH n AS (
+  SELECT label,
+    ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS nrm
+  FROM embeddings)
+SELECT label, COUNT(*) AS n_vecs, ROUND(SUM(nrm) / COUNT(*), 6) AS avg_norm,
+  MAX(nrm) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+CATALOG: dict[str, QuerySpec] = {
+    "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
+    "q03_shipping_priority": QuerySpec(q03_shipping_priority, Q03_SQL, "3-way join + top-10"),
+    "q05_local_supplier_volume": QuerySpec(q05_local_supplier_volume, Q05_SQL, "6-way star join"),
+    "top3_orders_per_customer": QuerySpec(q_top3_orders_per_customer, Q_TOP3_SQL, "group-wise top-k (queue semantics)"),
+    "rollup_returnflag": QuerySpec(q_rollup_returnflag, Q_ROLLUP_SQL, "grouping sets"),
+    "customers_without_orders": QuerySpec(q_customers_without_orders, Q_NO_ORDERS_SQL, "anti join"),
+    "orders_monthly": QuerySpec(q_orders_monthly, Q_MONTHLY_SQL, "time bucketing"),
+    "part_brand_stats": QuerySpec(q_part_brand_stats, Q_PART_SQL, "agg + avg parity"),
+    "events_hourly": QuerySpec(q_events_hourly, Q_EVENTS_HOURLY_SQL, "hourly windows"),
+    "events_json": QuerySpec(q_events_json, Q_EVENTS_JSON_SQL, "JSON extraction"),
+    "sessionization": QuerySpec(q_sessionization, Q_SESSION_SQL, "gap sessionization"),
+    "doc_token_stats": QuerySpec(q_doc_token_stats, Q_TOKEN_SQL, "tokenization"),
+    "doc_quality": QuerySpec(q_doc_quality, Q_QUALITY_SQL, "quality scoring"),
+    "lang_id": QuerySpec(q_lang_id, Q_LANG_SQL, "language ID heuristic"),
+    "doc_fingerprint": QuerySpec(q_doc_fingerprint, Q_FP_SQL, "doc fingerprinting"),
+    "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, Q_DEDUP_SQL, "exact dedup"),
+    "knn_exact_l2": QuerySpec(q_knn_exact_l2, KNN_L2_SQL, "LinearDb exact kNN, L2"),
+    "knn_exact_cosine": QuerySpec(q_knn_exact_cosine, KNN_COS_SQL, "exact kNN, cosine"),
+    "simhash_hamming_knn": QuerySpec(q_simhash_hamming_knn, SIMHASH_KNN_SQL, "Hamming kNN on sign codes"),
+    "embedding_near_dup": QuerySpec(q_embedding_near_dup, NEAR_DUP_SQL, "cosine near-dup self-join"),
+    "vector_norm_stats": QuerySpec(q_vector_norm_stats, NORM_SQL, "vector norms"),
+}

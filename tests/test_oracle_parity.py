@@ -1,0 +1,31 @@
+"""Every catalog query must hash-match its DuckDB oracle at sf0.001.
+
+This is a local replica of the driver's CORRECTNESS gate; if this is
+green, the per-round sf0.01 check should be too (verified manually via
+tools/check_parity.py at sf0.01).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hawk_pack_spark.oracle import check_catalog, duck_connection, compare
+from hawk_pack_spark.queries import CATALOG
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    return duck_connection(sf_dir)
+
+
+@pytest.mark.parametrize("name", [n for n, s in CATALOG.items() if s.oracle])
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    spec = CATALOG[name]
+    res = compare(name, spec.fn(spark, sf_dir), spec.oracle, duck)
+    assert res.ok, f"{res.detail} {res.mismatches}"
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    for name, spec in CATALOG.items():
+        if spec.oracle is None:
+            assert spec.fn(spark, sf_dir).count() >= 0, name
