@@ -32,7 +32,53 @@ HEADLINE = [
     "knn_exact_cosine",
     "simhash_hamming_knn",
     "embedding_near_dup",
+    "hnsw_search_l2",
 ]
+
+
+def bench_hnsw_reference_shape(spark, timings: dict) -> None:
+    """The reference bench's shape (benches/hnsw.rs): build a code index
+    at 1k/10k, then time inserting 100 new vectors into the prebuilt
+    index, with the LinearDb brute-force contrast."""
+    import pyspark.sql.functions as F
+
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import hnsw
+    from hawk_pack_spark.operators.knn_exact import exists_match
+
+    params = HawkParams.new(64, 32, 32)
+    for n in (1_000, 10_000):
+        codes = spark.range(n).select(
+            F.col("id").alias("vec_id"), F.col("id").alias("code")
+        )
+        t0 = time.perf_counter()
+        index = hnsw.build_index(
+            codes, metric="hamming", params=params, num_shards=8, vec_col="code"
+        ).localCheckpoint()
+        timings[f"hnsw_build_codes_{n}"] = round(time.perf_counter() - t0, 3)
+
+        batch = spark.range(100).select(
+            (F.col("id") + 10 * n).alias("vec_id"),
+            (F.col("id") * 131 + n).alias("code"),
+        )
+        t0 = time.perf_counter()
+        hnsw.insert_batch(
+            index, batch, metric="hamming", params=params,
+            vec_col="code", match_threshold=0.0,
+        ).count()
+        timings[f"hnsw_insert_100_into_{n}"] = round(time.perf_counter() - t0, 3)
+
+        # LinearDb contrast: brute-force duplicate scan for the same batch
+        t0 = time.perf_counter()
+        exists_match(
+            codes.select("vec_id", F.col("code").alias("embedding")),
+            batch.select(
+                F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec")
+            ),
+            threshold=0.0,
+            metric="hamming",
+        ).count()
+        timings[f"linear_exists_100_in_{n}"] = round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -57,6 +103,8 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         _ = n
+
+    bench_hnsw_reference_shape(spark, timings)
 
     total = round(sum(timings.values()), 3)
     print(

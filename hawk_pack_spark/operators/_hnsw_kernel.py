@@ -1,0 +1,294 @@
+"""Partition-local HNSW kernel: pure numpy, runs inside applyInPandas.
+
+Implements the HNSW algorithm (Malkov & Yashunin 2016, arXiv:1603.09320,
+cited by the reference's README) for one index shard held in memory.
+Semantics follow the reference engine (SURVEY.md §2.4): best-first beam
+search with a visited set and early exit; insertion trims forward edges
+to M and back-edges to M_max (2M at layer 0); the entry point only moves
+to a strictly higher layer; queries and vectors share one ID space.
+
+This file is deliberately Spark-free: plain numpy in / numpy out, so it
+unit-tests in milliseconds and the Spark layer (operators/hnsw.py) stays
+a thin orchestration shell.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+from hawk_pack_spark.config import HawkParams
+
+_POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def popcount64(arr: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays (numpy<2 has no bitwise_count)."""
+    return _POPCOUNT_LUT[arr.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+
+
+class Metric:
+    """Batch distance evaluator: one query against many stored vectors —
+    the shape of the reference's ``eval_distance_batch`` hot path."""
+
+    def __init__(self, name: str, data: np.ndarray):
+        self.name = name
+        self.data = data  # (n, dim) float64 for l2/cosine; (n,) uint64 for hamming
+        if name == "cosine":
+            norms = np.linalg.norm(data, axis=1)
+            norms[norms == 0.0] = 1.0
+            self._unit = data / norms[:, None]
+
+    def batch(self, q_idx: int, cand: np.ndarray) -> np.ndarray:
+        if self.name == "hamming":
+            return popcount64(np.bitwise_xor(self.data[cand], self.data[q_idx])).astype(
+                np.float64
+            )
+        if self.name == "l2_sq":
+            diff = self.data[cand] - self.data[q_idx]
+            return np.einsum("ij,ij->i", diff, diff)
+        if self.name == "cosine":
+            return 1.0 - self._unit[cand] @ self._unit[q_idx]
+        raise KeyError(f"unknown metric {self.name!r}")
+
+
+class LocalHNSW:
+    """One in-memory HNSW graph over local indices 0..n-1."""
+
+    def __init__(self, metric: Metric, params: HawkParams):
+        self.metric = metric
+        self.params = params
+        # adjacency: layer -> node -> ascending [(dist, nbr), ...]
+        self.adj: dict[int, dict[int, list[tuple[float, int]]]] = {}
+        self.entry: int | None = None
+        self.entry_layer: int = -1
+
+    # -- storage-facing ----------------------------------------------------
+    def num_layers(self) -> int:
+        return self.entry_layer + 1
+
+    def neighbors(self, lc: int, node: int) -> list[tuple[float, int]]:
+        """get_links semantics: missing key → empty (graph_mem.rs:100-111)."""
+        return self.adj.get(lc, {}).get(node, [])
+
+    def set_entry_point(self, node: int, layer: int) -> None:
+        """Monotonicity contract: a new entry point must sit on a higher
+        layer (graph_mem.rs:86-91)."""
+        if layer <= self.entry_layer:
+            raise ValueError(
+                f"entry point layer must increase ({layer} <= {self.entry_layer})"
+            )
+        self.entry, self.entry_layer = node, layer
+
+    # -- search ------------------------------------------------------------
+    def search_layer(
+        self, q_idx: int, entry_points: list[tuple[float, int]], ef: int, lc: int
+    ) -> list[tuple[float, int]]:
+        """Best-first beam search in one layer. entry_points are (dist,
+        node) seeds; returns ascending (dist, node), at most ef."""
+        visited = {n for _, n in entry_points}
+        # C: nearest-first candidate heap; W: beam as max-heap via negation
+        cand = list(entry_points)
+        heapq.heapify(cand)
+        beam = [(-d, n) for d, n in entry_points]
+        heapq.heapify(beam)
+        while len(beam) > ef:
+            heapq.heappop(beam)
+        while cand:
+            c_dist, c_node = heapq.heappop(cand)
+            if c_dist > -beam[0][0]:
+                break  # nearest candidate is beyond the beam's furthest
+            nbrs = [n for _, n in self.neighbors(lc, c_node) if n not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            dists = self.metric.batch(q_idx, np.asarray(nbrs, dtype=np.int64))
+            for d, n in zip(dists.tolist(), nbrs):
+                if len(beam) < ef:
+                    heapq.heappush(beam, (-d, n))
+                    heapq.heappush(cand, (d, n))
+                elif d < -beam[0][0]:
+                    heapq.heapreplace(beam, (-d, n))
+                    heapq.heappush(cand, (d, n))
+        return sorted((-nd, n) for nd, n in beam)
+
+    def _descend(
+        self, q_idx: int, from_layer: int, to_layer: int, ef_for_layer
+    ) -> list[tuple[float, int]]:
+        """Greedy/beam descent from from_layer down to to_layer (exclusive
+        bound below), carrying the beam between layers."""
+        d0 = float(self.metric.batch(q_idx, np.asarray([self.entry], dtype=np.int64))[0])
+        w = [(d0, self.entry)]
+        for lc in range(from_layer, to_layer, -1):
+            w = self.search_layer(q_idx, w, ef_for_layer(lc), lc)
+        return w
+
+    def search(self, q_idx: int, k: int, ef_search: int | None = None) -> list[tuple[float, int]]:
+        """kNN query: greedy upper layers, beam ef_search at layer 0."""
+        if self.entry is None:
+            return []
+        p = self.params
+        w = self._descend(q_idx, self.entry_layer, 0, lambda lc: p.get_ef_search(lc))
+        ef0 = max(ef_search or p.get_ef_search(0), k)
+        w = self.search_layer(q_idx, w, ef0, 0)
+        return w[:k]
+
+    # -- insert ------------------------------------------------------------
+    def insert(self, q_idx: int, insertion_layer: int) -> None:
+        """Full insert: two-phase (search then connect), like the
+        reference's search_to_insert + insert_from_search_results split."""
+        per_layer = self.search_to_insert(q_idx, insertion_layer)
+        self.insert_from_search_results(q_idx, insertion_layer, per_layer)
+
+    def search_to_insert(
+        self, q_idx: int, insertion_layer: int
+    ) -> list[list[tuple[float, int]]]:
+        """Phase 1: candidate neighbor queues for layers 0..insertion_layer
+        (index = layer). Empty lists pad layers above the current top."""
+        p = self.params
+        if self.entry is None:
+            return [[] for _ in range(insertion_layer + 1)]
+        L = self.entry_layer
+        w = self._descend(
+            q_idx, L, min(L, insertion_layer), lambda lc: p.get_ef_constr_search(lc)
+        )
+        out: list[list[tuple[float, int]]] = []
+        for lc in range(min(L, insertion_layer), -1, -1):
+            w = self.search_layer(q_idx, w, p.get_ef_constr_insert(lc), lc)
+            out.append(list(w))
+        out.reverse()  # now out[lc] = candidates at layer lc
+        while len(out) <= insertion_layer:
+            out.append([])  # new top layers have no neighbors yet
+        return out
+
+    def insert_from_search_results(
+        self,
+        q_idx: int,
+        insertion_layer: int,
+        per_layer: list[list[tuple[float, int]]],
+    ) -> None:
+        """Phase 2: connect bidirectionally per layer; move the entry point
+        only if the insertion created a higher layer."""
+        p = self.params
+        for lc in range(min(insertion_layer, len(per_layer) - 1), -1, -1):
+            self._connect_bidir(q_idx, per_layer[lc], lc)
+        if insertion_layer > self.entry_layer:
+            self.set_entry_point(q_idx, insertion_layer)
+
+    def _connect_bidir(
+        self, q_idx: int, candidates: list[tuple[float, int]], lc: int
+    ) -> None:
+        p = self.params
+        chosen = candidates[: p.get_M(lc)]
+        layer = self.adj.setdefault(lc, {})
+        layer[q_idx] = list(chosen)
+        m_max = p.get_M_max(lc)
+        for d, n in chosen:
+            q = layer.get(n, [])
+            # ordered insert, then degree-bound trim (connect_bidir)
+            q.append((d, q_idx))
+            q.sort()
+            if len(q) > m_max:
+                del q[m_max:]
+            layer[n] = q
+
+    def is_match(self, q_idx: int, threshold: float = 0.0) -> bool:
+        """Duplicate probe: nearest bottom-layer neighbor within threshold
+        (reference hawk_searcher.rs:417-429); empty graph → False."""
+        res = self.search(q_idx, 1)
+        return bool(res) and res[0][0] <= threshold
+
+
+# ---------------------------------------------------------------------------
+# deterministic layer assignment
+
+
+def assign_layer(u: np.ndarray, m_l: float) -> np.ndarray:
+    """Geometric layer from uniform(0,1]: floor(-ln(u) * m_L) — the
+    standard HNSW sample, vectorized. u must avoid exact 0."""
+    return np.floor(-np.log(u) * m_l).astype(np.int32)
+
+
+def uniform_from_ids(ids: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Deterministic per-id uniform in (0,1]: splitmix64 of (id ^ seed).
+    Stable under any partitioning / insertion batching."""
+    offset = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    x = ids.astype(np.uint64) + offset
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return (x.astype(np.float64) + 1.0) / 18446744073709551616.0
+
+
+def build_local(
+    ids: np.ndarray,
+    data: np.ndarray,
+    metric_name: str,
+    params: HawkParams,
+    layers: np.ndarray | None = None,
+    seed: int = 42,
+) -> LocalHNSW:
+    """Build one shard's index by sequential insertion in id order (the
+    reference engine is serial by design; order fixed for determinism)."""
+    order = np.argsort(ids, kind="stable")
+    metric = Metric(metric_name, data)
+    index = LocalHNSW(metric, params)
+    if layers is None:
+        layers = assign_layer(uniform_from_ids(ids, seed), params.m_L)
+    for pos in order.tolist():
+        index.insert(int(pos), int(layers[pos]))
+    return index
+
+
+def adjacency_arrays(index: LocalHNSW, ids: np.ndarray):
+    """Flatten the graph to per-node parallel arrays (e_layer, e_dst,
+    e_dist) in GLOBAL ids — the Arrow-friendly index storage layout."""
+    n = len(ids)
+    out_layers: list[list[int]] = [[] for _ in range(n)]
+    out_dsts: list[list[int]] = [[] for _ in range(n)]
+    out_dists: list[list[float]] = [[] for _ in range(n)]
+    for lc, nodes in index.adj.items():
+        for node, nbrs in nodes.items():
+            for d, nbr in nbrs:
+                out_layers[node].append(lc)
+                out_dsts[node].append(int(ids[nbr]))
+                out_dists[node].append(float(d))
+    return out_layers, out_dsts, out_dists
+
+
+def index_from_arrays(
+    ids: np.ndarray,
+    data: np.ndarray,
+    metric_name: str,
+    params: HawkParams,
+    e_layers: list,
+    e_dsts: list,
+    e_dists: list,
+) -> LocalHNSW:
+    """Rehydrate a LocalHNSW from stored parallel-array adjacency (global
+    ids → local indices). Entry point = first-inserted (lowest id) node on
+    the top layer, matching the build's monotone entry-point rule."""
+    metric = Metric(metric_name, data)
+    index = LocalHNSW(metric, params)
+    id_to_local = {int(g): i for i, g in enumerate(ids.tolist())}
+    top_layer, entry = -1, None
+    for local in range(len(ids)):
+        lays, dsts, dists = e_layers[local], e_dsts[local], e_dists[local]
+        for lc, dst, d in zip(lays, dsts, dists):
+            index.adj.setdefault(int(lc), {}).setdefault(local, []).append(
+                (float(d), id_to_local[int(dst)])
+            )
+    for lc in index.adj:
+        for node in index.adj[lc]:
+            index.adj[lc][node].sort()
+    # a node "is on" layer lc if it has a queue there (layer 0 holds all)
+    for local in range(len(ids)):
+        node_top = max([lc for lc in index.adj if local in index.adj[lc]], default=0)
+        gid = int(ids[local])
+        if node_top > top_layer or (node_top == top_layer and (entry is None or gid < entry[1])):
+            top_layer, entry = node_top, (local, gid)
+    if entry is not None:
+        index.entry, index.entry_layer = entry[0], top_layer
+    return index

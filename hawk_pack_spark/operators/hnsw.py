@@ -1,0 +1,317 @@
+"""Batch HNSW on Spark: sharded partition-local indexes (design (a) of
+SURVEY.md §2.4/§7).
+
+The index is a DataFrame — one row per vector carrying its shard, its
+payload, its assigned max layer and its adjacency as parallel arrays
+(Arrow-friendly, no nested structs):
+
+    shard INT, vec_id LONG, layer INT, code LONG, vec ARRAY<DOUBLE>,
+    e_layer ARRAY<INT>, e_dst ARRAY<LONG>, e_dist ARRAY<DOUBLE>
+
+Build: hash-shard vectors, then one `applyInPandas` builds each shard's
+graph independently (sequential insertion inside the shard — the
+reference engine is serial by design; shards give the parallelism).
+Search: queries are broadcast to every shard via a small crossJoin, one
+`cogroup().applyInPandas` searches each shard, and a Window top-k merges
+shard results — search cost scales with shards × log(shard size), merge
+shuffles only k rows per (query, shard).
+
+At 100 TB the same plan holds: shards are the unit of placement (a few
+hundred MB each), the per-shard kernel is CPU-bound numpy, and nothing
+ever collects to the driver.
+
+Determinism: layer assignment is splitmix64(vec_id) → geometric, so the
+graph is identical under any partitioning or insertion batching; entry
+points follow the reference's monotone rule (first node to reach the top
+layer, insertion order = vec_id ascending).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hawk_pack_spark.config import DEFAULT_PARAMS, HawkParams
+from hawk_pack_spark.operators import _hnsw_kernel as K
+
+INDEX_SCHEMA = (
+    "shard int, vec_id long, layer int, code long, vec array<double>, "
+    "e_layer array<int>, e_dst array<long>, e_dist array<double>"
+)
+
+SEARCH_SCHEMA = "shard int, query_id long, vec_id long, dist double"
+
+
+def _payload(pdf: pd.DataFrame, metric: str) -> np.ndarray:
+    if metric == "hamming":
+        return pdf["code"].to_numpy(dtype=np.int64).view(np.uint64)
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+
+
+def _stack_payload(a: np.ndarray, b: np.ndarray, metric: str) -> np.ndarray:
+    return np.concatenate([a, b]) if metric == "hamming" else np.vstack([a, b])
+
+
+def _emit_index(shard: int, ids: np.ndarray, pdf: pd.DataFrame, metric: str,
+                layers: np.ndarray, index: K.LocalHNSW) -> pd.DataFrame:
+    e_layer, e_dst, e_dist = K.adjacency_arrays(index, ids)
+    return pd.DataFrame(
+        {
+            "shard": shard,
+            "vec_id": ids,
+            "layer": layers,
+            "code": pdf["code"].to_numpy() if metric == "hamming" else None,
+            "vec": pdf["vec"] if metric != "hamming" else None,
+            "e_layer": e_layer,
+            "e_dst": e_dst,
+            "e_dist": e_dist,
+        }
+    )
+
+
+def _normalize_vectors(
+    df: DataFrame, id_col: str, vec_col: str, metric: str, out_id: str = "vec_id"
+) -> DataFrame:
+    """Project to the kernel's canonical columns (vec_id + code/vec)."""
+    if metric == "hamming":
+        return df.select(
+            F.col(id_col).cast("long").alias(out_id),
+            F.col(vec_col).cast("long").alias("code"),
+            F.lit(None).cast("array<double>").alias("vec"),
+        )
+    return df.select(
+        F.col(id_col).cast("long").alias(out_id),
+        F.lit(None).cast("long").alias("code"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+
+def build_index(
+    vectors: DataFrame,
+    metric: str = "l2_sq",
+    params: HawkParams = DEFAULT_PARAMS,
+    num_shards: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Build the sharded HNSW index DataFrame."""
+    prepped = _normalize_vectors(vectors, id_col, vec_col, metric).withColumn(
+        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(num_shards)).cast("int")
+    )
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        data = _payload(pdf, metric)
+        layers = K.assign_layer(K.uniform_from_ids(ids, seed), params.m_L)
+        index = K.build_local(ids, data, metric, params, layers=layers)
+        return _emit_index(shard, ids, pdf, metric, layers, index)
+
+    return prepped.groupBy("shard").applyInPandas(build_shard, INDEX_SCHEMA)
+
+
+def search(
+    index_df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2_sq",
+    params: HawkParams = DEFAULT_PARAMS,
+    ef_search: int | None = None,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+) -> DataFrame:
+    """kNN over the sharded index: per-shard beam search (cogroup kernel),
+    then a global top-k merge. Returns (query_id, vec_id, dist, rank)."""
+    # shard ids are tiny (≤ thousands); materialize to break the self-join
+    # lineage between index_df and the replicated queries
+    shard_ids = [r.shard for r in index_df.select("shard").distinct().collect()]
+    shards = queries.sparkSession.createDataFrame(
+        [(s,) for s in shard_ids], "shard int"
+    )
+    qn = _normalize_vectors(queries, query_id, query_col, metric, out_id="query_id")
+    qrep = qn.crossJoin(F.broadcast(shards))  # replicate queries to every shard
+
+    def search_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["shard", "query_id", "vec_id", "dist"])
+        left = left.sort_values("vec_id").reset_index(drop=True)
+        shard = int(left["shard"].iloc[0])
+        ids = left["vec_id"].to_numpy(dtype=np.int64)
+        data = _payload(left, metric)
+        qdata = _payload(right, metric)
+        # queries join the same id space as staged (non-persistent) points,
+        # mirroring the reference's prepare_query staging
+        full = _stack_payload(data, qdata, metric)
+        index = K.index_from_arrays(
+            ids, full, metric, params,
+            left["e_layer"].tolist(), left["e_dst"].tolist(), left["e_dist"].tolist(),
+        )
+        n = len(ids)
+        rows = []
+        for j, qid in enumerate(right["query_id"].tolist()):
+            for d, local in index.search(n + j, k, ef_search):
+                rows.append((shard, qid, int(ids[local]), float(d)))
+        return pd.DataFrame(rows, columns=["shard", "query_id", "vec_id", "dist"])
+
+    per_shard = (
+        index_df.groupBy("shard")
+        .cogroup(qrep.groupBy("shard"))
+        .applyInPandas(search_shard, SEARCH_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+
+
+def insert_batch(
+    index_df: DataFrame,
+    batch: DataFrame,
+    metric: str = "l2_sq",
+    params: HawkParams = DEFAULT_PARAMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    match_threshold: float | None = None,
+) -> DataFrame:
+    """Two-phase batch insert into an existing index (reference insert
+    lifecycle, SURVEY.md §3 EP2): phase 1 searches, the caller-side
+    is_match gate rejects duplicates, phase 2 connects. Returns the
+    updated index DataFrame.
+
+    The duplicate gate is GLOBAL (a cross-shard search), because shards
+    are id-hashed, not content-hashed — an exact duplicate usually lives
+    in a different shard than the incoming id. Intra-batch near-dups are
+    additionally rejected inside each shard kernel, which inserts
+    serially (first id wins, the reference's serial semantics)."""
+    num_shards = 1 + (index_df.agg(F.max("shard")).collect()[0][0] or 0)
+    if match_threshold is not None:
+        as_queries = batch.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+        nearest = search(
+            index_df, as_queries, k=1, metric=metric, params=params
+        ).where(F.col("dist") <= F.lit(match_threshold))
+        batch = batch.join(
+            nearest.select(F.col("query_id").alias(id_col)), id_col, "left_anti"
+        )
+    prepped = _normalize_vectors(batch, id_col, vec_col, metric).withColumn(
+        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(num_shards)).cast("int")
+    )
+
+    def insert_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty and right.empty:
+            return pd.DataFrame(
+                columns=[f.split()[0] for f in INDEX_SCHEMA.split(", ")]
+            )
+        shard = int((left if not left.empty else right)["shard"].iloc[0])
+        if left.empty:
+            # no existing rows in this shard: plain build over the batch
+            pdf = right.sort_values("vec_id").reset_index(drop=True)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            data = _payload(pdf, metric)
+            layers = K.assign_layer(K.uniform_from_ids(ids, seed), params.m_L)
+            index = K.build_local(ids, data, metric, params, layers=layers)
+            return _emit_index(shard, ids, pdf, metric, layers, index)
+
+        left = left.sort_values("vec_id").reset_index(drop=True)
+        old_ids = left["vec_id"].to_numpy(dtype=np.int64)
+        old_layers = left["layer"].to_numpy(dtype=np.int32)
+        data = _payload(left, metric)
+        if right.empty:
+            return left
+
+        right = right.sort_values("vec_id").reset_index(drop=True)
+        new_ids = right["vec_id"].to_numpy(dtype=np.int64)
+        new_layers = K.assign_layer(K.uniform_from_ids(new_ids, seed), params.m_L)
+        full = _stack_payload(data, _payload(right, metric), metric)
+        index = K.index_from_arrays(
+            old_ids, full, metric, params,
+            left["e_layer"].tolist(), left["e_dst"].tolist(), left["e_dist"].tolist(),
+        )
+        n = len(old_ids)
+        accepted = []
+        for j in range(len(new_ids)):
+            local = n + j
+            # two-phase insert with the caller-side is_match gate between
+            # phases, exactly the reference's dedup-on-insert pattern
+            if match_threshold is not None and index.is_match(local, match_threshold):
+                continue
+            index.insert(local, int(new_layers[j]))
+            accepted.append(j)
+
+        all_ids = np.concatenate([old_ids, new_ids[accepted]])
+        all_layers = np.concatenate([old_layers, new_layers[accepted]])
+        keep = pd.concat(
+            [left[["code", "vec"]], right.iloc[accepted][["code", "vec"]]],
+            ignore_index=True,
+        )
+        # adjacency_arrays needs ids for n + len(accepted) locals, but the
+        # index still holds staged-but-rejected locals; remap via the id
+        # vector covering every local that can appear in adjacency
+        id_map = np.concatenate([old_ids, new_ids])  # locals n..n+m-1
+        e_layer, e_dst, e_dist = K.adjacency_arrays(index, id_map)
+        kept_locals = list(range(n)) + [n + j for j in accepted]
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "vec_id": all_ids,
+                "layer": all_layers,
+                "code": keep["code"].to_numpy() if metric == "hamming" else None,
+                "vec": keep["vec"] if metric != "hamming" else None,
+                "e_layer": [e_layer[i] for i in kept_locals],
+                "e_dst": [e_dst[i] for i in kept_locals],
+                "e_dist": [e_dist[i] for i in kept_locals],
+            }
+        )
+
+    return (
+        index_df.groupBy("shard")
+        .cogroup(prepped.groupBy("shard"))
+        .applyInPandas(insert_shard, INDEX_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalized graph views (the §2.3 GraphStore surface over the index)
+
+
+def to_links(index_df: DataFrame) -> DataFrame:
+    """Normalized links table (layer, src, nbrs ARRAY<STRUCT<dist,dst>>),
+    the schema mirroring the reference's one-row-per-(vector, layer)
+    Postgres layout (migrations/..init.up.sql)."""
+    edges = (
+        index_df.select(
+            "shard",
+            F.col("vec_id").alias("src"),
+            F.explode(F.arrays_zip("e_layer", "e_dst", "e_dist")).alias("e"),
+        )
+        .select(
+            "shard",
+            F.col("e.e_layer").alias("layer"),
+            "src",
+            F.col("e.e_dst").alias("dst"),
+            F.col("e.e_dist").alias("dist"),
+        )
+    )
+    nbr = F.struct(F.col("dist"), F.col("dst"))
+    return edges.groupBy("shard", "layer", "src").agg(
+        F.array_sort(F.collect_list(nbr)).alias("nbrs")
+    )
+
+
+def entry_points(index_df: DataFrame) -> DataFrame:
+    """Per-shard entry point: lowest-id vector on the top layer (the
+    monotone entry rule under id-ordered insertion)."""
+    w = Window.partitionBy("shard").orderBy(F.col("layer").desc(), F.col("vec_id").asc())
+    return (
+        index_df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("shard", F.col("vec_id").alias("point"), F.col("layer"))
+    )

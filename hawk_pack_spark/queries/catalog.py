@@ -28,8 +28,10 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hawk_pack_spark.config import HawkParams
 from hawk_pack_spark.functions import distance as D
 from hawk_pack_spark.functions import text as T
+from hawk_pack_spark.operators import hnsw
 from hawk_pack_spark.operators.knn_exact import knn_exact
 from hawk_pack_spark.operators.topk import topk_rows
 from hawk_pack_spark.sources import load_table
@@ -674,6 +676,57 @@ FROM n GROUP BY label
 
 
 # ---------------------------------------------------------------------------
+# HNSW (approximate — rows-only driver check; recall is asserted in tests)
+
+_HNSW_PARAMS = HawkParams.new(64, 64, 16)
+
+
+def _hnsw_index(spark, sf_dir):
+    emb = _embeddings_vectors(spark, sf_dir)
+    return emb, hnsw.build_index(
+        emb, metric="l2_sq", params=_HNSW_PARAMS, num_shards=4
+    )
+
+
+def q_hnsw_search_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via the sharded HNSW index (SURVEY §2.4 search)."""
+    emb, index = _hnsw_index(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = hnsw.search(index, queries, k=10, metric="l2_sq", params=_HNSW_PARAMS)
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"), "rank")
+
+
+def q_hnsw_self_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference flagship invariant (hawk_searcher.rs:441-479): every
+    indexed vector, searched at k=1, must return itself at distance 0."""
+    emb, index = _hnsw_index(spark, sf_dir)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = hnsw.search(index, queries, k=1, metric="l2_sq", params=_HNSW_PARAMS)
+    return res.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when((F.col("query_id") == F.col("vec_id")) & (F.col("dist") == 0), 1).otherwise(0)
+        ).alias("n_self_matches"),
+    )
+
+
+def q_hnsw_links_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph invariants per layer: node counts and degree bounds
+    (connect_bidir trims to M_max — hawk_searcher.rs:153-176)."""
+    _, index = _hnsw_index(spark, sf_dir)
+    links = hnsw.to_links(index)
+    return links.groupBy("layer").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max(F.size("nbrs")).alias("max_degree"),
+        F.min(F.size("nbrs")).alias("min_degree"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 CATALOG: dict[str, QuerySpec] = {
@@ -698,4 +751,7 @@ CATALOG: dict[str, QuerySpec] = {
     "simhash_hamming_knn": QuerySpec(q_simhash_hamming_knn, SIMHASH_KNN_SQL, "Hamming kNN on sign codes"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, NEAR_DUP_SQL, "cosine near-dup self-join"),
     "vector_norm_stats": QuerySpec(q_vector_norm_stats, NORM_SQL, "vector norms"),
+    "hnsw_search_l2": QuerySpec(q_hnsw_search_l2, None, "sharded HNSW ANN search"),
+    "hnsw_self_recall": QuerySpec(q_hnsw_self_recall, None, "HNSW self-recall invariant"),
+    "hnsw_links_stats": QuerySpec(q_hnsw_links_stats, None, "HNSW graph degree invariants"),
 }

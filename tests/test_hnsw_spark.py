@@ -1,0 +1,93 @@
+"""Spark-level HNSW: sharded build, search, incremental insert, views.
+
+E2E port of the reference's flagship test (hawk_searcher.rs:441-479):
+build over u64 codes, search each inserted code, assert self-match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hawk_pack_spark.config import HawkParams
+from hawk_pack_spark.operators import hnsw
+from hawk_pack_spark.operators.knn_exact import knn_exact
+from hawk_pack_spark.sources import load_table
+
+PARAMS = HawkParams.new(64, 32, 16)
+
+
+@pytest.fixture(scope="module")
+def code_index(spark):
+    codes = spark.range(199).select(
+        F.col("id").alias("vec_id"), F.col("id").alias("code")
+    )
+    return hnsw.build_index(
+        codes, metric="hamming", params=PARAMS, num_shards=4, vec_col="code"
+    ).cache()
+
+
+def test_self_recall_spark(spark, code_index):
+    queries = spark.range(199).select(
+        F.col("id").alias("query_id"), F.col("id").alias("query_vec")
+    )
+    res = hnsw.search(code_index, queries, k=1, metric="hamming", params=PARAMS)
+    rows = res.collect()
+    assert len(rows) == 199
+    assert all(r.query_id == r.vec_id and r.dist == 0.0 for r in rows)
+
+
+def test_index_covers_all_vectors(code_index):
+    assert code_index.count() == 199
+    # every vector appears in layer 0 of the links view
+    links = hnsw.to_links(code_index)
+    l0 = links.where(F.col("layer") == 0).select("src").distinct().count()
+    assert l0 == 199
+    eps = hnsw.entry_points(code_index).collect()
+    assert len(eps) == 4  # one per shard
+    for r in eps:
+        assert r.layer >= 0
+
+
+def test_insert_batch_and_dedup(spark, code_index):
+    # duplicates of existing codes must be rejected at threshold 0
+    dups = spark.range(50).select(
+        (F.col("id") + 1000).alias("vec_id"), F.col("id").alias("code")
+    )
+    updated = hnsw.insert_batch(
+        code_index, dups, metric="hamming", params=PARAMS,
+        vec_col="code", match_threshold=0.0,
+    )
+    assert updated.count() == 199
+
+    # fresh codes are accepted and then findable
+    fresh = spark.range(20).select(
+        (F.col("id") + 2000).alias("vec_id"),
+        (F.col("id") + 500).alias("code"),
+    )
+    updated2 = hnsw.insert_batch(
+        code_index, fresh, metric="hamming", params=PARAMS,
+        vec_col="code", match_threshold=0.0,
+    ).cache()
+    assert updated2.count() == 219
+    q = fresh.select(F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec"))
+    res = hnsw.search(updated2, q, k=1, metric="hamming", params=PARAMS).collect()
+    assert all(r.dist == 0.0 and r.vec_id >= 2000 for r in res)
+
+
+def test_recall_vs_exact_on_embeddings(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).cache()
+    params = HawkParams.new(64, 64, 16)
+    index = hnsw.build_index(emb, metric="l2_sq", params=params, num_shards=4)
+    queries = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = hnsw.search(index, queries, k=10, metric="l2_sq", params=params)
+    exact = knn_exact(emb, queries, k=10, metric="l2_sq")
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall > 0.95, f"recall@10 = {recall}"
