@@ -50,10 +50,15 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
-    """All character n-grams (shingles) of the lowercased text."""
+    """All character n-grams (shingles) of the lowercased text.
+
+    Guarded: F.sequence(1, 0) yields a DESCENDING [1,0], not empty, so
+    short strings must short-circuit to an empty array."""
     s = F.lower(_c(col))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+    idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
+    return F.when(
+        F.length(s) >= n, F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:

@@ -1,0 +1,205 @@
+"""Deduplication operators for the LLM-data-pipeline surface.
+
+Generalizes the reference's dedup-on-ingest (``is_match``/LinearDb,
+src/linear_db.rs:17-35 — "insert iff no existing match") from vectors to
+documents, at 100 TB scale:
+
+- exact: hash-groupBy, one shuffle, first-id-wins (serial semantics).
+- MinHash-LSH: signature → bands → bucket equi-join → verify. The
+  candidate join replaces the O(n²) scan; every stage is a built-in.
+- SimHash: 16-bit sign-aggregated token-hash code; groupBy code.
+- n-gram Jaccard: explode distinct grams → equi-join on gram →
+  count-based Jaccard — pairs materialize only when they share a gram.
+
+All hashing is md5-based (`hash64`) so every operator is exactly
+reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hawk_pack_spark.functions.text import hash64, tokens
+
+
+def exact_dedup(
+    df: DataFrame, key: Column | str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per key group (first-wins, mirroring the
+    reference's serial insert order)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(key_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _distinct_tokens(text_col: str = "text") -> Column:
+    return F.array_distinct(tokens(text_col))
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature: min over the distinct-token set of a
+    salted md5-hash, one column per seed (h0..h{n-1}).
+
+    Computed tokens-exploded + single groupBy with n min-aggregates:
+    one shuffle regardless of num_hashes."""
+    toks = df.select(
+        F.col(id_col), F.explode(_distinct_tokens(text_col)).alias("tok")
+    )
+    aggs = [
+        F.min(hash64(F.col("tok"), salt=f"{s}|")).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature: band key = md5 of the concatenated rows.
+    Returns (id, band, band_key) exploded — the LSH bucket table."""
+    rows_per_band = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        parts.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*parts)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_candidates(
+    bands_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band bucket —
+    the equi-join that replaces the all-pairs scan."""
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("id_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs only; keeps pairs with
+    jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
+    sets_ = df.select(
+        F.col(id_col), F.array_sort(_distinct_tokens(text_col)).alias("ts")
+    )
+    a = sets_.select(F.col(id_col).alias("id_a"), F.col("ts").alias("ts_a"))
+    b = sets_.select(F.col(id_col).alias("id_b"), F.col("ts").alias("ts_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size(F.array_union("ts_a", "ts_b"))
+    jac = F.round(inter * F.lit(1.0) / union, 6)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → bands → candidate
+    join → exact verify."""
+    sigs = minhash_signature(df, id_col, text_col, num_hashes)
+    cands = minhash_candidates(minhash_bands(sigs, id_col, num_hashes, bands), id_col)
+    return verify_jaccard(cands, df, id_col, text_col, threshold)
+
+
+def simhash16(text_col: str = "text") -> Column:
+    """16-bit SimHash of the distinct token set: bit i is set iff the
+    sign-sum of token-hash bit i is positive. Pure column arithmetic
+    (16 unrolled terms), md5-based → oracle-reproducible."""
+    ts = F.array_distinct(tokens(text_col))
+    code = F.lit(0).cast("long")
+    for i in range(16):
+        contrib = F.aggregate(
+            F.transform(ts, lambda t: F.when(
+                F.shiftrightunsigned(hash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(contrib > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return code
+
+
+def simhash_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group docs by identical 16-bit simhash: (code, n_docs, min_id)."""
+    coded = df.select(F.col(id_col), simhash16(text_col).alias("code"))
+    return coded.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.01,
+) -> DataFrame:
+    """Exact word n-gram Jaccard similarity join via gram-explode +
+    equi-join: a pair is only materialized when it shares at least one
+    gram (at 100 TB: the join key is the gram hash; hot grams are the
+    skew risk — AQE skew-join splits them)."""
+    ts = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(ts) - (n - 1))
+    grams = F.array_distinct(
+        F.when(
+            F.size(ts) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    g = df.select(F.col(id_col), F.size(grams).alias("n_grams"),
+                  F.explode(grams).alias("gram"))
+    a = g.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "gram")
+    b = g.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("inter")), 6
+    )
+    return (
+        shared.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

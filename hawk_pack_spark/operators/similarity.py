@@ -1,0 +1,191 @@
+"""Similarity search beyond brute force: IVF (k-means buckets) and
+Hamming-LSH banding — the scale paths for ANN over embeddings.
+
+IVF: cluster once (pyspark.ml KMeans, seeded), assign every vector to
+its centroid partition, and answer queries by probing only the nprobe
+nearest centroids — the candidate set shrinks from n to
+n * nprobe / n_clusters, and the probe join is an equi-join on
+cluster id (broadcast centroids, no shuffle of the big side).
+
+Hamming-LSH: band a 63-bit sign code into 16-bit bands; vectors agreeing
+on any band become candidates via equi-join; verify with exact popcount.
+Deterministic (no randomness at all) → DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hawk_pack_spark.functions.distance import distance_expr, hamming, simhash_code
+from hawk_pack_spark.operators.topk import topk_rows
+
+
+# ---------------------------------------------------------------------------
+# IVF
+
+
+def ivf_build(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit seeded k-means and assign every vector to a cluster.
+
+    Returns (assigned vectors DataFrame with a `cluster` column,
+    centroid list). Centroids are small (n_clusters × dim) and live on
+    the driver for broadcast into query planning."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    ml_df = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(ml_df)
+    assigned = model.transform(ml_df).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("prediction").alias("cluster"),
+    )
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "l2_sq",
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+) -> DataFrame:
+    """Probe the nprobe nearest centroids per query, exact-rank inside
+    the probed buckets. Returns (query_id, vec_id, dist, rank)."""
+    spark = assigned.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cluster int, center array<double>",
+    )
+    qc = queries.crossJoin(F.broadcast(centers_df)).select(
+        F.col(query_id),
+        F.col(query_col),
+        F.col("cluster"),
+        distance_expr("l2_sq", F.col(query_col), F.col("center")).alias("cdist"),
+    )
+    probes = topk_rows(qc, [query_id], "cdist", nprobe, tie_cols=["cluster"]).select(
+        query_id, query_col, "cluster"
+    )
+    cand = assigned.join(F.broadcast(probes), "cluster")
+    scored = cand.select(
+        F.col(query_id),
+        F.col("vec_id"),
+        distance_expr(metric, F.col(query_col), F.col("embedding")).alias("dist"),
+    )
+    return topk_rows(scored, [query_id], "dist", k, tie_cols=["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# Hamming LSH banding (deterministic)
+
+
+def code_bands(df: DataFrame, id_col: str, code_col: str, band_bits: int = 16,
+               n_bands: int = 4) -> DataFrame:
+    """(id, band, band_val) — code split into n_bands chunks of band_bits."""
+    parts = []
+    mask = (1 << band_bits) - 1
+    for b in range(n_bands):
+        val = F.shiftrightunsigned(F.col(code_col), b * band_bits).bitwiseAND(F.lit(mask))
+        parts.append(F.struct(F.lit(b).alias("band"), val.alias("band_val")))
+    return df.select(
+        F.col(id_col), F.col(code_col), F.explode(F.array(*parts)).alias("bk")
+    ).select(id_col, code_col, F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+
+
+def lsh_hamming_near_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_dist: int = 12,
+    band_bits: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near pairs by Hamming distance over sign codes, candidate-pruned
+    by LSH banding (pairs must agree exactly on ≥1 band). Deterministic:
+    both the codes and the banding are pure functions of the input."""
+    coded = vectors.select(F.col(id_col), simhash_code(vec_col).alias("code"))
+    bands = code_bands(coded, id_col, "code", band_bits, n_bands)
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("code").alias("code_a"),
+                     "band", "band_val")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("code").alias("code_b"),
+                     "band", "band_val")
+    cands = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "code_a", "code_b")
+        .distinct()
+    )
+    return (
+        cands.select(
+            "id_a", "id_b",
+            hamming(F.col("code_a"), F.col("code_b")).cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow/numpy brute-force (the fast exact path for bench-critical flows)
+
+
+def cosine_topk_numpy(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k with a BLAS matrix product per partition:
+    queries are collected (small side) and broadcast; each vector
+    partition computes sims for all queries in one matmul via
+    mapInPandas, emitting its local top-k; a Window merges. ~10-100×
+    faster than the fold-expression path at large n."""
+    import pandas as pd
+
+    q_rows = queries.select(query_id, query_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_unit = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1), 1e-30)[:, None]
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_unit))
+
+    def part(it):
+        q_ids_, q_unit_ = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[vec_id].to_numpy(dtype=np.int64)
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+            sims = q_unit_ @ unit.T  # (nq, nv)
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(sims.shape[0]):
+                for vi in top[qi]:
+                    rows.append((int(q_ids_[qi]), int(ids[vi]), float(sims[qi, vi])))
+            yield pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
+
+    local = vectors.select(vec_id, vec_col).mapInPandas(
+        part, "query_id long, vec_id long, sim double"
+    )
+    return topk_rows(local, ["query_id"], "sim", k, ascending=False, tie_cols=["vec_id"])

@@ -676,6 +676,165 @@ FROM n GROUP BY label
 
 
 # ---------------------------------------------------------------------------
+# dedup & similarity joins (SURVEY §2.12 north-star operators)
+
+_HASH64 = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+_TOKS = (
+    "list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+    " x -> x != ''))"
+)
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hawk_pack_spark.operators.dedup import minhash_near_dup
+
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_near_dup(docs, num_hashes=8, bands=4, threshold=0.9)
+
+
+def _minhash_sql() -> str:
+    sig_cols = ",\n    ".join(
+        "min(" + _HASH64.format(expr=f"'{s}|' || tok") + f") AS h{s}" for s in range(8)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', h{2*b}::VARCHAR, h{2*b+1}::VARCHAR)) AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+ex AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+sig AS (SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id),
+ver AS (
+  SELECT id_a, id_b,
+    ROUND(len(list_intersect(ta.ts, tb.ts)) * 1.0
+      / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
+  FROM cand
+  JOIN toks ta ON ta.doc_id = id_a
+  JOIN toks tb ON tb.doc_id = id_b)
+SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.9
+"""
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hawk_pack_spark.operators.dedup import simhash_groups
+
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_groups(docs)
+
+
+def _simhash_sql() -> str:
+    h = _HASH64.format(expr="t")
+    terms = "\n    + ".join(
+        f"(CASE WHEN list_sum(list_transform(ts, t -> CASE WHEN (({h}) >> {i}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+coded AS (SELECT doc_id, {terms} AS code FROM toks)
+SELECT code, COUNT(*) AS n_docs, MIN(doc_id) AS min_id FROM coded GROUP BY code
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hawk_pack_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.01)
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ts) >= 3
+      THEN list_transform(range(1, len(ts) - 1),
+           i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+      ELSE [] END) AS gs
+  FROM toks),
+e AS (SELECT doc_id, len(gs) AS ng, unnest(gs) AS gram FROM g),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+    COUNT(*) AS inter
+  FROM e a JOIN e b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+j AS (
+  SELECT id_a, id_b,
+    ROUND(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+  FROM shared)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.01
+"""
+
+
+def q_lsh_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hawk_pack_spark.operators.similarity import lsh_hamming_near_pairs
+
+    emb = _embeddings_vectors(spark, sf_dir)
+    # 8-bit bands: on random sign codes, 16-bit bands essentially never
+    # collide (0 candidate pairs = no check at all); 8 bands of 8 bits
+    # yield a deterministic non-empty candidate set
+    return lsh_hamming_near_pairs(emb, max_dist=22, band_bits=8, n_bands=8)
+
+
+LSH_HAMMING_SQL = """
+WITH c AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(range(0, 63),
+      i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS code
+  FROM embeddings),
+bands AS (
+  SELECT vec_id, code, b.band, (code >> (b.band * 8)) & 255 AS band_val
+  FROM c, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+    a.code AS code_a, b.code AS code_b
+  FROM bands a JOIN bands b USING (band, band_val)
+  WHERE a.vec_id < b.vec_id),
+d AS (
+  SELECT id_a, id_b, CAST(bit_count(xor(code_a, code_b)) AS INTEGER) AS dist
+  FROM cand)
+SELECT id_a, id_b, dist FROM d WHERE dist <= 22
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline smoke: binary payloads → mapInPandas feature
+    extraction → per-kind stats (rows-only: the decode stub is numpy)."""
+    from hawk_pack_spark.multimodal.ops import extract_features, synthetic_media
+
+    media = synthetic_media(spark, sf_dir)
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+    )
+
+
+def q_ivf_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means bucketed) ANN — rows-only (KMeans isn't SQL)."""
+    from hawk_pack_spark.operators.similarity import ivf_build, ivf_search
+
+    emb = _embeddings_vectors(spark, sf_dir)
+    assigned, centers = ivf_build(emb, n_clusters=16)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_search(assigned, centers, queries, k=10, nprobe=4)
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"), "rank")
+
+
+# ---------------------------------------------------------------------------
 # HNSW (approximate — rows-only driver check; recall is asserted in tests)
 
 _HNSW_PARAMS = HawkParams.new(64, 64, 16)
@@ -754,4 +913,10 @@ CATALOG: dict[str, QuerySpec] = {
     "hnsw_search_l2": QuerySpec(q_hnsw_search_l2, None, "sharded HNSW ANN search"),
     "hnsw_self_recall": QuerySpec(q_hnsw_self_recall, None, "HNSW self-recall invariant"),
     "hnsw_links_stats": QuerySpec(q_hnsw_links_stats, None, "HNSW graph degree invariants"),
+    "minhash_near_dup": QuerySpec(q_minhash_near_dup, _minhash_sql(), "MinHash-LSH near-dup"),
+    "simhash_groups": QuerySpec(q_simhash_groups, _simhash_sql(), "SimHash dedup groups"),
+    "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram Jaccard similarity join"),
+    "lsh_hamming_pairs": QuerySpec(q_lsh_hamming_pairs, LSH_HAMMING_SQL, "Hamming-LSH banded near pairs"),
+    "ivf_ann_l2": QuerySpec(q_ivf_ann_l2, None, "IVF bucketed ANN"),
+    "multimodal_features": QuerySpec(q_multimodal_features, None, "binary media → features pipeline"),
 }
