@@ -145,6 +145,56 @@ def lsh_hamming_near_pairs(
 # Arrow/numpy brute-force (the fast exact path for bench-critical flows)
 
 
+def all_pairs_cosine_numpy(
+    vectors: DataFrame,
+    threshold: float,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine similarity ≥ threshold via one BLAS matmul per
+    partition-block against the broadcast full matrix. Arithmetic is
+    dot(a,b)/(norm_a*norm_b) with norms precomputed per vector (same
+    formula as the fold-expression/oracle path; summation order differs
+    at the 1e-15 level, masked by round 6).
+
+    Scale note: O(n²) by design — the exact verifier. At 100 TB the
+    LSH/banding operators prune candidates first; this kernel then runs
+    per candidate block."""
+    import pandas as pd
+
+    rows = vectors.select(vec_id, vec_col).collect()
+    ids_all = np.array([r[0] for r in rows], dtype=np.int64)
+    mat_all = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norms_all = np.linalg.norm(mat_all, axis=1)
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((ids_all, mat_all, norms_all))
+
+    def part(it):
+        ids_b, mat_b, norms_b = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids_a = pdf[vec_id].to_numpy(dtype=np.int64)
+            mat_a = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms_a = np.linalg.norm(mat_a, axis=1)
+            sims = (mat_a @ mat_b.T) / np.outer(norms_a, norms_b)
+            sims = np.round(sims, 6)
+            ai, bi = np.nonzero(
+                (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_a[ai],
+                    "id_b": ids_b[bi],
+                    "sim": sims[ai, bi],
+                }
+            )
+
+    return vectors.select(vec_id, vec_col).mapInPandas(
+        part, "id_a long, id_b long, sim double"
+    )
+
+
 def cosine_topk_numpy(
     vectors: DataFrame,
     queries: DataFrame,

@@ -617,24 +617,10 @@ SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 5
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-duplicate pairs (sim >= 0.3) — `is_match` thresholding
     (traits.rs:44-45) as a similarity self-join."""
+    from hawk_pack_spark.operators.similarity import all_pairs_cosine_numpy
+
     emb = _embeddings_vectors(spark, sf_dir)
-    # norms once per vector BEFORE the O(n²) join — per-pair work is one
-    # dot product + one division (identical arithmetic to the oracle's
-    # dot/(sqrt(ss_a)*sqrt(ss_b)), so rounded values hash-match)
-    with_norm = emb.select(
-        "vec_id", "embedding", D.norm("embedding").alias("nrm")
-    )
-    a = with_norm.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
-    )
-    b = with_norm.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
-    )
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    sim = D.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("sim")).where(
-        F.col("sim") >= 0.3
-    )
+    return all_pairs_cosine_numpy(emb, threshold=0.3)
 
 
 NEAR_DUP_SQL = """

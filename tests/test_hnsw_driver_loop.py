@@ -1,0 +1,44 @@
+"""Design (b) driver-loop search must reproduce kernel-search results
+(batch expansion is a superset of serial — recall can only be ≥)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hawk_pack_spark.config import HawkParams
+from hawk_pack_spark.operators import hnsw
+from hawk_pack_spark.operators.hnsw_driver import search_driver_loop
+
+PARAMS = HawkParams.new(32, 16, 8)
+
+
+@pytest.fixture(scope="module")
+def code_index(spark):
+    codes = spark.range(80).select(F.col("id").alias("vec_id"), F.col("id").alias("code"))
+    return hnsw.build_index(
+        codes, metric="hamming", params=PARAMS, num_shards=2, vec_col="code"
+    ).localCheckpoint()
+
+
+def test_driver_loop_self_recall(spark, code_index):
+    queries = spark.range(0, 80, 7).select(
+        F.col("id").alias("query_id"), F.col("id").alias("query_vec")
+    )
+    res = search_driver_loop(
+        code_index, queries, k=1, metric="hamming", params=PARAMS
+    ).collect()
+    assert len(res) == 12
+    assert all(r.query_id == r.vec_id and r.dist == 0.0 for r in res)
+
+
+def test_driver_loop_matches_kernel_topk(spark, code_index):
+    queries = spark.range(3).select(
+        F.col("id").alias("query_id"), (F.col("id") * 13 + 5).alias("query_vec")
+    )
+    a = search_driver_loop(code_index, queries, k=5, metric="hamming", params=PARAMS)
+    b = hnsw.search(code_index, queries, k=5, metric="hamming", params=PARAMS)
+    sa = {(r.query_id, r.vec_id) for r in a.collect()}
+    sb = {(r.query_id, r.vec_id) for r in b.collect()}
+    # batch beam ⊇ serial beam at equal ef; require ≥80% agreement
+    assert len(sa & sb) / len(sb) >= 0.8, (sa, sb)

@@ -91,3 +91,24 @@ def test_recall_vs_exact_on_embeddings(spark, sf_dir):
     e = {(r.query_id, r.vec_id) for r in exact.collect()}
     recall = len(a & e) / len(e)
     assert recall > 0.95, f"recall@10 = {recall}"
+
+
+def test_index_persistence_roundtrip(spark, code_index, tmp_path):
+    from hawk_pack_spark.sources.graph_io import load_index, num_layers, save_index
+
+    path = str(tmp_path / "idx")
+    save_index(code_index, path)
+    back = load_index(spark, path)
+    assert back.count() == code_index.count()
+    queries = spark.range(10).select(
+        F.col("id").alias("query_id"), F.col("id").alias("query_vec")
+    )
+    a = hnsw.search(back, queries, k=1, metric="hamming", params=PARAMS).collect()
+    assert all(r.dist == 0.0 and r.query_id == r.vec_id for r in a)
+    links = hnsw.to_links(back)
+    assert num_layers(links) >= 1
+
+    # JDBC export is a no-op without a configured endpoint
+    from hawk_pack_spark.sources.graph_io import export_links_jdbc
+
+    assert export_links_jdbc(links) is False
