@@ -306,6 +306,45 @@ def to_links(index_df: DataFrame) -> DataFrame:
     )
 
 
+def from_links(
+    links: DataFrame,
+    vectors: DataFrame,
+    metric: str = "l2_sq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bulk index import from a normalized links table + vector payloads —
+    the ``GraphMem::from_precomputed`` port (graph_mem.rs:25-37): construct
+    the operational index from externally built layers."""
+    edges = links.select(
+        "shard", "layer", "src", F.explode("nbrs").alias("nbr")
+    ).select(
+        "shard", "layer", "src",
+        F.col("nbr.dst").alias("dst"), F.col("nbr.dist").alias("dist"),
+    )
+    per_node = (
+        edges.groupBy("shard", F.col("src").alias("vec_id"))
+        .agg(
+            F.max("layer").cast("int").alias("layer"),
+            F.collect_list(
+                F.struct(F.col("layer").alias("l"), F.col("dist").alias("d"),
+                         F.col("dst").alias("t"))
+            ).alias("es"),
+        )
+        .withColumn("es", F.array_sort("es"))
+        .select(
+            "shard", "vec_id", "layer",
+            F.transform("es", lambda e: e["l"]).cast("array<int>").alias("e_layer"),
+            F.transform("es", lambda e: e["t"]).alias("e_dst"),
+            F.transform("es", lambda e: e["d"]).alias("e_dist"),
+        )
+    )
+    payload = _normalize_vectors(vectors, id_col, vec_col, metric)
+    return per_node.join(payload, "vec_id").select(
+        "shard", "vec_id", "layer", "code", "vec", "e_layer", "e_dst", "e_dist"
+    )
+
+
 def entry_points(index_df: DataFrame) -> DataFrame:
     """Per-shard entry point: lowest-id vector on the top layer (the
     monotone entry rule under id-ordered insertion)."""

@@ -373,6 +373,170 @@ FROM per_sess GROUP BY user_id
 """
 
 
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: for every error event, the value of the same
+    user's most recent purchase at-or-before it (NULL if none)."""
+    from hawk_pack_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join_backward(
+        errors, purchases, key="user_id", value_cols=("value",)
+    )
+    return out.select("event_id", "user_id", F.col("asof_value"))
+
+
+ASOF_SQL = """
+SELECT e.event_id, e.user_id, p.value AS asof_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND p.ts <= e.ts
+"""
+
+
+def q_quantiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles of order totals per customer
+    segment (percentile ≡ quantile_cont)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    j = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+QUANTILE_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot (conditional aggregation): order counts + totals per
+    year × status, one column set per status."""
+    orders = load_table(spark, "orders", sf_dir)
+    y = F.year("o_orderdate").alias("yr")
+    out_cols = []
+    for s in ("O", "F", "P"):
+        cond = F.when(F.col("o_orderstatus") == s, 1).otherwise(0)
+        out_cols.append(F.sum(cond).alias(f"n_{s}"))
+        out_cols.append(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == s,
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).cast("double").alias(f"total_{s}")
+        )
+    return load_table(spark, "orders", sf_dir).groupBy(y).agg(*out_cols)
+
+
+PIVOT_SQL = """
+SELECT year(o_orderdate) AS yr,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_O,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_F,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_P
+FROM orders GROUP BY 1
+"""
+
+
+def q_part_type_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex predicates: parts whose type matches a pattern,
+    aggregated by brand."""
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.where(F.col("p_type").rlike("^(STANDARD|SMALL)"))
+        .where(F.col("p_name").contains("a"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("p_retailprice"), "sum_price"),
+        )
+    )
+
+
+REGEX_SQL = """
+SELECT p_brand, COUNT(*) AS n,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part
+WHERE regexp_matches(p_type, '^(STANDARD|SMALL)') AND contains(p_name, 'a')
+GROUP BY p_brand
+"""
+
+
+def q_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + semi-join shape: customers with ≥ 12 orders and their
+    spend."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    agg = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "spend"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+    return agg.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_custkey", "c_name", "n_orders", "spend"
+    )
+
+
+BIG_CUST_SQL = """
+SELECT c_custkey, c_name, n_orders, spend FROM customer
+JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+) ON o_custkey = c_custkey
+"""
+
+
+def q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations having customers INTERSECT nations having
+    suppliers, minus an EXCEPT branch."""
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    c_n = cust.select(F.col("c_nationkey").alias("nk")).distinct()
+    s_n = supp.select(F.col("s_nationkey").alias("nk")).distinct()
+    both = c_n.intersect(s_n)
+    only_cust = c_n.exceptAll(s_n).distinct()
+    tagged = both.withColumn("side", F.lit("both")).unionByName(
+        only_cust.withColumn("side", F.lit("cust_only"))
+    )
+    return tagged.join(
+        F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
+    ).select("side", "n_name")
+
+
+SET_OPS_SQL = """
+WITH c_n AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+s_n AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+tagged AS (
+  SELECT nk, 'both' AS side FROM (SELECT nk FROM c_n INTERSECT SELECT nk FROM s_n)
+  UNION ALL
+  SELECT nk, 'cust_only' AS side FROM (SELECT nk FROM c_n EXCEPT SELECT nk FROM s_n)
+)
+SELECT side, n_name FROM tagged JOIN nation ON nk = n_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 
@@ -883,6 +1047,12 @@ CATALOG: dict[str, QuerySpec] = {
     "customers_without_orders": QuerySpec(q_customers_without_orders, Q_NO_ORDERS_SQL, "anti join"),
     "orders_monthly": QuerySpec(q_orders_monthly, Q_MONTHLY_SQL, "time bucketing"),
     "part_brand_stats": QuerySpec(q_part_brand_stats, Q_PART_SQL, "agg + avg parity"),
+    "asof_last_purchase": QuerySpec(q_asof_last_purchase, ASOF_SQL, "backward as-of join"),
+    "quantiles_by_segment": QuerySpec(q_quantiles_by_segment, QUANTILE_SQL, "exact quantiles"),
+    "order_status_pivot": QuerySpec(q_order_status_pivot, PIVOT_SQL, "conditional-agg pivot"),
+    "part_type_regex": QuerySpec(q_part_type_regex, REGEX_SQL, "regex/string predicates"),
+    "big_customers": QuerySpec(q_big_customers, BIG_CUST_SQL, "HAVING + join"),
+    "set_ops_nations": QuerySpec(q_set_ops_nations, SET_OPS_SQL, "INTERSECT/EXCEPT"),
     "events_hourly": QuerySpec(q_events_hourly, Q_EVENTS_HOURLY_SQL, "hourly windows"),
     "events_json": QuerySpec(q_events_json, Q_EVENTS_JSON_SQL, "JSON extraction"),
     "sessionization": QuerySpec(q_sessionization, Q_SESSION_SQL, "gap sessionization"),
