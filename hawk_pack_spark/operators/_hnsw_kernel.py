@@ -31,26 +31,33 @@ def popcount64(arr: np.ndarray) -> np.ndarray:
 
 class Metric:
     """Batch distance evaluator: one query against many stored vectors —
-    the shape of the reference's ``eval_distance_batch`` hot path."""
+    the shape of the reference's ``eval_distance_batch`` hot path.
+
+    Candidate batches inside beam search are tiny (≤ M_max), where numpy
+    per-call overhead dominates — so hamming runs on native Python ints
+    (3.11's C-level ``int.bit_count``), ~5× faster at this batch size;
+    float metrics stay vectorized. Returns plain lists."""
 
     def __init__(self, name: str, data: np.ndarray):
         self.name = name
         self.data = data  # (n, dim) float64 for l2/cosine; (n,) uint64 for hamming
+        if name == "hamming":
+            self._ints: list[int] = data.tolist()
         if name == "cosine":
             norms = np.linalg.norm(data, axis=1)
             norms[norms == 0.0] = 1.0
             self._unit = data / norms[:, None]
 
-    def batch(self, q_idx: int, cand: np.ndarray) -> np.ndarray:
+    def batch(self, q_idx: int, cand) -> list[float]:
         if self.name == "hamming":
-            return popcount64(np.bitwise_xor(self.data[cand], self.data[q_idx])).astype(
-                np.float64
-            )
+            ints = self._ints
+            qv = ints[q_idx]
+            return [float((ints[c] ^ qv).bit_count()) for c in cand]
         if self.name == "l2_sq":
             diff = self.data[cand] - self.data[q_idx]
-            return np.einsum("ij,ij->i", diff, diff)
+            return np.einsum("ij,ij->i", diff, diff).tolist()
         if self.name == "cosine":
-            return 1.0 - self._unit[cand] @ self._unit[q_idx]
+            return (1.0 - self._unit[cand] @ self._unit[q_idx]).tolist()
         raise KeyError(f"unknown metric {self.name!r}")
 
 
@@ -104,8 +111,8 @@ class LocalHNSW:
             if not nbrs:
                 continue
             visited.update(nbrs)
-            dists = self.metric.batch(q_idx, np.asarray(nbrs, dtype=np.int64))
-            for d, n in zip(dists.tolist(), nbrs):
+            dists = self.metric.batch(q_idx, nbrs)
+            for d, n in zip(dists, nbrs):
                 if len(beam) < ef:
                     heapq.heappush(beam, (-d, n))
                     heapq.heappush(cand, (d, n))
@@ -119,7 +126,7 @@ class LocalHNSW:
     ) -> list[tuple[float, int]]:
         """Greedy/beam descent from from_layer down to to_layer (exclusive
         bound below), carrying the beam between layers."""
-        d0 = float(self.metric.batch(q_idx, np.asarray([self.entry], dtype=np.int64))[0])
+        d0 = float(self.metric.batch(q_idx, [self.entry])[0])
         w = [(d0, self.entry)]
         for lc in range(from_layer, to_layer, -1):
             w = self.search_layer(q_idx, w, ef_for_layer(lc), lc)
