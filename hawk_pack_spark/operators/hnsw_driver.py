@@ -57,10 +57,17 @@ def search_driver_loop(
     query_id: str = "query_id",
     query_col: str = "query_vec",
     max_iters_per_layer: int = 25,
+    op_log: list | None = None,
 ) -> DataFrame:
     """kNN over the index without any partition-local kernel: pure
     DataFrame joins in a driver loop. Returns (query_id, vec_id, dist,
-    rank) like `hnsw.search`."""
+    rank) like `hnsw.search`.
+
+    ``op_log``, when provided, records the store-op sequence the loop
+    issues (GetEntryPoint, GetLinks, EvalDistanceBatch, LessThanBatch,
+    SearchResult) — the observable protocol of the reference's coroutine
+    stream (coroutine.rs:43-86), testable the same way its scripted
+    op-sequence tests are (coroutine.rs:218-304)."""
     spark = index_df.sparkSession
     payload_col = "code" if metric == "hamming" else "vec"
     vectors = index_df.select(
@@ -73,6 +80,11 @@ def search_driver_loop(
         qn.select("query_id", F.col(payload_col).alias("qv"))
     )
 
+    def log(op: str, **kw) -> None:
+        if op_log is not None:
+            op_log.append((op, kw))
+
+    log("GetEntryPoint")
     top_layer = entries.agg(F.max("layer")).collect()[0][0]
     if top_layer is None:
         return spark.createDataFrame([], "query_id long, vec_id long, dist double, rank int")
@@ -105,6 +117,7 @@ def search_driver_loop(
             if frontier.isEmpty():
                 break
             # GetLinks batch
+            log("GetLinks", layer=lc)
             cand = (
                 frontier.select("query_id", "shard", F.col("dst").alias("src"))
                 .join(layer_links, ["shard", "src"])
@@ -112,6 +125,7 @@ def search_driver_loop(
                 .distinct()
                 .join(visited, ["query_id", "shard", "dst"], "left_anti")
             )
+            log("EvalDistanceBatch", layer=lc)
             scored = score(cand)
             visited = visited.unionByName(
                 scored.select("query_id", "shard", "dst")
@@ -119,6 +133,7 @@ def search_driver_loop(
             merged = beam.withColumn("expanded", F.lit(True)).unionByName(
                 scored.withColumn("expanded", F.lit(False))
             )
+            log("LessThanBatch", layer=lc, ef=ef)
             w = Window.partitionBy("query_id", "shard").orderBy(
                 F.col("dist").asc(), F.col("dst").asc()
             )
@@ -131,6 +146,7 @@ def search_driver_loop(
         # next layer: allow re-expansion of the carried beam
         beam = beam.withColumn("expanded", F.lit(False)).localCheckpoint()
 
+    log("SearchResult")
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("dst").asc())
     return (
         beam.withColumn("rank", F.row_number().over(w))

@@ -992,8 +992,11 @@ _HNSW_PARAMS = HawkParams.new(64, 64, 16)
 
 def _hnsw_index(spark, sf_dir):
     emb = _embeddings_vectors(spark, sf_dir)
+    # 8 shards: smaller per-shard graphs build faster (beam cost grows
+    # with shard size) and search still consults every shard, so recall
+    # only improves
     return emb, hnsw.build_index(
-        emb, metric="l2_sq", params=_HNSW_PARAMS, num_shards=4
+        emb, metric="l2_sq", params=_HNSW_PARAMS, num_shards=8
     )
 
 

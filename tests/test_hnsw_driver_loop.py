@@ -42,3 +42,26 @@ def test_driver_loop_matches_kernel_topk(spark, code_index):
     sb = {(r.query_id, r.vec_id) for r in b.collect()}
     # batch beam ⊇ serial beam at equal ef; require ≥80% agreement
     assert len(sa & sb) / len(sb) >= 0.8, (sa, sb)
+
+
+def test_op_stream_protocol(spark, code_index):
+    """The scripted op-sequence check, mirroring coroutine.rs:218-304:
+    the loop must issue GetEntryPoint first, then per-layer rounds of
+    GetLinks → EvalDistanceBatch → LessThanBatch, ending SearchResult."""
+    queries = spark.range(1).select(
+        F.col("id").alias("query_id"), F.lit(5).alias("query_vec")
+    )
+    ops: list = []
+    search_driver_loop(
+        code_index, queries, k=1, metric="hamming", params=PARAMS, op_log=ops
+    ).collect()
+    names = [o[0] for o in ops]
+    assert names[0] == "GetEntryPoint"
+    assert names[-1] == "SearchResult"
+    body = names[1:-1]
+    assert body and len(body) % 3 == 0
+    for i in range(0, len(body), 3):
+        assert body[i : i + 3] == ["GetLinks", "EvalDistanceBatch", "LessThanBatch"]
+    # layers descend monotonically across the round sequence
+    layers = [kw["layer"] for op, kw in ops if op == "GetLinks"]
+    assert layers == sorted(layers, reverse=True)
