@@ -47,7 +47,10 @@ def bench_hnsw_reference_shape(spark, timings: dict) -> None:
     from hawk_pack_spark.operators.knn_exact import exists_match
 
     params = HawkParams.new(64, 32, 32)
-    for n in (1_000, 10_000):
+    sizes = (1_000, 10_000)
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        sizes = (1_000, 10_000, 100_000)  # reference bench's largest size (~80s)
+    for n in sizes:
         codes = spark.range(n).select(
             F.col("id").alias("vec_id"), F.col("id").alias("code")
         )

@@ -572,10 +572,16 @@ FROM t GROUP BY lang
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     cnt = F.count(F.lit(1))
+    # sum integer micro-units, not doubles — double summation order is
+    # engine-nondeterministic and flips ROUND at boundaries
+    micro = F.round(T.quality_score("text") * 1e6).cast("long")
     return (
-        docs.select("source", T.quality_score("text").alias("q"))
+        docs.select("source", micro.alias("qm"))
         .groupBy("source")
-        .agg(cnt.alias("n_docs"), F.round(F.sum("q") / cnt, 6).alias("avg_quality"))
+        .agg(
+            cnt.alias("n_docs"),
+            F.round(F.sum("qm") / (cnt * F.lit(1e6)), 6).alias("avg_quality"),
+        )
     )
 
 
@@ -587,7 +593,7 @@ WITH toks AS (
   FROM documents
 ), q AS (
   SELECT source,
-    ROUND((
+    CAST(ROUND(ROUND((
       least(length(text) / 500.0, 1.0)
       + greatest(1.0 - 4.0 * (
           (length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(length(text), 1))
@@ -595,9 +601,10 @@ WITH toks AS (
         ), 0.0)
       + (1.0 - abs((len(list_filter(ts, t -> list_contains(['{_SW}'], t))) * 1.0
                     / greatest(len(ts), 1)) - 0.4))
-    ) / 3.0, 6) AS q
+    ) / 3.0, 6) * 1000000) AS BIGINT) AS qm
   FROM toks)
-SELECT source, COUNT(*) AS n_docs, ROUND(SUM(q) / COUNT(*), 6) AS avg_quality
+SELECT source, COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(qm) AS BIGINT) / (COUNT(*) * 1000000.0), 6) AS avg_quality
 FROM q GROUP BY source
 """
 
@@ -652,6 +659,63 @@ WITH fp AS (
 SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct_fp,
   MIN(fp) AS min_fp, MAX(fp) AS max_fp
 FROM fp GROUP BY source
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation: quality-filter → token-set
+    fingerprint dedup (keep lowest doc_id) → per (lang, source) counts
+    and surviving token volume. The end-to-end shape of an LLM data
+    pipeline, all in one declarative plan."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id", "lang", "source",
+        T.quality_score("text").alias("q"),
+        T.doc_fingerprint("text").alias("fp"),
+        T.token_count("text").alias("n_tokens"),
+    ).where(F.col("q") >= 0.5)
+    # summing doubles is order-nondeterministic across engines; sum exact
+    # integer micro-units instead (q is already rounded to 6 decimals)
+    scored = scored.withColumn("q_micro", F.round(F.col("q") * 1e6).cast("long"))
+    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    kept = scored.join(keep, "fp").where(F.col("doc_id") == F.col("keep_id"))
+    cnt = F.count(F.lit(1))
+    return kept.groupBy("lang", "source").agg(
+        cnt.alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.sum("q_micro") / (cnt * F.lit(1e6)), 6).alias("avg_quality"),
+    )
+
+
+_Q_EXPR_SQL = f"""
+    ROUND((
+      least(length(text) / 500.0, 1.0)
+      + greatest(1.0 - 4.0 * (
+          (length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(length(text), 1))
+          + (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1))
+        ), 0.0)
+      + (1.0 - abs((len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''), t -> list_contains(['{_SW}'], t))) * 1.0
+                    / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')), 1)) - 0.4))
+    ) / 3.0, 6)
+"""
+
+CURATION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, source,
+    {_Q_EXPR_SQL} AS q,
+    CAST(concat('0x', substr(md5(array_to_string(
+      list_sort(list_distinct(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))), ' ')), 1, 15)) AS BIGINT) AS fp,
+    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS n_tokens
+  FROM documents),
+filt AS (SELECT *, CAST(ROUND(q * 1000000) AS BIGINT) AS q_micro
+         FROM scored WHERE q >= 0.5),
+keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM filt GROUP BY fp),
+kept AS (SELECT filt.* FROM filt JOIN keep ON filt.fp = keep.fp AND filt.doc_id = keep.keep_id)
+SELECT lang, source, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  ROUND(CAST(SUM(q_micro) AS BIGINT) / (COUNT(*) * 1000000.0), 6) AS avg_quality
+FROM kept GROUP BY lang, source
 """
 
 
@@ -803,12 +867,17 @@ SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3
 def q_vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     cnt = F.count(F.lit(1))
+    nrm = F.round(D.norm("embedding"), 6)
     return (
-        emb.select("label", F.round(D.norm("embedding"), 6).alias("nrm"))
+        emb.select(
+            "label",
+            nrm.alias("nrm"),
+            F.round(nrm * 1e6).cast("long").alias("nm"),  # exact-summable
+        )
         .groupBy("label")
         .agg(
             cnt.alias("n_vecs"),
-            F.round(F.sum("nrm") / cnt, 6).alias("avg_norm"),
+            F.round(F.sum("nm") / (cnt * F.lit(1e6)), 6).alias("avg_norm"),
             F.max("nrm").alias("max_norm"),
         )
     )
@@ -819,7 +888,9 @@ WITH n AS (
   SELECT label,
     ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS nrm
   FROM embeddings)
-SELECT label, COUNT(*) AS n_vecs, ROUND(SUM(nrm) / COUNT(*), 6) AS avg_norm,
+SELECT label, COUNT(*) AS n_vecs,
+  ROUND(CAST(SUM(CAST(ROUND(nrm * 1000000) AS BIGINT)) AS BIGINT)
+    / (COUNT(*) * 1000000.0), 6) AS avg_norm,
   MAX(nrm) AS max_norm
 FROM n GROUP BY label
 """
@@ -1064,6 +1135,7 @@ CATALOG: dict[str, QuerySpec] = {
     "lang_id": QuerySpec(q_lang_id, Q_LANG_SQL, "language ID heuristic"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, Q_FP_SQL, "doc fingerprinting"),
     "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, Q_DEDUP_SQL, "exact dedup"),
+    "curation_pipeline": QuerySpec(q_curation_pipeline, CURATION_SQL, "quality→dedup→stats composition"),
     "knn_exact_l2": QuerySpec(q_knn_exact_l2, KNN_L2_SQL, "LinearDb exact kNN, L2"),
     "knn_exact_cosine": QuerySpec(q_knn_exact_cosine, KNN_COS_SQL, "exact kNN, cosine"),
     "simhash_hamming_knn": QuerySpec(q_simhash_hamming_knn, SIMHASH_KNN_SQL, "Hamming kNN on sign codes"),
