@@ -39,13 +39,23 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Sub-word-ish token count: split on word/non-word boundaries like a
-    BPE pre-tokenizer (letters runs, digit runs, punctuation singles)."""
+    """Sub-word-ish token count: letter runs, digit runs, and punctuation
+    singles, like a BPE pre-tokenizer's coarse pass. Lookaround-free
+    pattern so the DuckDB (RE2) oracle computes the identical count."""
     return F.size(
-        F.filter(
-            F.split(_c(col), r"(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])(?=[a-zA-Z0-9])|\s+"),
-            lambda t: t != "",
-        )
+        F.regexp_extract_all(F.lower(_c(col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    )
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Order-SENSITIVE document fingerprint: polynomial rolling hash over
+    the token sequence, acc = (acc*131 + h(tok)) mod (2^31-1). Unlike
+    `doc_fingerprint` (set-based), permuted token order changes this."""
+    p = F.lit(2147483647).cast("long")
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(131) + F.pmod(hash64(t), p)) % p,
     )
 
 

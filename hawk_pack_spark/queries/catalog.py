@@ -545,12 +545,18 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     cnt = F.count(F.lit(1))
     return (
-        docs.select("lang", T.token_count("text").alias("n_tokens"), F.col("n_chars"))
+        docs.select(
+            "lang",
+            T.token_count("text").alias("n_tokens"),
+            T.bpe_ish_token_count("text").alias("n_bpe"),
+            F.col("n_chars"),
+        )
         .groupBy("lang")
         .agg(
             cnt.alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
             F.round(F.sum("n_tokens").cast("double") / cnt, 6).alias("avg_tokens"),
+            F.sum("n_bpe").alias("sum_bpe_tokens"),
             F.sum("n_chars").alias("sum_chars"),
         )
     )
@@ -559,11 +565,13 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TOKEN_SQL = """
 WITH t AS (
   SELECT lang, n_chars,
-    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS n_tokens
+    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS n_tokens,
+    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
   FROM documents)
 SELECT lang, COUNT(*) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
   ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+  CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM t GROUP BY lang
 """
@@ -716,6 +724,82 @@ SELECT lang, source, COUNT(*) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
   ROUND(CAST(SUM(q_micro) AS BIGINT) / (COUNT(*) * 1000000.0), 6) AS avg_quality
 FROM kept GROUP BY lang, source
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprints per source (vs the
+    set-based doc_fingerprint)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("source", T.rolling_hash("text").alias("rfp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("rfp").alias("n_distinct"),
+            F.min("rfp").alias("min_rfp"),
+            F.max("rfp").alias("max_rfp"),
+        )
+    )
+
+
+ROLLING_FP_SQL = """
+WITH toks AS (
+  SELECT source,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+fp AS (
+  SELECT source,
+    list_reduce(
+      list_prepend(0::BIGINT,
+        list_transform(ts, t ->
+          CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
+      (acc, h) -> (acc * 131 + h) % 2147483647) AS rfp
+  FROM toks)
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT rfp) AS n_distinct,
+  MIN(rfp) AS min_rfp, MAX(rfp) AS max_rfp
+FROM fp GROUP BY source
+"""
+
+
+def q_customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: per-customer order sequence with running
+    spend (exact decimal), 3-order moving average, and days since the
+    previous order (lag)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    last3 = w.rowsBetween(-2, 0)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    sec = F.unix_timestamp("o_orderdate")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.sum(dec).over(run).cast("double").alias("cum_spend"),
+        F.round(
+            F.sum(dec).over(last3).cast("double") / F.count(F.lit(1)).over(last3), 6
+        ).alias("avg_last3"),
+        ((sec - F.lag(sec).over(w)) / F.lit(86400)).cast("long").alias("days_since_prev"),
+    )
+
+
+RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+  ROW_NUMBER() OVER w AS rn,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg_last3,
+  CAST((CAST(floor(epoch(o_orderdate)) AS BIGINT)
+    - CAST(floor(epoch(lag(o_orderdate) OVER w)) AS BIGINT)) / 86400 AS BIGINT)
+    AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
@@ -1134,6 +1218,8 @@ CATALOG: dict[str, QuerySpec] = {
     "doc_quality": QuerySpec(q_doc_quality, Q_QUALITY_SQL, "quality scoring"),
     "lang_id": QuerySpec(q_lang_id, Q_LANG_SQL, "language ID heuristic"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, Q_FP_SQL, "doc fingerprinting"),
+    "rolling_fingerprint": QuerySpec(q_rolling_fingerprint, ROLLING_FP_SQL, "order-sensitive rolling hash"),
+    "customer_running_totals": QuerySpec(q_customer_running_totals, RUNNING_SQL, "running/moving/lag windows"),
     "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, Q_DEDUP_SQL, "exact dedup"),
     "curation_pipeline": QuerySpec(q_curation_pipeline, CURATION_SQL, "quality→dedup→stats composition"),
     "knn_exact_l2": QuerySpec(q_knn_exact_l2, KNN_L2_SQL, "LinearDb exact kNN, L2"),
