@@ -1,0 +1,85 @@
+"""Connected components for dedup clustering — group near-duplicate
+pairs into clusters and elect one representative per cluster.
+
+The missing last stage of every near-dup pipeline: MinHash/LSH emits
+PAIRS, but retention policy needs CLUSTERS (keep the lowest-id doc of
+each transitively-connected group).
+
+Algorithm: iterative min-label propagation (the standard Spark/Pregel
+rendering of connected components): every node starts labeled with
+itself; each round, a node adopts the minimum label among itself and
+its neighbors; fixpoint = components labeled by their minimum member.
+Rounds are O(graph diameter) — near-dup graphs are dense clique-ish
+clusters, so a handful of rounds converge. Each round is one join +
+one aggregation; lineage cut by localCheckpoint (iterative-plan rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(id_a, id_b) undirected pair list → (node, component) where
+    component = the minimum node id in the connected group. Nodes not in
+    any pair are absent (callers left-join and coalesce to self)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).localCheckpoint()
+
+    for _ in range(max_rounds):
+        # each node adopts min(own label, neighbors' labels)
+        nbr_labels = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(F.col("a").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Full retention decision: every id → its cluster representative
+    (itself when unpaired) + keep flag. One row per input id."""
+    comp = connected_components(pairs, id_a, id_b)
+    out = (
+        all_ids.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("component"), F.col("node")).alias("rep"),
+        )
+        .withColumn("keep", (F.col(id_col) == F.col("rep")).cast("boolean"))
+    )
+    return out

@@ -1027,6 +1027,42 @@ SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.9
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup retention decision: MinHash-LSH pairs → connected
+    components → per-doc (rep, keep). Iterative min-label propagation;
+    oracle = recursive-CTE transitive closure."""
+    from hawk_pack_spark.operators.components import dedup_clusters
+    from hawk_pack_spark.operators.dedup import minhash_near_dup
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_near_dup(docs, num_hashes=8, bands=4, threshold=0.9)
+    return dedup_clusters(pairs, docs.select("doc_id"))
+
+
+def _dedup_clusters_sql() -> str:
+    minhash = _minhash_sql().strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS ({minhash}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, LEAST(MIN(b), a) AS component FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+  COALESCE(comp.component, d.doc_id) AS rep,
+  (d.doc_id = COALESCE(comp.component, d.doc_id)) AS keep
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+"""
+
+
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hawk_pack_spark.operators.dedup import simhash_groups
 
@@ -1232,6 +1268,7 @@ CATALOG: dict[str, QuerySpec] = {
     "hnsw_links_stats": QuerySpec(q_hnsw_links_stats, None, "HNSW graph degree invariants"),
     "minhash_near_dup": QuerySpec(q_minhash_near_dup, _minhash_sql(), "MinHash-LSH near-dup"),
     "simhash_groups": QuerySpec(q_simhash_groups, _simhash_sql(), "SimHash dedup groups"),
+    "dedup_clusters": QuerySpec(q_dedup_clusters, _dedup_clusters_sql(), "near-dup connected components"),
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram Jaccard similarity join"),
     "lsh_hamming_pairs": QuerySpec(q_lsh_hamming_pairs, LSH_HAMMING_SQL, "Hamming-LSH banded near pairs"),
     "ivf_ann_l2": QuerySpec(q_ivf_ann_l2, None, "IVF bucketed ANN"),

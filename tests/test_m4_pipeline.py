@@ -141,3 +141,20 @@ def test_exact_dedup_operator(spark):
     )
     kept = exact_dedup(df, "text")
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 5]
+
+
+def test_connected_components(spark):
+    from hawk_pack_spark.operators.components import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 1)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 8: 1, 5: 5, 6: 5}
+
+    all_ids = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id long")
+    out = {r.doc_id: (r.rep, r.keep) for r in dedup_clusters(pairs, all_ids).collect()}
+    assert out[4] == (4, True)   # unpaired keeps itself
+    assert out[3] == (1, False)
+    assert out[1] == (1, True)
+    assert sum(1 for rep, keep in out.values() if keep) == 5  # {1,4,5,7,9}
