@@ -83,6 +83,29 @@ def bench_hnsw_reference_shape(spark, timings: dict) -> None:
         ).count()
         timings[f"linear_exists_100_in_{n}"] = round(time.perf_counter() - t0, 3)
 
+    # float-vector scale shape: 20k synthetic 64-d vectors (the fixture
+    # embeddings table is only 2k rows at sf0.1)
+    fparams = HawkParams.new(64, 48, 16)
+    vecs = spark.range(20_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.sin(F.col("id") * i * 0.7 + i * i * 1.3),
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    fidx = hnsw.build_index(
+        vecs, metric="l2_sq", params=fparams, num_shards=16
+    ).localCheckpoint()
+    fidx.count()
+    timings["hnsw_build_vec_20000"] = round(time.perf_counter() - t0, 3)
+    q = vecs.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t0 = time.perf_counter()
+    hnsw.search(fidx, q, k=10, metric="l2_sq", params=fparams).count()
+    timings["hnsw_search_100_in_20000"] = round(time.perf_counter() - t0, 3)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

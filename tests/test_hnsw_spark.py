@@ -112,3 +112,31 @@ def test_index_persistence_roundtrip(spark, code_index, tmp_path):
     from hawk_pack_spark.sources.graph_io import export_links_jdbc
 
     assert export_links_jdbc(links) is False
+
+
+def test_cosine_metric_index(spark, sf_dir):
+    """Metric is a parameter (store-defined distance, traits.rs): the
+    same build/search machinery must run with cosine."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    params = HawkParams.new(32, 32, 8)
+    index = hnsw.build_index(emb, metric="cosine", params=params, num_shards=2)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = hnsw.search(index, queries, k=1, metric="cosine", params=params).collect()
+    assert len(res) == 10
+    for r in res:
+        assert r.query_id == r.vec_id and abs(r.dist) < 1e-9
+
+
+def test_search_empty_index(spark):
+    """Empty DB → empty result, not an error (search_init's empty-DB
+    contract, hawk_searcher.rs:192-208)."""
+    empty = spark.createDataFrame([], hnsw.INDEX_SCHEMA)
+    queries = spark.range(3).select(
+        F.col("id").alias("query_id"), F.col("id").alias("query_vec")
+    )
+    out = hnsw.search(empty, queries, k=5, metric="hamming", params=PARAMS)
+    assert out.count() == 0
