@@ -330,6 +330,34 @@ FROM events GROUP BY event_type
 """
 
 
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (15-min window, 5-min slide): each event lands in
+    3 overlapping windows. Oracle: epoch-aligned series join."""
+    ev = load_table(spark, "events", sf_dir)
+    win = F.window("ts", "15 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+    )
+
+
+SLIDING_SQL = """
+WITH bounds AS (
+  SELECT
+    CAST(to_timestamp((CAST(floor(epoch(MIN(ts))) AS BIGINT) // 300) * 300 - 600) AS TIMESTAMP) AS lo,
+    CAST(to_timestamp((CAST(floor(epoch(MAX(ts))) AS BIGINT) // 300) * 300) AS TIMESTAMP) AS hi
+  FROM events),
+starts AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS wstart FROM bounds),
+joined AS (
+  SELECT s.wstart, e.event_type
+  FROM events e JOIN starts s
+    ON e.ts >= s.wstart AND e.ts < s.wstart + INTERVAL 15 MINUTE)
+SELECT wstart, event_type, COUNT(*) AS n FROM joined GROUP BY 1, 2
+"""
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap): per user, number of sessions
     and size of the largest session. Spark pattern: lag + cumulative sum
@@ -1250,6 +1278,7 @@ CATALOG: dict[str, QuerySpec] = {
     "events_hourly": QuerySpec(q_events_hourly, Q_EVENTS_HOURLY_SQL, "hourly windows"),
     "events_json": QuerySpec(q_events_json, Q_EVENTS_JSON_SQL, "JSON extraction"),
     "sessionization": QuerySpec(q_sessionization, Q_SESSION_SQL, "gap sessionization"),
+    "sliding_window_counts": QuerySpec(q_sliding_window_counts, SLIDING_SQL, "sliding windows"),
     "doc_token_stats": QuerySpec(q_doc_token_stats, Q_TOKEN_SQL, "tokenization"),
     "doc_quality": QuerySpec(q_doc_quality, Q_QUALITY_SQL, "quality scoring"),
     "lang_id": QuerySpec(q_lang_id, Q_LANG_SQL, "language ID heuristic"),

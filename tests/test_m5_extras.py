@@ -113,3 +113,73 @@ def test_streaming_windowed_agg(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState: per-user cumulative stats across
+    micro-batches must equal the batch aggregate."""
+    from hawk_pack_spark.streaming.stateful import running_user_stats
+
+    b1 = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "user_id long, value double"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 30.0), (2, 5.0), (3, 1.0)], "user_id long, value double"
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src + "/b1")
+    b2.coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stateful_out").collect()
+    # last emitted row per user carries the final cumulative state
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.sum_value)
+    assert final[1] == (3, 60.0)
+    assert final[2] == (2, 10.0)
+    assert final[3] == (1, 1.0)
+
+
+def test_stateful_seen_filter(spark, tmp_path):
+    """Streaming exact dedup via per-key state: only first-seen codes
+    pass; duplicates across micro-batches are dropped."""
+    from hawk_pack_spark.streaming.stateful import stateful_seen_filter
+
+    spark.createDataFrame([(1,), (2,), (3,)], "code long").coalesce(1).write.parquet(
+        str(tmp_path / "src/b1")
+    )
+    spark.createDataFrame([(2,), (3,), (4,)], "code long").coalesce(1).write.parquet(
+        str(tmp_path / "src/b2")
+    )
+    stream = (
+        spark.readStream.schema("code long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src/*"))
+    )
+    q = (
+        stateful_seen_filter(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("seen_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    passed = sorted(r.code for r in spark.sql("SELECT * FROM seen_out").collect())
+    assert passed == [1, 2, 3, 4]  # each code exactly once, dups dropped
