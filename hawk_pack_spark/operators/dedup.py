@@ -82,10 +82,26 @@ def minhash_bands(
 
 
 def minhash_candidates(
-    bands_df: DataFrame, id_col: str = "doc_id"
+    bands_df: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket —
-    the equi-join that replaces the all-pairs scan."""
+    the equi-join that replaces the all-pairs scan.
+
+    ``max_bucket`` is the 100 TB safety valve: a bucket of b docs emits
+    b²/2 pairs, so one degenerate hot bucket (boilerplate, empty docs)
+    can dominate the whole job. Buckets larger than the cap are dropped
+    before the self-join — standard LSH practice, deterministic, and the
+    dropped buckets are exactly the ones whose members near-match almost
+    everything (handle them with exact-dedup instead)."""
+    if max_bucket is not None:
+        sizes = bands_df.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_bsize")
+        )
+        bands_df = (
+            bands_df.join(sizes, ["band", "band_key"])
+            .where(F.col("_bsize") <= max_bucket)
+            .drop("_bsize")
+        )
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )
@@ -131,11 +147,15 @@ def minhash_near_dup(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.9,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → bands → candidate
-    join → exact verify."""
+    join → exact verify. Set max_bucket at scale (see
+    minhash_candidates)."""
     sigs = minhash_signature(df, id_col, text_col, num_hashes)
-    cands = minhash_candidates(minhash_bands(sigs, id_col, num_hashes, bands), id_col)
+    cands = minhash_candidates(
+        minhash_bands(sigs, id_col, num_hashes, bands), id_col, max_bucket
+    )
     return verify_jaccard(cands, df, id_col, text_col, threshold)
 
 
@@ -173,11 +193,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.01,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word n-gram Jaccard similarity join via gram-explode +
     equi-join: a pair is only materialized when it shares at least one
     gram (at 100 TB: the join key is the gram hash; hot grams are the
-    skew risk — AQE skew-join splits them)."""
+    skew risk — AQE skew-join splits them).
+
+    ``max_df`` drops grams whose document frequency exceeds the cap
+    before the self-join (a gram in d docs emits d²/2 pairs; ubiquitous
+    grams carry no similarity signal anyway — the stop-gram analog of
+    stopwords). Capped runs compute Jaccard over the REMAINING gram
+    space, still deterministically."""
     ts = tokens(text_col)
     idx = F.sequence(F.lit(1), F.size(ts) - (n - 1))
     grams = F.array_distinct(
@@ -186,8 +213,17 @@ def ngram_jaccard_pairs(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i, n))),
         ).otherwise(F.array().cast("array<string>"))
     )
-    g = df.select(F.col(id_col), F.size(grams).alias("n_grams"),
-                  F.explode(grams).alias("gram"))
+    g0 = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    if max_df is not None:
+        keep = (
+            g0.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("gram")
+        )
+        g0 = g0.join(keep, "gram")
+    sizes = g0.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    g = g0.join(sizes, id_col)
     a = g.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "gram")
     b = g.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "gram")
     shared = (

@@ -158,3 +158,31 @@ def test_connected_components(spark):
     assert out[3] == (1, False)
     assert out[1] == (1, True)
     assert sum(1 for rep, keep in out.values() if keep) == 5  # {1,4,5,7,9}
+
+
+def test_hot_bucket_and_hot_gram_caps(spark):
+    """Scale safety valves: capped runs drop only the degenerate hot
+    keys; uncapped behavior is unchanged."""
+    from hawk_pack_spark.operators.dedup import (
+        minhash_bands,
+        minhash_candidates,
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
+
+    # 20 identical docs (one giant bucket) + 4 distinct near-pairs
+    rows = [(i, "aa bb cc dd ee ff gg hh") for i in range(20)]
+    rows += [(100, "xx yy zz ww vv"), (101, "xx yy zz ww uu")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bands = minhash_bands(minhash_signature(docs), "doc_id")
+    uncapped = minhash_candidates(bands, "doc_id").count()
+    capped = minhash_candidates(bands, "doc_id", max_bucket=5)
+    assert uncapped >= 190  # the clique dominates
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}  # clique dropped, true near-pair kept
+
+    # hot-gram cap: identical docs share every trigram (df=20 > cap)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(100, 101)}
