@@ -1209,14 +1209,21 @@ def q_ivf_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HNSW_PARAMS = HawkParams.new(64, 64, 16)
 
 
+_HNSW_CACHE: dict = {}
+
+
 def _hnsw_index(spark, sf_dir):
     emb = _embeddings_vectors(spark, sf_dir)
     # 8 shards: smaller per-shard graphs build faster (beam cost grows
     # with shard size) and search still consults every shard, so recall
-    # only improves
-    return emb, hnsw.build_index(
-        emb, metric="l2_sq", params=_HNSW_PARAMS, num_shards=8
-    )
+    # only improves. Memoized per (session, sf_dir): the three hnsw_*
+    # catalog queries share one deterministic build.
+    key = (id(spark), sf_dir)
+    if key not in _HNSW_CACHE:
+        _HNSW_CACHE[key] = hnsw.build_index(
+            emb, metric="l2_sq", params=_HNSW_PARAMS, num_shards=8
+        ).localCheckpoint()
+    return emb, _HNSW_CACHE[key]
 
 
 def q_hnsw_search_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
