@@ -47,6 +47,141 @@ def _exploded_links(index_df: DataFrame) -> DataFrame:
     )
 
 
+def insert_round_driver_loop(
+    index_df: DataFrame,
+    batch: DataFrame,
+    metric: str = "l2_sq",
+    params: HawkParams = DEFAULT_PARAMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Design (b) insert: one micro-batch round entirely as DataFrame
+    ops — `connect_bidir` rendered as union + group-wise top-k
+    (SURVEY §2.4 connect_bidir row: "explode, flip, union with existing
+    links, Window top-M_max per (layer, src)").
+
+    Semantics: the whole batch searches the FROZEN pre-batch graph, then
+    all links merge at once (the batch-build strategy of SURVEY §7's
+    watch-list, measured in test_build_quality). Layers are assigned by
+    the same splitmix64(vec_id) sample, so kernel and driver-loop builds
+    agree on the graph skeleton.
+
+    Simplification vs the serial engine: candidates come from a single
+    bottom-layer beam (ef_constr) reused for every layer ≤ the vector's
+    insertion layer, rather than per-layer beam snapshots. Entry points
+    per shard update by the monotone max-layer rule."""
+    from hawk_pack_spark.operators import _hnsw_kernel as K
+
+    num_shards = 1 + (index_df.agg(F.max("shard")).collect()[0][0] or 0)
+    prepped = H._normalize_vectors(batch, id_col, vec_col, metric).withColumn(
+        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(num_shards)).cast("int")
+    )
+
+    # deterministic layer assignment (same sample as the kernel build)
+    @F.pandas_udf("int")
+    def assign(ids):
+        import numpy as np
+
+        arr = ids.to_numpy(dtype="int64")
+        return __import__("pandas").Series(
+            K.assign_layer(K.uniform_from_ids(arr, seed), params.m_L)
+        )
+
+    staged = prepped.withColumn("new_layer", assign(F.col("vec_id"))).localCheckpoint()
+
+    # phase 1: candidate neighbors from the frozen graph (batch search)
+    as_queries = staged.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("code") if metric == "hamming" else F.col("vec")).alias("query_vec"),
+    )
+    cand = search_driver_loop(
+        index_df, as_queries, k=params.get_ef_constr_insert(0),
+        metric=metric, params=params,
+        ef_search=params.get_ef_constr_insert(0),
+        return_per_shard=True,
+    ).localCheckpoint()
+
+    # phase 2: connect_bidir as dataflow on exploded links
+    old_edges = (
+        index_df.select(
+            "shard", F.col("vec_id").alias("src"),
+            F.explode(F.arrays_zip("e_layer", "e_dst", "e_dist")).alias("e"),
+        ).select(
+            "shard", F.col("e.e_layer").alias("layer"), "src",
+            F.col("e.e_dst").alias("dst"), F.col("e.e_dist").alias("dist"),
+        )
+    )
+    meta = staged.select(
+        F.col("vec_id").alias("query_id"), "shard", "new_layer"
+    )
+    # forward edges: per new vector, per layer 0..new_layer, top-M —
+    # joined on (query_id, shard) so each new vector only links within
+    # its OWN shard's graph
+    fwd_base = (
+        cand.join(meta, ["query_id", "shard"])
+        .select("shard", F.col("query_id").alias("src"),
+                F.col("dst"), "dist", "new_layer")
+    )
+    layers = fwd_base.select(
+        "shard", "src", "dst", "dist",
+        F.explode(F.sequence(F.lit(0), F.col("new_layer"))).alias("layer"),
+    )
+    w = Window.partitionBy("shard", "layer", "src").orderBy(
+        F.col("dist").asc(), F.col("dst").asc()
+    )
+    fwd = (
+        layers.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= params.get_M(0))
+        .drop("_rn")
+    )
+    # back edges: flip, union with existing, re-trim to M_max per (layer, src)
+    back = fwd.select("shard", "layer", F.col("dst").alias("src"),
+                      F.col("src").alias("dst"), "dist")
+    merged = old_edges.unionByName(back).unionByName(fwd)
+    wm = Window.partitionBy("shard", "layer", "src").orderBy(
+        F.col("dist").asc(), F.col("dst").asc()
+    )
+    m_max0, m_max = params.get_M_max(0), params.get_M_max(1)
+    bounded = (
+        merged.withColumn("_rn", F.row_number().over(wm))
+        .where(
+            F.col("_rn")
+            <= F.when(F.col("layer") == 0, F.lit(m_max0)).otherwise(F.lit(m_max))
+        )
+        .drop("_rn")
+    )
+    # reassemble the index rows (old + new vectors, parallel-array edges)
+    vectors_all = index_df.select(
+        "shard", "vec_id", "layer", "code", "vec"
+    ).unionByName(
+        staged.select("shard", "vec_id", F.col("new_layer").alias("layer"),
+                      "code", "vec")
+    )
+    per_node = (
+        bounded.groupBy("shard", F.col("src").alias("vec_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("layer").alias("l"),
+                                        F.col("dist").alias("d"),
+                                        F.col("dst").alias("t")))
+            ).alias("es")
+        )
+        .select(
+            "vec_id",
+            F.transform("es", lambda e: e["l"]).cast("array<int>").alias("e_layer"),
+            F.transform("es", lambda e: e["t"]).alias("e_dst"),
+            F.transform("es", lambda e: e["d"]).alias("e_dist"),
+        )
+    )
+    return vectors_all.join(per_node, "vec_id", "left").select(
+        "shard", "vec_id", "layer", "code", "vec",
+        F.coalesce("e_layer", F.array().cast("array<int>")).alias("e_layer"),
+        F.coalesce("e_dst", F.array().cast("array<bigint>")).alias("e_dst"),
+        F.coalesce("e_dist", F.array().cast("array<double>")).alias("e_dist"),
+    )
+
+
 def search_driver_loop(
     index_df: DataFrame,
     queries: DataFrame,
@@ -58,6 +193,7 @@ def search_driver_loop(
     query_col: str = "query_vec",
     max_iters_per_layer: int = 25,
     op_log: list | None = None,
+    return_per_shard: bool = False,
 ) -> DataFrame:
     """kNN over the index without any partition-local kernel: pure
     DataFrame joins in a driver loop. Returns (query_id, vec_id, dist,
@@ -147,6 +283,10 @@ def search_driver_loop(
         beam = beam.withColumn("expanded", F.lit(False)).localCheckpoint()
 
     log("SearchResult")
+    if return_per_shard:
+        # pre-merge beam: (query_id, shard, dst, dist) — the per-shard
+        # candidate sets an insert round needs (each shard is its own graph)
+        return beam.select("query_id", "shard", "dst", "dist")
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("dst").asc())
     return (
         beam.withColumn("rank", F.row_number().over(w))

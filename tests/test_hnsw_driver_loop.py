@@ -65,3 +65,31 @@ def test_op_stream_protocol(spark, code_index):
     # layers descend monotonically across the round sequence
     layers = [kw["layer"] for op, kw in ops if op == "GetLinks"]
     assert layers == sorted(layers, reverse=True)
+
+
+def test_insert_round_driver_loop(spark, code_index):
+    """Design (b) batch insert: new codes become searchable via pure
+    DataFrame link merging (no kernel)."""
+    from hawk_pack_spark.operators.hnsw_driver import insert_round_driver_loop
+
+    batch = spark.range(10).select(
+        (F.col("id") + 500).alias("vec_id"), (F.col("id") + 200).alias("code")
+    )
+    updated = insert_round_driver_loop(
+        code_index, batch, metric="hamming", params=PARAMS, vec_col="code"
+    ).localCheckpoint()
+    assert updated.count() == 90
+    # every new vector searchable at distance 0
+    q = batch.select(F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec"))
+    res = hnsw.search(updated, q, k=1, metric="hamming", params=PARAMS).collect()
+    assert len(res) == 10
+    assert all(r.dist == 0.0 and r.vec_id >= 500 for r in res)
+    # degree bounds hold after the dataflow merge
+    links = hnsw.to_links(updated)
+    over = links.where(
+        (F.col("layer") == 0) & (F.size("nbrs") > PARAMS.get_M_max(0))
+    ).count()
+    over += links.where(
+        (F.col("layer") > 0) & (F.size("nbrs") > PARAMS.get_M_max(1))
+    ).count()
+    assert over == 0
