@@ -918,6 +918,71 @@ SELECT query_id, vec_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= 10
 """
 
 
+def q_knn_exact_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) — the fourth metric flavor
+    (ranking by raw dot product, no normalization)."""
+    emb = _embeddings_vectors(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries))
+    scored = pairs.select(
+        "query_id", "vec_id",
+        D.dot(F.col("query_vec"), F.col("embedding")).alias("ip"),
+    )
+    top = topk_rows(scored, ["query_id"], "ip", 10, ascending=False, tie_cols=["vec_id"])
+    return top.select("query_id", "vec_id", F.round(F.col("ip"), 6).alias("ip"), "rank")
+
+
+KNN_DOT_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+d AS (
+  SELECT query_id, vec_id,
+    list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) AS ip
+  FROM q, e
+), r AS (
+  SELECT query_id, vec_id, ip,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC) AS rank
+  FROM d)
+SELECT query_id, vec_id, ROUND(ip, 6) AS ip, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface: same engine, expressed as spark.sql over
+    registered views (Catalyst path identical to the DataFrame API)."""
+    from hawk_pack_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+          COUNT(DISTINCT c_custkey) AS n_customers,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus <> 'F'
+        GROUP BY n_name
+        """
+    )
+
+
+SQL_NATION_SQL = """
+SELECT n_name,
+  COUNT(DISTINCT c_custkey) AS n_customers,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderstatus <> 'F'
+GROUP BY n_name
+"""
+
+
 def q_simhash_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming kNN over sign-bit codes — the reference's canonical metric
     (popcount(a XOR b), lazy_memory_store.rs:49-54) applied to codes
@@ -1296,6 +1361,8 @@ CATALOG: dict[str, QuerySpec] = {
     "curation_pipeline": QuerySpec(q_curation_pipeline, CURATION_SQL, "quality→dedup→stats composition"),
     "knn_exact_l2": QuerySpec(q_knn_exact_l2, KNN_L2_SQL, "LinearDb exact kNN, L2"),
     "knn_exact_cosine": QuerySpec(q_knn_exact_cosine, KNN_COS_SQL, "exact kNN, cosine"),
+    "knn_exact_dot": QuerySpec(q_knn_exact_dot, KNN_DOT_SQL, "exact MIPS top-k"),
+    "sql_nation_revenue": QuerySpec(q_sql_nation_revenue, SQL_NATION_SQL, "spark.sql surface"),
     "simhash_hamming_knn": QuerySpec(q_simhash_hamming_knn, SIMHASH_KNN_SQL, "Hamming kNN on sign codes"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, NEAR_DUP_SQL, "cosine near-dup self-join"),
     "vector_norm_stats": QuerySpec(q_vector_norm_stats, NORM_SQL, "vector norms"),
