@@ -145,6 +145,21 @@ def lang_id(col: Column | str) -> Column:
     return best["lang"]
 
 
+def hash_embedding(col: Column | str, dim: int = 32) -> Column:
+    """Feature-hashing text vectorizer: dense bag-of-words counts,
+    bucket = hash64(token) mod dim. Turns documents into ARRAY<DOUBLE>
+    vectors consumable by every vector operator (kNN, LSH, HNSW) with
+    no model weights — and exactly reproducible in SQL."""
+    ts = tokens(col)
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.transform(
+        idx,
+        lambda i: F.size(F.filter(ts, lambda t: F.pmod(hash64(t), F.lit(dim)) == i)).cast(
+            "double"
+        ),
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: 60-bit hash of the sorted
     distinct token set (the exact-dedup key after token normalization)."""

@@ -831,6 +831,51 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_doc_hash_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → hashed bag-of-words vectors → exact cosine top-3
+    neighbors per query doc: the text→vector featurization bridge into
+    the similarity operators, end to end."""
+    docs = load_table(spark, "documents", sf_dir)
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        T.hash_embedding("text", dim=32).alias("embedding"),
+    )
+    queries = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pairs = vecs.crossJoin(F.broadcast(queries)).where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    sim = D.cosine_sim(F.col("query_vec"), F.col("embedding"))
+    scored = pairs.select("query_id", "vec_id", F.round(sim, 6).alias("sim"))
+    return topk_rows(scored, ["query_id"], "sim", 3, ascending=False, tie_cols=["vec_id"])
+
+
+HASH_EMB_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+v AS (
+  SELECT doc_id AS vec_id,
+    list_transform(range(0, 32), i -> CAST(len(list_filter(ts,
+      t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 32 = i)) AS DOUBLE)) AS v
+  FROM toks),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+d AS (
+  SELECT query_id, a.vec_id,
+    ROUND(list_sum(list_transform(range(1, 33), i -> qv[i] * a.v[i]))
+      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+         * sqrt(list_sum(list_transform(a.v, x -> x * x)))), 6) AS sim
+  FROM q, v a WHERE a.vec_id <> query_id),
+r AS (
+  SELECT query_id, vec_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM d)
+SELECT query_id, vec_id, sim, rank FROM r WHERE rank <= 3
+"""
+
+
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: keep lowest doc_id per md5 group
     (LinearDb::insert dedup semantics, reference linear_db.rs:17-25,
@@ -1359,6 +1404,7 @@ CATALOG: dict[str, QuerySpec] = {
     "customer_running_totals": QuerySpec(q_customer_running_totals, RUNNING_SQL, "running/moving/lag windows"),
     "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, Q_DEDUP_SQL, "exact dedup"),
     "curation_pipeline": QuerySpec(q_curation_pipeline, CURATION_SQL, "quality→dedup→stats composition"),
+    "doc_hash_embedding_knn": QuerySpec(q_doc_hash_embedding_knn, HASH_EMB_SQL, "text→vector featurization + kNN"),
     "knn_exact_l2": QuerySpec(q_knn_exact_l2, KNN_L2_SQL, "LinearDb exact kNN, L2"),
     "knn_exact_cosine": QuerySpec(q_knn_exact_cosine, KNN_COS_SQL, "exact kNN, cosine"),
     "knn_exact_dot": QuerySpec(q_knn_exact_dot, KNN_DOT_SQL, "exact MIPS top-k"),
