@@ -41,6 +41,7 @@ class Metric:
     def __init__(self, name: str, data: np.ndarray):
         self.name = name
         self.data = data  # (n, dim) float64 for l2/cosine; (n,) uint64 for hamming
+        self.size = len(data)
         if name == "hamming":
             self._ints: list[int] = data.tolist()
         if name == "cosine":
@@ -94,8 +95,13 @@ class LocalHNSW:
         self, q_idx: int, entry_points: list[tuple[float, int]], ef: int, lc: int
     ) -> list[tuple[float, int]]:
         """Best-first beam search in one layer. entry_points are (dist,
-        node) seeds; returns ascending (dist, node), at most ef."""
-        visited = {n for _, n in entry_points}
+        node) seeds; returns ascending (dist, node), at most ef.
+
+        The visited set is a bytearray indexed by node (O(1) membership,
+        no hashing) — the hot line of the whole kernel."""
+        visited = bytearray(self.metric.size)
+        for _, n in entry_points:
+            visited[n] = 1
         # C: nearest-first candidate heap; W: beam as max-heap via negation
         cand = list(entry_points)
         heapq.heapify(cand)
@@ -103,14 +109,21 @@ class LocalHNSW:
         heapq.heapify(beam)
         while len(beam) > ef:
             heapq.heappop(beam)
+        layer_adj = self.adj.get(lc)
         while cand:
             c_dist, c_node = heapq.heappop(cand)
             if c_dist > -beam[0][0]:
                 break  # nearest candidate is beyond the beam's furthest
-            nbrs = [n for _, n in self.neighbors(lc, c_node) if n not in visited]
+            lst = layer_adj.get(c_node) if layer_adj else None
+            if not lst:
+                continue
+            nbrs = []
+            for _, nb in lst:
+                if not visited[nb]:
+                    visited[nb] = 1
+                    nbrs.append(nb)
             if not nbrs:
                 continue
-            visited.update(nbrs)
             dists = self.metric.batch(q_idx, nbrs)
             for d, n in zip(dists, nbrs):
                 if len(beam) < ef:
