@@ -101,6 +101,10 @@ def build_index(
     prepped = _normalize_vectors(vectors, id_col, vec_col, metric).withColumn(
         "shard", F.pmod(F.xxhash64("vec_id"), F.lit(num_shards)).cast("int")
     )
+    # explicit repartition: AQE's partition coalescing sees tiny shuffle
+    # bytes and would merge the CPU-heavy kernel groups into few tasks,
+    # serializing the build; user-specified partition counts are exempt
+    prepped = prepped.repartition(num_shards, "shard")
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -157,9 +161,11 @@ def search(
                 rows.append((shard, qid, int(ids[local]), float(d)))
         return pd.DataFrame(rows, columns=["shard", "query_id", "vec_id", "dist"])
 
+    n_shards = max(len(shard_ids), 1)
     per_shard = (
-        index_df.groupBy("shard")
-        .cogroup(qrep.groupBy("shard"))
+        index_df.repartition(n_shards, "shard")
+        .groupBy("shard")
+        .cogroup(qrep.repartition(n_shards, "shard").groupBy("shard"))
         .applyInPandas(search_shard, SEARCH_SCHEMA)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
@@ -272,8 +278,9 @@ def insert_batch(
         )
 
     return (
-        index_df.groupBy("shard")
-        .cogroup(prepped.groupBy("shard"))
+        index_df.repartition(num_shards, "shard")
+        .groupBy("shard")
+        .cogroup(prepped.repartition(num_shards, "shard").groupBy("shard"))
         .applyInPandas(insert_shard, INDEX_SCHEMA)
     )
 
