@@ -32,6 +32,7 @@ HEADLINE = [
     "knn_exact_cosine",
     "simhash_hamming_knn",
     "embedding_near_dup",
+    "curation_pipeline",
     "hnsw_search_l2",
 ]
 
@@ -47,16 +48,19 @@ def bench_hnsw_reference_shape(spark, timings: dict) -> None:
     from hawk_pack_spark.operators.knn_exact import exists_match
 
     params = HawkParams.new(64, 32, 32)
-    sizes = (1_000, 10_000)
-    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
-        sizes = (1_000, 10_000, 100_000)  # reference bench's largest size (~80s)
+    # the reference bench's three sizes (benches/hnsw.rs:15); 100k is
+    # affordable since the AQE-coalescing fix (16s on 32 cores)
+    sizes = (1_000, 10_000, 100_000)
+    if os.environ.get("SPARK_GRAFT_BENCH_FAST"):
+        sizes = (1_000, 10_000)
     for n in sizes:
         codes = spark.range(n).select(
             F.col("id").alias("vec_id"), F.col("id").alias("code")
         )
+        shards = max(8, n // 3000)  # keep shards ~3k rows: beam cost grows with shard size
         t0 = time.perf_counter()
         index = hnsw.build_index(
-            codes, metric="hamming", params=params, num_shards=8, vec_col="code"
+            codes, metric="hamming", params=params, num_shards=shards, vec_col="code"
         ).localCheckpoint()
         timings[f"hnsw_build_codes_{n}"] = round(time.perf_counter() - t0, 3)
 

@@ -150,13 +150,13 @@ def hash_embedding(col: Column | str, dim: int = 32) -> Column:
     bucket = hash64(token) mod dim. Turns documents into ARRAY<DOUBLE>
     vectors consumable by every vector operator (kNN, LSH, HNSW) with
     no model weights — and exactly reproducible in SQL."""
-    ts = tokens(col)
+    # hash each token ONCE (md5 is the expensive part), then count per
+    # bucket over the small int array
+    buckets = F.transform(tokens(col), lambda t: F.pmod(hash64(t), F.lit(dim)))
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
     return F.transform(
         idx,
-        lambda i: F.size(F.filter(ts, lambda t: F.pmod(hash64(t), F.lit(dim)) == i)).cast(
-            "double"
-        ),
+        lambda i: F.size(F.filter(buckets, lambda b: b == i)).cast("double"),
     )
 
 

@@ -835,10 +835,11 @@ def q_doc_hash_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents → hashed bag-of-words vectors → exact cosine top-3
     neighbors per query doc: the text→vector featurization bridge into
     the similarity operators, end to end."""
+    from hawk_pack_spark.operators.similarity import hash_embeddings
+
     docs = load_table(spark, "documents", sf_dir)
-    vecs = docs.select(
-        F.col("doc_id").alias("vec_id"),
-        T.hash_embedding("text", dim=32).alias("embedding"),
+    vecs = hash_embeddings(docs, "doc_id", "text", dim=32).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
     )
     queries = vecs.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
