@@ -883,8 +883,9 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to documents). Returns survivors per lang."""
     docs = load_table(spark, "documents", sf_dir)
     keyed = docs.select("lang", "doc_id", F.md5(F.lower(F.col("text"))).alias("h"))
-    keep = keyed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
-    kept = keyed.join(keep, "h").where(F.col("doc_id") == F.col("keep_id"))
+    # one shuffle: rank within hash group instead of groupBy + join-back
+    w = Window.partitionBy("h").orderBy("doc_id")
+    kept = keyed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
