@@ -535,6 +535,51 @@ JOIN (
 """
 
 
+def q_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape: parts priced above their own brand's
+    average (window-mean comparison — the decorrelated plan)."""
+    part = load_table(spark, "part", sf_dir)
+    w = Window.partitionBy("p_brand")
+    cnt = F.count(F.lit(1)).over(w)
+    brand_sum = F.sum(F.col("p_retailprice").cast("decimal(18,2)")).over(w).cast("double")
+    return (
+        part.withColumn("brand_avg", F.round(brand_sum / cnt, 6))
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
+    )
+
+
+ABOVE_AVG_SQL = """
+WITH w AS (
+  SELECT p_partkey, p_brand, p_retailprice,
+    ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY p_brand), 6) AS brand_avg
+  FROM part)
+SELECT p_partkey, p_brand, p_retailprice, brand_avg
+FROM w WHERE p_retailprice > brand_avg
+"""
+
+
+def q_nation_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: alphabetical customer list per nation
+    (collect_list + array_sort ≡ string_agg ORDER BY)."""
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    j = cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("customers"),
+    )
+
+
+STRING_AGG_SQL = """
+SELECT n_name, COUNT(*) AS n_customers,
+  string_agg(c_name, ',' ORDER BY c_name) AS customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: nations having customers INTERSECT nations having
     suppliers, minus an EXCEPT branch."""
@@ -1394,6 +1439,8 @@ CATALOG: dict[str, QuerySpec] = {
     "part_type_regex": QuerySpec(q_part_type_regex, REGEX_SQL, "regex/string predicates"),
     "big_customers": QuerySpec(q_big_customers, BIG_CUST_SQL, "HAVING + join"),
     "set_ops_nations": QuerySpec(q_set_ops_nations, SET_OPS_SQL, "INTERSECT/EXCEPT"),
+    "parts_above_brand_avg": QuerySpec(q_parts_above_brand_avg, ABOVE_AVG_SQL, "correlated-avg filter"),
+    "nation_customer_agg": QuerySpec(q_nation_customer_agg, STRING_AGG_SQL, "ordered string aggregation"),
     "events_hourly": QuerySpec(q_events_hourly, Q_EVENTS_HOURLY_SQL, "hourly windows"),
     "events_json": QuerySpec(q_events_json, Q_EVENTS_JSON_SQL, "JSON extraction"),
     "sessionization": QuerySpec(q_sessionization, Q_SESSION_SQL, "gap sessionization"),
