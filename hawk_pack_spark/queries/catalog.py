@@ -1347,6 +1347,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal loop: binary media → mapInPandas features → HNSW
+    index → ANN top-3 (rows-only; every stage is the production
+    plumbing, only the codec is stubbed)."""
+    from hawk_pack_spark.multimodal.ops import extract_features, synthetic_media
+
+    media = synthetic_media(spark, sf_dir)
+    feats = extract_features(media).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    params = HawkParams.new(32, 32, 8)
+    index = hnsw.build_index(feats, metric="cosine", params=params, num_shards=4)
+    queries = feats.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = hnsw.search(index, queries, k=3, metric="cosine", params=params)
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"), "rank")
+
+
 def q_ivf_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means bucketed) ANN — rows-only (KMeans isn't SQL)."""
     from hawk_pack_spark.operators.similarity import ivf_build, ivf_search
@@ -1471,4 +1490,5 @@ CATALOG: dict[str, QuerySpec] = {
     "lsh_hamming_pairs": QuerySpec(q_lsh_hamming_pairs, LSH_HAMMING_SQL, "Hamming-LSH banded near pairs"),
     "ivf_ann_l2": QuerySpec(q_ivf_ann_l2, None, "IVF bucketed ANN"),
     "multimodal_features": QuerySpec(q_multimodal_features, None, "binary media → features pipeline"),
+    "multimodal_ann": QuerySpec(q_multimodal_ann, None, "media → features → HNSW ANN loop"),
 }
