@@ -158,8 +158,14 @@ def insert_round_driver_loop(
         staged.select("shard", "vec_id", F.col("new_layer").alias("layer"),
                       "code", "vec")
     )
+    return _assemble_index(vectors_all, bounded)
+
+
+def _assemble_index(vectors_all: DataFrame, edges: DataFrame) -> DataFrame:
+    """(shard, vec_id, layer, code, vec) × exploded edges (shard, layer,
+    src, dst, dist) → the parallel-array index schema."""
     per_node = (
-        bounded.groupBy("shard", F.col("src").alias("vec_id"))
+        edges.groupBy("shard", F.col("src").alias("vec_id"))
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("layer").alias("l"),
@@ -180,6 +186,124 @@ def insert_round_driver_loop(
         F.coalesce("e_dst", F.array().cast("array<bigint>")).alias("e_dst"),
         F.coalesce("e_dist", F.array().cast("array<double>")).alias("e_dist"),
     )
+
+
+def build_index_driver_loop(
+    vectors: DataFrame,
+    metric: str = "l2_sq",
+    params: HawkParams = DEFAULT_PARAMS,
+    num_shards: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    bootstrap_size: int = 32,
+    growth: float = 2.0,
+) -> DataFrame:
+    """Full from-scratch design-(b) build: no partition-local kernel
+    anywhere — the whole graph lives in DataFrames and every round is
+    `insert_round_driver_loop` against the frozen previous round.
+
+    Mirrors the reference's incremental build (hawk_searcher.rs:308-332)
+    the way a cluster would run it: geometric micro-batch rounds (each
+    round grows the index by `growth`×), so the number of driver
+    round-trips is O(log N) while per-round work is one batched
+    search + link merge. The bootstrap batch gets EXACT links (crossjoin
+    within shard, top-M_max per node) — at `bootstrap_size` rows the
+    crossjoin is trivial and seeds every shard with a well-formed graph.
+
+    Layer assignment uses the same splitmix64(vec_id) sample as the
+    kernel build, so the two designs agree on the graph skeleton.
+    Insertion order is ascending vec_id (the reference inserts in caller
+    order; a stable order keeps the build deterministic)."""
+    from hawk_pack_spark.operators import _hnsw_kernel as K
+
+    prepped = (
+        H._normalize_vectors(vectors, id_col, vec_col, metric)
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("vec_id"), F.lit(num_shards)).cast("int")
+        )
+        .localCheckpoint()
+    )
+    total = prepped.count()
+    if total == 0:
+        return _assemble_index(
+            prepped.withColumn("layer", F.lit(0).cast("int")),
+            prepped.sparkSession.createDataFrame(
+                [], "shard int, layer int, src long, dst long, dist double"
+            ),
+        )
+
+    @F.pandas_udf("int")
+    def assign(ids):
+        import numpy as np
+        import pandas as pd
+
+        arr = ids.to_numpy(dtype="int64")
+        return pd.Series(K.assign_layer(K.uniform_from_ids(arr, seed), params.m_L))
+
+    # deterministic insertion order: rank by vec_id. (Window without
+    # partition keys is fine here: ranking N ids is a sort, the cheapest
+    # full-shuffle op in the build; at 100 TB replace with range
+    # boundaries from approxQuantile over vec_id.)
+    w = Window.orderBy("vec_id")
+    ranked = (
+        prepped.withColumn("_rank", F.row_number().over(w))
+        .withColumn("new_layer", assign(F.col("vec_id")))
+        .localCheckpoint()
+    )
+
+    # --- bootstrap: exact links for the first batch -----------------------
+    boot_n = min(bootstrap_size, total)
+    boot = ranked.where(F.col("_rank") <= boot_n)
+    payload = "code" if metric == "hamming" else "vec"
+    a = boot.select("shard", F.col("vec_id").alias("src"),
+                    F.col("new_layer").alias("src_layer"),
+                    F.col(payload).alias("pa"))
+    b = boot.select("shard", F.col("vec_id").alias("dst"),
+                    F.col("new_layer").alias("dst_layer"),
+                    F.col(payload).alias("pb"))
+    pairs = (
+        a.join(b, "shard")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "shard", "src", "dst",
+            distance_expr(metric, F.col("pa"), F.col("pb")).alias("dist"),
+            F.explode(
+                F.sequence(F.lit(0), F.least("src_layer", "dst_layer"))
+            ).alias("layer"),
+        )
+    )
+    m_max0, m_max = params.get_M_max(0), params.get_M_max(1)
+    wb = Window.partitionBy("shard", "layer", "src").orderBy(
+        F.col("dist").asc(), F.col("dst").asc()
+    )
+    boot_edges = (
+        pairs.withColumn("_rn", F.row_number().over(wb))
+        .where(
+            F.col("_rn")
+            <= F.when(F.col("layer") == 0, F.lit(m_max0)).otherwise(F.lit(m_max))
+        )
+        .drop("_rn")
+    )
+    index_df = _assemble_index(
+        boot.select("shard", "vec_id", F.col("new_layer").alias("layer"),
+                    "code", "vec"),
+        boot_edges,
+    ).localCheckpoint()
+
+    # --- geometric insert rounds against the frozen previous graph -------
+    done = boot_n
+    while done < total:
+        step = max(boot_n, int(done * (growth - 1.0)))
+        batch = ranked.where(
+            (F.col("_rank") > done) & (F.col("_rank") <= done + step)
+        ).select("vec_id", "code", "vec")
+        index_df = insert_round_driver_loop(
+            index_df, batch, metric=metric, params=params,
+            id_col="vec_id", vec_col=payload, seed=seed,
+        ).localCheckpoint()
+        done += step
+    return index_df
 
 
 def search_driver_loop(

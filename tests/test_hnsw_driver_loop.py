@@ -93,3 +93,40 @@ def test_insert_round_driver_loop(spark, code_index):
         (F.col("layer") > 0) & (F.size("nbrs") > PARAMS.get_M_max(1))
     ).count()
     assert over == 0
+
+
+def test_build_index_driver_loop_from_scratch(spark):
+    """Full design-(b) build: geometric rounds of pure-DataFrame inserts
+    starting from an exact-linked bootstrap batch. The resulting index
+    must satisfy the same invariants as a kernel build — full self-recall
+    and bounded degrees — with the graph never leaving the cluster."""
+    from hawk_pack_spark.operators.hnsw_driver import (
+        build_index_driver_loop,
+        search_driver_loop,
+    )
+
+    codes = spark.range(120).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 7).alias("code")
+    )
+    idx = build_index_driver_loop(
+        codes, metric="hamming", params=PARAMS, num_shards=2,
+        vec_col="code", bootstrap_size=16,
+    ).localCheckpoint()
+    assert idx.count() == 120
+    # self-recall on a sample, searched by BOTH designs
+    queries = spark.range(0, 120, 11).select(
+        F.col("id").alias("query_id"), (F.col("id") * 7).alias("query_vec")
+    )
+    for search_fn in (hnsw.search, search_driver_loop):
+        res = search_fn(idx, queries, k=1, metric="hamming", params=PARAMS).collect()
+        assert len(res) == 11
+        assert all(r.query_id == r.vec_id and r.dist == 0.0 for r in res)
+    # degree bounds hold across every round's merge
+    links = hnsw.to_links(idx)
+    over = links.where(
+        (F.col("layer") == 0) & (F.size("nbrs") > PARAMS.get_M_max(0))
+    ).count()
+    over += links.where(
+        (F.col("layer") > 0) & (F.size("nbrs") > PARAMS.get_M_max(1))
+    ).count()
+    assert over == 0
