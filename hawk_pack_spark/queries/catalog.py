@@ -1443,8 +1443,238 @@ def q_hnsw_links_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # registry
 
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filter + global aggregate. The whole
+    query should collapse to one parquet scan with every predicate in
+    PushedFilters and a two-column ReadSchema."""
+    li = load_table(spark, "lineitem", sf_dir)
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_discount").cast("decimal(12,6)")
+    ).cast("decimal(24,8)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q06_SQL = """
+SELECT
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * CAST(l_discount AS DECIMAL(12,6)) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24
+"""
+
+
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: no l_commitdate in the fixture — the
+    EXISTS correlates on returned lineitems instead): quarterly order
+    counts per priority where a matching lineitem exists. Left-semi join
+    keeps the probe side unduplicated, the Spark rendering of EXISTS."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over a broadcast
+    dimension join (promo revenue share for one ship-month)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+            F.lit(0).cast("decimal(24,8)")
+        )
+    ).cast("double")
+    total = F.sum(_disc_price()).cast("double")
+    return joined.agg(
+        F.round(F.lit(100.0) * promo / total, 6).alias("promo_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q14_SQL = """
+SELECT
+  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))
+      ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+    / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE),
+    6) AS promo_share,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a HAVING aggregate (large-
+    quantity orders), then a 3-way join for the report. The HAVING
+    filter runs map-side-combinable before the join — at 100 TB the
+    aggregate output (few keys) broadcasts back onto orders."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), "sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunct groups across the join
+    (brand × size × quantity bands). Catalyst extracts the common
+    `l_partkey = p_partkey` equi-condition and pushes the OR residual as
+    a post-join filter; per-branch p_brand/p_size conjuncts still prune
+    the broadcast side."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    branch1 = (
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)
+    )
+    return joined.where(branch1 | branch2 | branch3).agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) — all four grouping sets, the
+    complement of the ROLLUP query's prefix sets."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _dec_sum(F.col("o_totalprice"), "sum_total"))
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp in the fixture): correlated
+    scalar-subquery equality — suppliers whose balance equals their
+    nation's maximum. Spark renders the correlation as a broadcast join
+    against the tiny per-nation aggregate."""
+    sup = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    max_bal = sup.groupBy(F.col("s_nationkey").alias("mk")).agg(
+        F.max("s_acctbal").alias("max_bal")
+    )
+    return (
+        sup.join(F.broadcast(max_bal),
+                 (F.col("s_nationkey") == F.col("mk"))
+                 & (F.col("s_acctbal") == F.col("max_bal")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_name", F.col("s_acctbal").alias("acctbal"))
+    )
+
+
+TOP_SUPPLIER_SQL = """
+SELECT n_name, s_name, s_acctbal AS acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = supplier.s_nationkey)
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
+    "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS semi-join counts"),
+    "q06_revenue_forecast": QuerySpec(q06_revenue_forecast, Q06_SQL, "pushdown filter + global agg"),
+    "q14_promo_revenue_share": QuerySpec(q14_promo_revenue_share, Q14_SQL, "conditional-agg ratio"),
+    "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL, "HAVING subquery + 3-way join"),
+    "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL, "disjunctive predicate join"),
+    "cube_order_stats": QuerySpec(q_cube_order_stats, CUBE_SQL, "full CUBE grouping sets"),
+    "top_supplier_per_nation": QuerySpec(q_top_supplier_per_nation, TOP_SUPPLIER_SQL, "correlated scalar max"),
     "q03_shipping_priority": QuerySpec(q03_shipping_priority, Q03_SQL, "3-way join + top-10"),
     "q05_local_supplier_volume": QuerySpec(q05_local_supplier_volume, Q05_SQL, "6-way star join"),
     "top3_orders_per_customer": QuerySpec(q_top3_orders_per_customer, Q_TOP3_SQL, "group-wise top-k (queue semantics)"),
