@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # bucketed tables (write_bucketed) need a catalog warehouse;
+        # keep it out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/hawk_pack_warehouse"),
+        )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as raw nanos and reconstruct (sources/tables.py)

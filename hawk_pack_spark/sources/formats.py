@@ -31,6 +31,29 @@ def write_table(
     getattr(w, fmt)(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table.
+
+    Bucketing is THE shuffle eliminator at 100 TB: two tables bucketed
+    on the join key with the same bucket count join with NO Exchange on
+    either side (and with matching sort order, no Sort either) — the
+    co-location is done once at write time and amortized over every
+    subsequent join/aggregate on that key. Requires `saveAsTable`
+    (bucket metadata lives in the catalog, not the files)."""
+    w = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def read_table(
     spark: SparkSession,
     path: str,

@@ -46,3 +46,47 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
     n_de = docs.where(F.col("lang") == "de").count()
     assert q.count() == n_de
+
+
+def test_bucketed_join_and_agg_no_shuffle(spark, sf_dir):
+    """The 100 TB shuffle eliminator: two tables bucketed+sorted on the
+    join key must sort-merge-join with NO Exchange on either side, and a
+    groupBy on the bucket key must aggregate with NO Exchange — the
+    co-location is paid once at write time."""
+    from hawk_pack_spark.sources.formats import write_bucketed
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    try:
+        bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bl.join(bo, F.col("l_orderkey") == F.col("o_orderkey"))
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == li.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            ).count()
+
+            agg = bl.groupBy("l_orderkey").count()
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                agg.explain("formatted")
+            assert "Exchange" not in buf.getvalue()
+            assert agg.count() == li.select("l_orderkey").distinct().count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -42,3 +42,44 @@ def test_knn_projects_only_needed_columns(spark, sf_dir):
     s = _plan(spark, sf_dir, "knn_exact_l2")
     reads = [l for l in s.splitlines() if "ReadSchema" in l]
     assert reads and all("label" not in l for l in reads)  # label pruned
+
+
+def test_q06_full_pushdown_minimal_read(spark, sf_dir):
+    """Q6 must collapse to one scan: every predicate in PushedFilters,
+    only the 4 referenced columns read."""
+    s = _plan(spark, sf_dir, "q06_revenue_forecast")
+    pushed = next(l for l in s.splitlines() if "PushedFilters" in l)
+    for frag in ("l_shipdate", "GreaterThanOrEqual(l_discount,0.02)",
+                 "LessThanOrEqual(l_discount,0.04)", "LessThan(l_quantity,24.0)"):
+        assert frag in pushed, pushed
+    read = next(l for l in s.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+    assert "partial_sum" in s  # map-side combine before the single-row agg
+
+
+def test_q18_broadcast_customer_only(spark, sf_dir):
+    """The HAVING aggregate shuffles on l_orderkey (unavoidable), but
+    customer must come in as a broadcast, never a shuffle join."""
+    s = _plan(spark, sf_dir, "q18_large_orders")
+    assert "BroadcastHashJoin" in s
+    # the lineitem aggregate is partial before its exchange
+    assert "partial_sum" in s
+
+
+def test_q19_pushes_supersets_and_broadcasts(spark, sf_dir):
+    """Disjunctive predicates: Catalyst must still broadcast part and
+    push the OR-of-brands superset filter into the part scan."""
+    s = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in s
+    part_scan = [l for l in s.splitlines() if "PushedFilters" in l and "p_brand" in l]
+    assert part_scan, "no pushed filter on part scan"
+    # the OR of brand conjuncts is pushed as one disjunctive filter
+    assert "EqualTo(p_brand,Brand#12)" in part_scan[0]
+    assert "Or(" in part_scan[0]
+
+
+def test_q04_semi_join(spark, sf_dir):
+    """EXISTS must plan as a (left-)semi join, not inner-join+distinct."""
+    s = _plan(spark, sf_dir, "q04_order_priority")
+    assert "LeftSemi" in s or "left_semi" in s.lower()
+    assert "EqualTo(l_returnflag,R)" in s
