@@ -1666,6 +1666,52 @@ WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
 """
 
 
+def q_purchase_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (points-in-intervals): engagement events attributed to
+    the 15-minute window after each purchase by the same user. Runs as a
+    binned equi-join (operators/range_join.py) — never a
+    BroadcastNestedLoopJoin. Window math on floor-truncated epoch
+    seconds (the catalog's cross-engine timestamp convention)."""
+    from hawk_pack_spark.operators.range_join import range_join_points
+
+    ev = load_table(spark, "events", sf_dir)
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    pts = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_id", sec.alias("sec"), "value"
+    )
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        sec.alias("w_start"),
+        (sec + 900).alias("w_end"),
+    )
+    joined = range_join_points(
+        pts, iv, "sec", "w_start", "w_end", bin_width_s=900, keys=["user_id"]
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        _dec_sum(F.col("value"), "sum_value", scale=6),
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH pts AS (
+  SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, value
+  FROM events WHERE event_type IN ('click', 'view')
+), iv AS (
+  SELECT user_id, event_id AS purchase_id,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS w_start,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 900 AS w_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT purchase_id, COUNT(*) AS n_follow,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM pts JOIN iv ON pts.user_id = iv.user_id
+ AND pts.sec >= iv.w_start AND pts.sec < iv.w_end
+GROUP BY purchase_id
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
     "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS semi-join counts"),
@@ -1683,6 +1729,7 @@ CATALOG: dict[str, QuerySpec] = {
     "orders_monthly": QuerySpec(q_orders_monthly, Q_MONTHLY_SQL, "time bucketing"),
     "part_brand_stats": QuerySpec(q_part_brand_stats, Q_PART_SQL, "agg + avg parity"),
     "asof_last_purchase": QuerySpec(q_asof_last_purchase, ASOF_SQL, "backward as-of join"),
+    "purchase_window_attribution": QuerySpec(q_purchase_window_attribution, RANGE_JOIN_SQL, "binned range join"),
     "quantiles_by_segment": QuerySpec(q_quantiles_by_segment, QUANTILE_SQL, "exact quantiles"),
     "order_status_pivot": QuerySpec(q_order_status_pivot, PIVOT_SQL, "conditional-agg pivot"),
     "part_type_regex": QuerySpec(q_part_type_regex, REGEX_SQL, "regex/string predicates"),
