@@ -1,0 +1,211 @@
+"""Product quantization (PQ): compressed vectors + asymmetric-distance
+search — the memory-side scale path for vector stores.
+
+At 100 TB a float embedding column (64-d float32 = 256 B/row) dwarfs
+executor memory; PQ stores M uint8 codes per vector (here 8 B/row, a
+32× compression) and still answers kNN by table lookup:
+
+- TRAIN: split each vector into M subvectors, k-means each subspace to
+  256 centroids. Training runs on a driver-side SAMPLE (codebooks are
+  M×256×(D/M) floats — k-means over a bounded sample is the standard
+  recipe; the full data never leaves the cluster).
+- ENCODE: per row, each subvector's nearest-centroid id. Distributed,
+  one Arrow-batched pandas UDF with the codebooks in a broadcast.
+- SEARCH (ADC): per query, precompute an M×256 lookup table of
+  subspace distances, then every candidate's approximate distance is
+  `sum_m LUT[m, code[m]]` — a numpy gather-sum over the codes matrix,
+  no float vectors read at all. Partial top-k per partition, global
+  top-k merge: the same two-stage pattern as every exact kNN here.
+
+All stages are seeded and deterministic. Recall vs exact kNN is
+asserted in tests on the fixture embeddings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hawk_pack_spark.operators.topk import topk_rows
+
+
+def _kmeans_np(x: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
+    """Seeded Lloyd's k-means (numpy). Deterministic; empty clusters
+    re-seeded from the farthest points."""
+    rng = np.random.RandomState(seed)
+    centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    if len(centers) < k:  # fewer points than centroids: pad by repeats
+        centers = np.vstack([centers] * (k // len(centers) + 1))[:k]
+    for _ in range(iters):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                centers[j] = members.mean(0)
+            else:
+                centers[j] = x[d.min(1).argmax()]
+    return centers
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    sample_size: int = 20_000,
+    seed: int = 42,
+    iters: int = 20,
+) -> np.ndarray:
+    """Fit codebooks on a driver-side sample. Returns (m, k, d/m)."""
+    n = vectors.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    sample = (
+        vectors.sample(fraction=frac, seed=seed) if frac < 1.0 else vectors
+    ).select(F.col(vec_col).cast("array<float>").alias("v")).collect()
+    x = np.asarray([r.v for r in sample], dtype=np.float32)
+    d = x.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    return np.stack(
+        [
+            _kmeans_np(x[:, i * sub : (i + 1) * sub].astype(np.float64),
+                       k, seed + i, iters)
+            for i in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes ARRAY<SMALLINT>[m]) — 1 byte of information per code."""
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf("array<smallint>")
+    def encode(vs):
+        import pandas as pd
+
+        cb = bc.value  # (m, k, sub)
+        m, _, sub = cb.shape
+        x = np.asarray(list(vs), dtype=np.float64)
+        codes = np.empty((len(x), m), dtype=np.int16)
+        for i in range(m):
+            part = x[:, i * sub : (i + 1) * sub]
+            # ||p - c||² = ||p||² - 2 p·c + ||c||²; argmin over c
+            d = (
+                (part * part).sum(1, keepdims=True)
+                - 2.0 * part @ cb[i].T
+                + (cb[i] * cb[i]).sum(1)[None, :]
+            )
+            codes[:, i] = d.argmin(1)
+        return pd.Series(list(codes))
+
+    return vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        encode(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+
+
+def pq_search(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    kth: int = 10,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    rerank_with: DataFrame | None = None,
+    oversample: int = 5,
+) -> DataFrame:
+    """ADC top-k: (query_id, vec_id, dist, rank) with approximate L2²
+    distances. Queries are collected to a broadcast (the standard
+    many-vectors × few-queries shape); candidates never materialize
+    float vectors.
+
+    ``rerank_with``: the float-vector table (vec_id, embedding). When
+    given, ADC produces an ``oversample``·k shortlist and the final
+    top-k is exact-ranked on the shortlist — the IVFPQ+re-rank recipe:
+    the full scan stays on 8-byte codes, floats are fetched for only
+    O(oversample·k) rows per query via an equi-join."""
+    spark = encoded.sparkSession
+    q_rows = queries.select(
+        F.col(query_id).cast("long"), F.col(query_col).cast("array<double>")
+    ).collect()
+    cb = codebooks  # (m, k, sub)
+    m, _, sub = cb.shape
+    qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    qx = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    # LUT[q, m, k]: distance of query-subvector to each centroid
+    lut = np.empty((len(qids), m, cb.shape[1]), dtype=np.float64)
+    for i in range(m):
+        part = qx[:, i * sub : (i + 1) * sub]
+        lut[:, i, :] = (
+            (part * part).sum(1, keepdims=True)
+            - 2.0 * part @ cb[i].T
+            + (cb[i] * cb[i]).sum(1)[None, :]
+        )
+    shortlist_k = kth * oversample if rerank_with is not None else kth
+    bc = spark.sparkContext.broadcast((qids, lut, shortlist_k))
+
+    def part_topk(batches):
+        import pandas as pd
+
+        qids_, lut_, kth_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # ADC gather-sum: dists[q, n] = Σ_m LUT[q, m, codes[n, m]]
+            out = []
+            for qi in range(len(qids_)):
+                d = lut_[qi, np.arange(codes.shape[1])[None, :], codes].sum(1)
+                take = min(kth_, len(d))
+                idx = np.argpartition(d, take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids_[qi],
+                            "vec_id": ids[idx],
+                            "dist": d[idx],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = encoded.mapInPandas(
+        part_topk, "query_id long, vec_id long, dist double"
+    )
+    adc = topk_rows(
+        partial, ["query_id"], "dist", shortlist_k, tie_cols=["vec_id"]
+    ).select("query_id", "vec_id", "dist", "rank")
+    if rerank_with is None:
+        return adc
+
+    from hawk_pack_spark.functions.distance import distance_expr
+
+    qdf = F.broadcast(
+        queries.select(
+            F.col(query_id).cast("long").alias("query_id"),
+            F.col(query_col).cast("array<double>").alias("qv"),
+        )
+    )
+    exact = (
+        adc.select("query_id", "vec_id")
+        .join(rerank_with.select(
+            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+        ), "vec_id")
+        .join(qdf, "query_id")
+        .select(
+            "query_id", "vec_id",
+            distance_expr("l2_sq", F.col("qv"), F.col("v")).alias("dist"),
+        )
+    )
+    return topk_rows(exact, ["query_id"], "dist", kth, tie_cols=["vec_id"]).select(
+        "query_id", "vec_id", "dist", "rank"
+    )

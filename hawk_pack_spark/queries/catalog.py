@@ -1712,6 +1712,22 @@ GROUP BY purchase_id
 """
 
 
+def q_pq_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with exact re-rank (operators/pq.py): the
+    32×-compressed scan path. Non-SQL-expressible (k-means training) —
+    rows-only driver check; recall vs exact kNN is asserted in
+    tests/test_pq.py."""
+    from hawk_pack_spark.operators import pq
+
+    vecs = _embeddings_vectors(spark, sf_dir)
+    cb = pq.pq_train(vecs, m=8, k=64, seed=7)
+    enc = pq.pq_encode(vecs, cb)
+    queries = vecs.where(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq.pq_search(enc, cb, queries, kth=10, rerank_with=vecs, oversample=5)
+
+
 CATALOG: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
     "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS semi-join counts"),
@@ -1766,6 +1782,7 @@ CATALOG: dict[str, QuerySpec] = {
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram Jaccard similarity join"),
     "lsh_hamming_pairs": QuerySpec(q_lsh_hamming_pairs, LSH_HAMMING_SQL, "Hamming-LSH banded near pairs"),
     "ivf_ann_l2": QuerySpec(q_ivf_ann_l2, None, "IVF bucketed ANN"),
+    "pq_ann_l2": QuerySpec(q_pq_ann_l2, None, "product-quantized ANN + re-rank"),
     "multimodal_features": QuerySpec(q_multimodal_features, None, "binary media → features pipeline"),
     "multimodal_ann": QuerySpec(q_multimodal_ann, None, "media → features → HNSW ANN loop"),
 }
