@@ -1712,6 +1712,79 @@ GROUP BY purchase_id
 """
 
 
+def q_minhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-defaults variant of minhash_near_dup: LSH buckets larger
+    than max_bucket are dropped BEFORE the candidate self-join (a bucket
+    of b docs emits b²/2 pairs — on a degenerate corpus the uncapped
+    sweep is quadratic). The cap is applied identically in the oracle,
+    so parity holds at every SF; exact Jaccard verification of surviving
+    candidates is unchanged."""
+    from hawk_pack_spark.operators.dedup import minhash_near_dup
+
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_near_dup(
+        docs, num_hashes=8, bands=4, threshold=0.9, max_bucket=20
+    )
+
+
+def _minhash_capped_sql(max_bucket: int = 20) -> str:
+    base = _minhash_sql()
+    return base.replace(
+        """cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_key)""",
+        f"""bands_capped AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bsize FROM bands)
+  WHERE bsize <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_capped a JOIN bands_capped b USING (band, band_key)""",
+    )
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-defaults n-gram Jaccard: grams with document frequency
+    above max_df are dropped before the self-join (ubiquitous grams
+    carry no similarity signal and emit df²/2 pairs). Jaccard is over
+    the remaining gram space in BOTH engines."""
+    from hawk_pack_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=20)
+
+
+NGRAM_JACCARD_CAPPED_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ts) >= 3
+      THEN list_transform(range(1, len(ts) - 1),
+           i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+      ELSE [] END) AS gs
+  FROM toks),
+e0 AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+keep AS (SELECT gram FROM e0 GROUP BY gram HAVING COUNT(*) <= 20),
+ef AS (SELECT e0.doc_id, e0.gram FROM e0 JOIN keep USING (gram)),
+sz AS (SELECT doc_id, COUNT(*) AS ng FROM ef GROUP BY doc_id),
+e AS (SELECT ef.doc_id, sz.ng, ef.gram FROM ef JOIN sz USING (doc_id)),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+    COUNT(*) AS inter
+  FROM e a JOIN e b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+j AS (
+  SELECT id_a, id_b,
+    ROUND(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+  FROM shared)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.01
+"""
+
+
 def q_pq_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN with exact re-rank (operators/pq.py): the
     32×-compressed scan path. Non-SQL-expressible (k-means training) —
@@ -1780,6 +1853,8 @@ CATALOG: dict[str, QuerySpec] = {
     "simhash_groups": QuerySpec(q_simhash_groups, _simhash_sql(), "SimHash dedup groups"),
     "dedup_clusters": QuerySpec(q_dedup_clusters, _dedup_clusters_sql(), "near-dup connected components"),
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram Jaccard similarity join"),
+    "minhash_near_dup_capped": QuerySpec(q_minhash_near_dup_capped, _minhash_capped_sql(), "MinHash-LSH with bucket cap (scale defaults)"),
+    "ngram_jaccard_capped": QuerySpec(q_ngram_jaccard_capped, NGRAM_JACCARD_CAPPED_SQL, "df-capped n-gram Jaccard (scale defaults)"),
     "lsh_hamming_pairs": QuerySpec(q_lsh_hamming_pairs, LSH_HAMMING_SQL, "Hamming-LSH banded near pairs"),
     "ivf_ann_l2": QuerySpec(q_ivf_ann_l2, None, "IVF bucketed ANN"),
     "pq_ann_l2": QuerySpec(q_pq_ann_l2, None, "product-quantized ANN + re-rank"),

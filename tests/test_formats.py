@@ -90,3 +90,27 @@ def test_bucketed_join_and_agg_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: when the partition filter arrives via a dimension join (not
+    a literal), the fact scan must still prune partitions at runtime —
+    the plan carries a dynamicpruning subquery on the partition column."""
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "by_lang_dpp")
+    write_table(docs, path, "parquet", partition_by=["lang"])
+    fact = read_table(spark, path, "parquet")
+    dim = spark.createDataFrame(
+        [("de", 1), ("fr", 1), ("en", 0), ("es", 0), ("it", 0)],
+        "lang string, keep int",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try:
+        joined = fact.join(dim.where(F.col("keep") == 1), "lang")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        expected = docs.where(F.col("lang").isin("de", "fr")).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
