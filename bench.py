@@ -23,6 +23,10 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
+    "q06_revenue_forecast",
+    "q19_disjunctive_revenue",
+    "purchase_window_attribution",
+    "pq_ann_l2",
     "top3_orders_per_customer",
     "events_hourly",
     "sessionization",

@@ -1785,6 +1785,39 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.01
 """
 
 
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction — the id-assignment step of every
+    tokenizer pipeline: corpus-wide token counts, top-200 by frequency,
+    dense ids in (count desc, token asc) order. One explode + one
+    partial-aggregated groupBy; the top-k and id assignment run on the
+    tiny aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("token_id", F.row_number().over(w))
+        .where(F.col("token_id") <= 200)
+        .select("token_id", "token", "n")
+    )
+
+
+VOCAB_SQL = """
+WITH ex AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x != '')) AS token
+  FROM documents),
+counts AS (SELECT token, COUNT(*) AS n FROM ex GROUP BY token)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS token_id,
+       token, n
+FROM counts
+QUALIFY token_id <= 200
+"""
+
+
 def q_pq_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN with exact re-rank (operators/pq.py): the
     32×-compressed scan path. Non-SQL-expressible (k-means training) —
@@ -1831,6 +1864,7 @@ CATALOG: dict[str, QuerySpec] = {
     "sessionization": QuerySpec(q_sessionization, Q_SESSION_SQL, "gap sessionization"),
     "sliding_window_counts": QuerySpec(q_sliding_window_counts, SLIDING_SQL, "sliding windows"),
     "doc_token_stats": QuerySpec(q_doc_token_stats, Q_TOKEN_SQL, "tokenization"),
+    "vocab_top_tokens": QuerySpec(q_vocab_top_tokens, VOCAB_SQL, "vocabulary build (top-k + dense ids)"),
     "doc_quality": QuerySpec(q_doc_quality, Q_QUALITY_SQL, "quality scoring"),
     "lang_id": QuerySpec(q_lang_id, Q_LANG_SQL, "language ID heuristic"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, Q_FP_SQL, "doc fingerprinting"),
