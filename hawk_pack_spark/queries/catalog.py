@@ -1785,6 +1785,25 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.01
 """
 
 
+def q_events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation computed skew-safely (operators/skew.py):
+    events has only 5 event types, the degenerate key distribution where
+    one reducer would take 20% of all rows. Two-stage salted aggregation
+    spreads each hot key over 16 reducers; count/sum are decomposable so
+    the result equals the naive groupBy — which is exactly the oracle."""
+    from hawk_pack_spark.operators.skew import salted_count_sum
+
+    ev = load_table(spark, "events", sf_dir)
+    return salted_count_sum(ev, ["event_type"], sum_col="value")
+
+
+SALTED_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary construction — the id-assignment step of every
     tokenizer pipeline: corpus-wide token counts, top-200 by frequency,
@@ -1860,6 +1879,7 @@ CATALOG: dict[str, QuerySpec] = {
     "parts_above_brand_avg": QuerySpec(q_parts_above_brand_avg, ABOVE_AVG_SQL, "correlated-avg filter"),
     "nation_customer_agg": QuerySpec(q_nation_customer_agg, STRING_AGG_SQL, "ordered string aggregation"),
     "events_hourly": QuerySpec(q_events_hourly, Q_EVENTS_HOURLY_SQL, "hourly windows"),
+    "events_type_stats_salted": QuerySpec(q_events_type_stats_salted, SALTED_AGG_SQL, "skew-safe salted aggregation"),
     "events_json": QuerySpec(q_events_json, Q_EVENTS_JSON_SQL, "JSON extraction"),
     "sessionization": QuerySpec(q_sessionization, Q_SESSION_SQL, "gap sessionization"),
     "sliding_window_counts": QuerySpec(q_sliding_window_counts, SLIDING_SQL, "sliding windows"),
