@@ -1785,6 +1785,48 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.01
 """
 
 
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in `session_window` (the streaming-native session
+    operator, here in batch): per (user, session) event counts and value
+    sums with a 30-min gap. Merge rule is strict (`next.ts < prev.ts +
+    gap`), mirrored in the oracle as a break on `diff >= 1800`; window
+    bounds reported as floor-epoch seconds (catalog convention)."""
+    ev = load_table(spark, "events", sf_dir)
+    per = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum(F.col("value"), "sum_value"),
+    )
+    return per.select(
+        "user_id",
+        F.floor(F.col("session_window.start").cast("double")).cast("long").alias("sess_start"),
+        F.floor(F.col("session_window.end").cast("double")).cast("long").alias("sess_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR EPOCH(ts) - EPOCH(lag(ts) OVER w) >= 1800
+         THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+  CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS sess_start,
+  CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) + 1800 AS sess_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key aggregation computed skew-safely (operators/skew.py):
     events has only 5 event types, the degenerate key distribution where
@@ -1882,6 +1924,7 @@ CATALOG: dict[str, QuerySpec] = {
     "events_type_stats_salted": QuerySpec(q_events_type_stats_salted, SALTED_AGG_SQL, "skew-safe salted aggregation"),
     "events_json": QuerySpec(q_events_json, Q_EVENTS_JSON_SQL, "JSON extraction"),
     "sessionization": QuerySpec(q_sessionization, Q_SESSION_SQL, "gap sessionization"),
+    "session_window_stats": QuerySpec(q_session_window_stats, SESSION_WINDOW_SQL, "built-in session_window"),
     "sliding_window_counts": QuerySpec(q_sliding_window_counts, SLIDING_SQL, "sliding windows"),
     "doc_token_stats": QuerySpec(q_doc_token_stats, Q_TOKEN_SQL, "tokenization"),
     "vocab_top_tokens": QuerySpec(q_vocab_top_tokens, VOCAB_SQL, "vocabulary build (top-k + dense ids)"),
