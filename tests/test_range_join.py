@@ -77,3 +77,22 @@ def test_plans_as_hash_join_not_nested_loop(spark):
     plan = buf.getvalue()
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_boundary_semantics(spark):
+    """Half-open [start, end): ts==start joins, ts==end doesn't;
+    zero-length intervals match nothing; negative timestamps bin
+    correctly (floor, not truncate-toward-zero)."""
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 20.0), (4, -35.0)],
+        "pid int, ts double",
+    )
+    iv = spark.createDataFrame(
+        [(100, 0.0, 20.0),    # [0,20): catches ts=0,10 not 20
+         (200, 20.0, 20.0),   # zero-length: catches nothing
+         (300, -40.0, -30.0)],  # negative window: catches ts=-35
+        "iid int, w_start double, w_end double",
+    )
+    res = range_join_points(pts, iv, "ts", "w_start", "w_end", bin_width_s=7)
+    pairs = {(r.pid, r.iid) for r in res.collect()}
+    assert pairs == {(1, 100), (2, 100), (4, 300)}, pairs
