@@ -55,6 +55,7 @@ def insert_round_driver_loop(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    op_log: list | None = None,
 ) -> DataFrame:
     """Design (b) insert: one micro-batch round entirely as DataFrame
     ops — `connect_bidir` rendered as union + group-wise top-k
@@ -100,6 +101,7 @@ def insert_round_driver_loop(
         metric=metric, params=params,
         ef_search=params.get_ef_constr_insert(0),
         return_per_shard=True,
+        op_log=op_log,
     ).localCheckpoint()
 
     # phase 2: connect_bidir as dataflow on exploded links
@@ -152,6 +154,15 @@ def insert_round_driver_loop(
         .drop("_rn")
     )
     # reassemble the index rows (old + new vectors, parallel-array edges)
+    if op_log is not None:
+        # the write-phase ops of the reference's insert stream
+        # (coroutine.rs Op::SetEntryPoint / Op::SetLinks): entry point
+        # moves iff the batch's max layer exceeds the current top
+        new_top = staged.agg(F.max("new_layer")).collect()[0][0] or 0
+        old_top = index_df.agg(F.max("layer")).collect()[0][0] or 0
+        if new_top > old_top:
+            op_log.append(("SetEntryPoint", {"layer": new_top}))
+        op_log.append(("SetLinks", {"batch": True}))
     vectors_all = index_df.select(
         "shard", "vec_id", "layer", "code", "vec"
     ).unionByName(

@@ -130,3 +130,28 @@ def test_build_index_driver_loop_from_scratch(spark):
         (F.col("layer") > 0) & (F.size("nbrs") > PARAMS.get_M_max(1))
     ).count()
     assert over == 0
+
+
+def test_insert_op_stream_protocol(spark, code_index):
+    """The insert-path op stream (coroutine.rs insert flow): the search
+    phase's ops end with SearchResult, then the write phase emits
+    SetEntryPoint (iff the batch raises the top layer) and SetLinks —
+    the reference's two-phase insert protocol."""
+    from hawk_pack_spark.operators.hnsw_driver import insert_round_driver_loop
+
+    batch = spark.range(5).select(
+        (F.col("id") + 900).alias("vec_id"), (F.col("id") + 77).alias("code")
+    )
+    ops: list = []
+    insert_round_driver_loop(
+        code_index, batch, metric="hamming", params=PARAMS,
+        vec_col="code", op_log=ops,
+    ).count()
+    names = [o[0] for o in ops]
+    assert names[0] == "GetEntryPoint"
+    assert names[-1] == "SetLinks"
+    assert "SearchResult" in names
+    # write-phase ops come strictly after the search phase
+    assert names.index("SearchResult") < names.index("SetLinks")
+    if "SetEntryPoint" in names:
+        assert names.index("SearchResult") < names.index("SetEntryPoint")
