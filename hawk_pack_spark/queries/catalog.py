@@ -1785,6 +1785,59 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.01
 """
 
 
+def q_customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function breadth in one pass: quartile (ntile),
+    percent_rank, cume_dist, and dense_rank over account balance within
+    each market segment — one Window, one shuffle."""
+    cust = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+RANKS_SQL = """
+SELECT c_mktsegment, c_custkey,
+  NTILE(4)        OVER w AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST()    OVER w, 6) AS cume,
+  DENSE_RANK()    OVER w AS drank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
+def q_nation_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (the record-linkage primitive):
+    nation-name pairs within Levenshtein distance 1. The 25-row dim
+    crossjoins trivially; at scale the same verify step runs on
+    LSH/band-bucketed candidates instead of the full cross product."""
+    nation = load_table(spark, "nation", sf_dir)
+    a = nation.select(F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_name").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= 1)
+    )
+
+
+FUZZY_SQL = """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS edit_dist
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= 1
+"""
+
+
 def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in `session_window` (the streaming-native session
     operator, here in batch): per (user, session) event counts and value
@@ -1933,6 +1986,8 @@ CATALOG: dict[str, QuerySpec] = {
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, Q_FP_SQL, "doc fingerprinting"),
     "rolling_fingerprint": QuerySpec(q_rolling_fingerprint, ROLLING_FP_SQL, "order-sensitive rolling hash"),
     "customer_running_totals": QuerySpec(q_customer_running_totals, RUNNING_SQL, "running/moving/lag windows"),
+    "customer_balance_ranks": QuerySpec(q_customer_balance_ranks, RANKS_SQL, "ntile/percent_rank/cume_dist"),
+    "nation_name_fuzzy_pairs": QuerySpec(q_nation_name_fuzzy_pairs, FUZZY_SQL, "Levenshtein fuzzy pairs"),
     "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, Q_DEDUP_SQL, "exact dedup"),
     "curation_pipeline": QuerySpec(q_curation_pipeline, CURATION_SQL, "quality→dedup→stats composition"),
     "doc_hash_embedding_knn": QuerySpec(q_doc_hash_embedding_knn, HASH_EMB_SQL, "text→vector featurization + kNN"),
