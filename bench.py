@@ -114,6 +114,19 @@ def bench_hnsw_reference_shape(spark, timings: dict) -> None:
     hnsw.search(fidx, q, k=10, metric="l2_sq", params=fparams).count()
     timings["hnsw_search_100_in_20000"] = round(time.perf_counter() - t0, 3)
 
+    # PQ at the same 20k ladder: compressed-scan contrast (32× smaller
+    # candidate bytes; ADC never touches float vectors)
+    from hawk_pack_spark.operators import pq
+
+    t0 = time.perf_counter()
+    cb = pq.pq_train(vecs, m=8, k=256, sample_size=4_000, seed=7, iters=10)
+    enc = pq.pq_encode(vecs, cb).localCheckpoint()
+    enc.count()
+    timings["pq_train_encode_20000"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pq.pq_search(enc, cb, q, kth=10, rerank_with=vecs, oversample=5).count()
+    timings["pq_search_100_in_20000"] = round(time.perf_counter() - t0, 3)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -37,15 +37,21 @@ def _kmeans_np(x: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
     centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
     if len(centers) < k:  # fewer points than centroids: pad by repeats
         centers = np.vstack([centers] * (k // len(centers) + 1))[:k]
+    xx = (x * x).sum(1, keepdims=True)
     for _ in range(iters):
-        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        # ||x-c||² = ||x||² - 2 x·c + ||c||² via one matmul — never
+        # materializes the (n, k, d) broadcast tensor
+        d = xx - 2.0 * x @ centers.T + (centers * centers).sum(1)[None, :]
         assign = d.argmin(1)
-        for j in range(k):
-            members = x[assign == j]
-            if len(members):
-                centers[j] = members.mean(0)
-            else:
-                centers[j] = x[d.min(1).argmax()]
+        # mean per cluster with one scatter-add instead of a k-loop
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, assign, x)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if not nonempty.all():
+            far = np.argsort(-d.min(1))  # farthest points re-seed empties
+            centers[~nonempty] = x[far[: (~nonempty).sum()]]
     return centers
 
 
