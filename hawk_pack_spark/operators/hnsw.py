@@ -289,6 +289,93 @@ def insert_batch(
 # normalized graph views (the §2.3 GraphStore surface over the index)
 
 
+def delete_from_index(index_df: DataFrame, delete_ids: DataFrame,
+                      id_col: str = "vec_id", metric: str | None = None,
+                      params: HawkParams = DEFAULT_PARAMS) -> DataFrame:
+    """Index maintenance the reference leaves out: remove vectors, prune
+    every edge pointing at them, and (when ``metric`` is given) repair
+    connectivity by BRIDGING — each survivor that pointed at a deleted
+    node inherits that node's surviving out-neighbors (with freshly
+    computed distances), then every adjacency re-trims to M_max. This is
+    the standard local delete-repair of incremental ANN systems (e.g.
+    FreshDiskANN's delete consolidation): deleted nodes were on search
+    paths, so their in/out neighbors are stitched together to keep those
+    paths alive without a rebuild.
+
+    Everything is joins + a Window re-trim — no kernel. Entry points
+    need no bookkeeping: they are always re-derived as each shard's
+    max-layer survivor (`entry_points`). Deletion is exact and
+    immediate — a deleted id can never appear in results. Without
+    repair (metric=None) recall on survivors can degrade; heavy churn
+    still warrants periodic shard rebuild."""
+    from pyspark.sql import Window
+
+    from hawk_pack_spark.functions.distance import distance_expr
+    from hawk_pack_spark.operators.hnsw_driver import _assemble_index
+
+    dels = delete_ids.select(
+        F.col(id_col).cast("long").alias("vec_id")
+    ).distinct()
+    kept = index_df.join(dels, "vec_id", "left_anti")
+    all_edges = (
+        index_df.select(
+            "shard", F.col("vec_id").alias("src"),
+            F.explode(F.arrays_zip("e_layer", "e_dst", "e_dist")).alias("e"),
+        )
+        .select(
+            "shard", F.col("e.e_layer").alias("layer"), "src",
+            F.col("e.e_dst").alias("dst"), F.col("e.e_dist").alias("dist"),
+        )
+    )
+    del_src = dels.select(F.col("vec_id").alias("src"))
+    del_dst = dels.select(F.col("vec_id").alias("dst"))
+    edges = all_edges.join(del_src, "src", "left_anti").join(
+        del_dst, "dst", "left_anti"
+    )
+    if metric is not None:
+        # bridge: survivor --x--> deleted --> survivor becomes
+        # survivor --> survivor, scored with a real distance
+        into_del = all_edges.join(del_src, "src", "left_anti").join(
+            del_dst, "dst", "left_semi"
+        ).select("shard", "layer", "src", F.col("dst").alias("mid"))
+        out_of_del = all_edges.join(del_dst, "dst", "left_anti").select(
+            "shard", "layer", F.col("src").alias("mid"), "dst"
+        )
+        payload = "code" if metric == "hamming" else "vec"
+        pay = kept.select(F.col("vec_id"), F.col(payload).alias("_p"))
+        bridges = (
+            into_del.join(out_of_del, ["shard", "layer", "mid"])
+            .where(F.col("src") != F.col("dst"))
+            .select("shard", "layer", "src", "dst")
+            .distinct()
+            .join(pay.select(F.col("vec_id").alias("src"),
+                             F.col("_p").alias("_ps")), "src")
+            .join(pay.select(F.col("vec_id").alias("dst"),
+                             F.col("_p").alias("_pd")), "dst")
+            .select(
+                "shard", "layer", "src", "dst",
+                distance_expr(metric, F.col("_ps"), F.col("_pd")).alias("dist"),
+            )
+        )
+        m_max0, m_max = params.get_M_max(0), params.get_M_max(1)
+        w = Window.partitionBy("shard", "layer", "src").orderBy(
+            F.col("dist").asc(), F.col("dst").asc()
+        )
+        edges = (
+            edges.unionByName(bridges)
+            .dropDuplicates(["shard", "layer", "src", "dst"])
+            .withColumn("_rn", F.row_number().over(w))
+            .where(
+                F.col("_rn")
+                <= F.when(F.col("layer") == 0, F.lit(m_max0)).otherwise(F.lit(m_max))
+            )
+            .drop("_rn")
+        )
+    return _assemble_index(
+        kept.select("shard", "vec_id", "layer", "code", "vec"), edges
+    )
+
+
 def to_links(index_df: DataFrame) -> DataFrame:
     """Normalized links table (layer, src, nbrs ARRAY<STRUCT<dist,dst>>),
     the schema mirroring the reference's one-row-per-(vector, layer)

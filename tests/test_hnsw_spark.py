@@ -140,3 +140,48 @@ def test_search_empty_index(spark):
     )
     out = hnsw.search(empty, queries, k=5, metric="hamming", params=PARAMS)
     assert out.count() == 0
+
+
+def test_delete_from_index(spark):
+    """Deletion is exact and immediate: deleted ids vanish from rows AND
+    from every neighbor list; surviving vectors stay searchable."""
+    from pyspark.sql import functions as F
+
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import hnsw
+
+    params = HawkParams.new(32, 16, 8)
+    codes = spark.range(80).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 3).alias("code")
+    )
+    index = hnsw.build_index(
+        codes, metric="hamming", params=params, num_shards=2, vec_col="code"
+    ).localCheckpoint()
+    dels = spark.range(0, 80, 5).select(F.col("id").alias("vec_id"))  # 16 ids
+    pruned = hnsw.delete_from_index(index, dels, metric="hamming", params=params).localCheckpoint()
+    assert pruned.count() == 64
+    # no deleted id survives in any adjacency list
+    dangling = (
+        pruned.select(F.explode("e_dst").alias("dst"))
+        .join(dels.select(F.col("vec_id").alias("dst")), "dst", "left_semi")
+        .count()
+    )
+    assert dangling == 0
+    # survivors remain searchable with exact self-recall
+    queries = (
+        spark.range(1, 80, 9)
+        .where(F.col("id") % 5 != 0)  # survivors only
+        .select(F.col("id").alias("query_id"), (F.col("id") * 3).alias("query_vec"))
+    )
+    res = hnsw.search(pruned, queries, k=1, metric="hamming", params=params).collect()
+    assert len(res) == 7
+    assert all(r.query_id == r.vec_id and r.dist == 0.0 for r in res)
+    # deleted vectors never appear in results, even as near misses
+    del_queries = dels.select(
+        F.col("vec_id").alias("query_id"), (F.col("vec_id") * 3).alias("query_vec")
+    )
+    hits = hnsw.search(pruned, del_queries, k=3, metric="hamming", params=params)
+    overlap = hits.join(
+        dels.select(F.col("vec_id")), "vec_id", "left_semi"
+    ).count()
+    assert overlap == 0
