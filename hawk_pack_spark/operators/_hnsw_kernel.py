@@ -286,14 +286,22 @@ def index_from_arrays(
     e_layers: list,
     e_dsts: list,
     e_dists: list,
+    layers: np.ndarray | None = None,
 ) -> LocalHNSW:
     """Rehydrate a LocalHNSW from stored parallel-array adjacency (global
-    ids → local indices). Entry point = first-inserted (lowest id) node on
-    the top layer, matching the build's monotone entry-point rule."""
+    ids → local indices).
+
+    ``layers`` is the stored per-node assigned max layer (the index
+    DataFrame's ``layer`` column). The entry point is the lowest id at
+    the max stored layer — the build's monotone rule exactly, so a node
+    alone on a new top layer (whose queues there are empty and therefore
+    absent from adjacency, per hawk_searcher.rs:380-386 padding) keeps
+    its layer across a round-trip. Without ``layers`` (legacy callers)
+    the layer is derived from adjacency presence, which can under-report
+    exactly that case."""
     metric = Metric(metric_name, data)
     index = LocalHNSW(metric, params)
     id_to_local = {int(g): i for i, g in enumerate(ids.tolist())}
-    top_layer, entry = -1, None
     for local in range(len(ids)):
         lays, dsts, dists = e_layers[local], e_dsts[local], e_dists[local]
         for lc, dst, d in zip(lays, dsts, dists):
@@ -303,9 +311,13 @@ def index_from_arrays(
     for lc in index.adj:
         for node in index.adj[lc]:
             index.adj[lc][node].sort()
-    # a node "is on" layer lc if it has a queue there (layer 0 holds all)
+    top_layer, entry = -1, None
     for local in range(len(ids)):
-        node_top = max([lc for lc in index.adj if local in index.adj[lc]], default=0)
+        if layers is not None:
+            node_top = int(layers[local])
+        else:
+            # a node "is on" layer lc if it has a queue there (layer 0 holds all)
+            node_top = max([lc for lc in index.adj if local in index.adj[lc]], default=0)
         gid = int(ids[local])
         if node_top > top_layer or (node_top == top_layer and (entry is None or gid < entry[1])):
             top_layer, entry = node_top, (local, gid)

@@ -51,10 +51,19 @@ def asof_join_backward(
         "_ts", "_is_left", *[f"_r_{v}" for v in value_cols],
     )
     u = l_aligned.unionByName(r_aligned)
-    # right rows sort before left at equal ts → visible to them (<=)
+    # right rows sort before left at equal ts → visible to them (<=).
+    # The value columns join the orderBy as the final keys: without them
+    # two right rows with equal (key, ts) have no defined relative order
+    # and last(ignorenulls) would pick whichever landed last in partition
+    # order — varying across shuffles. With them, the largest value tuple
+    # wins, deterministically.
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_is_left").asc(),
+            *[F.col(f"_r_{v}").asc_nulls_first() for v in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u

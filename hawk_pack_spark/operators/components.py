@@ -5,13 +5,18 @@ The missing last stage of every near-dup pipeline: MinHash/LSH emits
 PAIRS, but retention policy needs CLUSTERS (keep the lowest-id doc of
 each transitively-connected group).
 
-Algorithm: iterative min-label propagation (the standard Spark/Pregel
-rendering of connected components): every node starts labeled with
-itself; each round, a node adopts the minimum label among itself and
-its neighbors; fixpoint = components labeled by their minimum member.
-Rounds are O(graph diameter) — near-dup graphs are dense clique-ish
-clusters, so a handful of rounds converge. Each round is one join +
-one aggregation; lineage cut by localCheckpoint (iterative-plan rule).
+Algorithm: min-label propagation accelerated with pointer jumping
+(the "label doubling" trick of large-star/small-star, Kiveris et al.
+2014 "Connected Components in MapReduce and Beyond"): every node starts
+labeled with itself; each round a node adopts the minimum label among
+itself and its neighbors, then labels are rewritten through their own
+label's label (component ← component's component). Plain propagation
+needs O(diameter) rounds — a chain of near-dup pairs would exceed any
+fixed cap; the jump step squares the reach per round, so convergence is
+O(log diameter) and a 20-round cap covers graphs of diameter ~2^20.
+Each round is two joins + one aggregation; lineage cut by
+localCheckpoint (iterative-plan rule). Exhausting the cap without a
+fixpoint raises instead of silently returning split components.
 """
 
 from __future__ import annotations
@@ -39,27 +44,47 @@ def connected_components(
         "component", F.col("node")
     ).localCheckpoint()
 
+    converged = False
     for _ in range(max_rounds):
         # each node adopts min(own label, neighbors' labels)
         nbr_labels = (
             edges.join(labels, edges["b"] == labels["node"])
             .select(F.col("a").alias("node"), F.col("component"))
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(nbr_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component ← label(component); doubles the hop
+        # distance covered per round (log-diameter convergence)
+        parent = propagated.select(
+            F.col("node").alias("component"), F.col("component").alias("grand")
+        )
+        new_labels = (
+            propagated.join(parent, "component", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("grand", "component")).alias(
+                    "component"
+                ),
+            )
             .localCheckpoint()
         )
-        changed = (
+        converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.component") != F.col("o.component"))
             .isEmpty()
         )
         labels = new_labels
-        if changed:
+        if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_rounds} "
+            "rounds; raise max_rounds (labels would be silently split)"
+        )
     return labels
 
 

@@ -153,6 +153,7 @@ def search(
         index = K.index_from_arrays(
             ids, full, metric, params,
             left["e_layer"].tolist(), left["e_dst"].tolist(), left["e_dist"].tolist(),
+            layers=left["layer"].to_numpy(dtype=np.int32),
         )
         n = len(ids)
         rows = []
@@ -240,6 +241,7 @@ def insert_batch(
         index = K.index_from_arrays(
             old_ids, full, metric, params,
             left["e_layer"].tolist(), left["e_dst"].tolist(), left["e_dist"].tolist(),
+            layers=old_layers,
         )
         n = len(old_ids)
         accepted = []

@@ -68,10 +68,13 @@ def insert_round_driver_loop(
     the same splitmix64(vec_id) sample, so kernel and driver-loop builds
     agree on the graph skeleton.
 
-    Simplification vs the serial engine: candidates come from a single
-    bottom-layer beam (ef_constr) reused for every layer ≤ the vector's
-    insertion layer, rather than per-layer beam snapshots. Entry points
-    per shard update by the monotone max-layer rule."""
+    Candidates come from PER-LAYER beam snapshots of the descent
+    (hawk_searcher.rs:371-374): layer lc's queue is the beam as of layer
+    lc searched at ef_constr_insert(lc), not a single bottom-layer beam
+    reused everywhere. An edge at layer lc is kept only if the neighbor's
+    own assigned layer is >= lc (HNSW layer membership — a node only
+    exists on layers up to its sampled top). Entry points per shard
+    update by the monotone max-layer rule."""
     from hawk_pack_spark.operators import _hnsw_kernel as K
 
     num_shards = 1 + (index_df.agg(F.max("shard")).collect()[0][0] or 0)
@@ -91,7 +94,8 @@ def insert_round_driver_loop(
 
     staged = prepped.withColumn("new_layer", assign(F.col("vec_id"))).localCheckpoint()
 
-    # phase 1: candidate neighbors from the frozen graph (batch search)
+    # phase 1: per-layer candidate queues from the frozen graph — the
+    # descent's beam snapshot at each layer, ef_constr_insert schedule
     as_queries = staged.select(
         F.col("vec_id").alias("query_id"),
         (F.col("code") if metric == "hamming" else F.col("vec")).alias("query_vec"),
@@ -99,8 +103,8 @@ def insert_round_driver_loop(
     cand = search_driver_loop(
         index_df, as_queries, k=params.get_ef_constr_insert(0),
         metric=metric, params=params,
-        ef_search=params.get_ef_constr_insert(0),
-        return_per_shard=True,
+        return_layer_snapshots=True,
+        ef_per_layer=lambda lc: params.get_ef_constr_insert(lc),
         op_log=op_log,
     ).localCheckpoint()
 
@@ -117,24 +121,35 @@ def insert_round_driver_loop(
     meta = staged.select(
         F.col("vec_id").alias("query_id"), "shard", "new_layer"
     )
-    # forward edges: per new vector, per layer 0..new_layer, top-M —
-    # joined on (query_id, shard) so each new vector only links within
-    # its OWN shard's graph
-    fwd_base = (
-        cand.join(meta, ["query_id", "shard"])
-        .select("shard", F.col("query_id").alias("src"),
-                F.col("dst"), "dist", "new_layer")
+    # forward edges: per new vector, the snapshot of ITS shard at each
+    # layer 0..new_layer (layers above the old top have no snapshot and
+    # get no edges — the reference pads empty queues there,
+    # hawk_searcher.rs:380-386), filtered to layer members only: a
+    # neighbor participates at layer lc iff its own layer >= lc
+    node_layers = index_df.select(
+        F.col("vec_id").alias("dst"), F.col("layer").alias("dst_layer")
     )
-    layers = fwd_base.select(
-        "shard", "src", "dst", "dist",
-        F.explode(F.sequence(F.lit(0), F.col("new_layer"))).alias("layer"),
+    layers = (
+        cand.join(meta, ["query_id", "shard"])
+        .where(F.col("layer") <= F.col("new_layer"))
+        .join(node_layers, "dst")
+        .where(F.col("dst_layer") >= F.col("layer"))
+        .select("shard", "layer", F.col("query_id").alias("src"),
+                F.col("dst"), "dist")
     )
     w = Window.partitionBy("shard", "layer", "src").orderBy(
         F.col("dist").asc(), F.col("dst").asc()
     )
+    # per-layer M trim (connect_bidir, hawk_searcher.rs:164); the clamped
+    # 5-entry schedule renders as a CASE over the layer column
+    from hawk_pack_spark.config import N_PARAM_LAYERS
+
+    m_expr = F.lit(params.get_M(N_PARAM_LAYERS - 1))
+    for _lc in range(N_PARAM_LAYERS - 2, -1, -1):
+        m_expr = F.when(F.col("layer") == _lc, F.lit(params.get_M(_lc))).otherwise(m_expr)
     fwd = (
         layers.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= params.get_M(0))
+        .where(F.col("_rn") <= m_expr)
         .drop("_rn")
     )
     # back edges: flip, union with existing, re-trim to M_max per (layer, src)
@@ -329,6 +344,8 @@ def search_driver_loop(
     max_iters_per_layer: int = 25,
     op_log: list | None = None,
     return_per_shard: bool = False,
+    return_layer_snapshots: bool = False,
+    ef_per_layer=None,
 ) -> DataFrame:
     """kNN over the index without any partition-local kernel: pure
     DataFrame joins in a driver loop. Returns (query_id, vec_id, dist,
@@ -338,7 +355,14 @@ def search_driver_loop(
     issues (GetEntryPoint, GetLinks, EvalDistanceBatch, LessThanBatch,
     SearchResult) — the observable protocol of the reference's coroutine
     stream (coroutine.rs:43-86), testable the same way its scripted
-    op-sequence tests are (coroutine.rs:218-304)."""
+    op-sequence tests are (coroutine.rs:218-304).
+
+    ``return_layer_snapshots`` returns the beam AS OF each layer of the
+    descent — (query_id, shard, dst, dist, layer) — the per-layer W
+    snapshots of the reference's search_to_insert (hawk_searcher.rs:
+    371-374), which the insert round consumes as per-layer candidate
+    queues. ``ef_per_layer`` overrides the ef schedule (insert uses
+    ef_constr_insert per layer, hawk_searcher.rs:362-369)."""
     spark = index_df.sparkSession
     payload_col = "code" if metric == "hamming" else "vec"
     vectors = index_df.select(
@@ -380,8 +404,12 @@ def search_driver_loop(
     visited = seeds.select("query_id", "shard", "dst")
 
     ef0 = max(ef_search or params.get_ef_search(0), k)
+    snapshots: list[DataFrame] = []
     for lc in range(top_layer, -1, -1):
-        ef = ef0 if lc == 0 else params.get_ef_search(lc)
+        if ef_per_layer is not None:
+            ef = ef_per_layer(lc)
+        else:
+            ef = ef0 if lc == 0 else params.get_ef_search(lc)
         layer_links = links.where(F.col("layer") == lc)
         for _ in range(max_iters_per_layer):
             frontier = beam.where(~F.col("expanded"))
@@ -414,10 +442,23 @@ def search_driver_loop(
                 .drop("_rn")
                 .localCheckpoint()
             )
+        if return_layer_snapshots:
+            # W snapshot for this layer (hawk_searcher.rs:371-374): the
+            # insert round reads out[lc] as layer lc's candidate queue
+            snapshots.append(
+                beam.select("query_id", "shard", "dst", "dist").withColumn(
+                    "layer", F.lit(lc).cast("int")
+                )
+            )
         # next layer: allow re-expansion of the carried beam
         beam = beam.withColumn("expanded", F.lit(False)).localCheckpoint()
 
     log("SearchResult")
+    if return_layer_snapshots:
+        out = snapshots[0]
+        for s in snapshots[1:]:
+            out = out.unionByName(s)
+        return out
     if return_per_shard:
         # pre-merge beam: (query_id, shard, dst, dist) — the per-shard
         # candidate sets an insert round needs (each shard is its own graph)

@@ -66,9 +66,14 @@ def knn_self(
         vectors, queries, k + (1 if exclude_self else 0), metric, vec_id, vec_col
     )
     if exclude_self:
+        # re-rank with a fresh row_number after dropping the self row:
+        # blanket rank-1 would gap ranks (and over-return) when another
+        # vector ties the self row at dist 0 with a lower id — exactly
+        # the duplicate-heavy case this engine targets
+        w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(vec_id).asc())
         out = (
             out.where(F.col("query_id") != F.col(vec_id))
-            .withColumn("rank", F.col("rank") - F.lit(1))  # re-rank after dropping self
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
         )
     return out

@@ -105,6 +105,31 @@ def test_roundtrip_through_arrays():
         assert index.search(q, 3) == back.search(q, 3)
 
 
+def test_roundtrip_lone_high_layer_node():
+    """A node alone on a new top layer has EMPTY queues there (padded per
+    hawk_searcher.rs:380-386), so it has no adjacency at that layer; the
+    stored per-node layer column must still restore the exact entry point
+    and num_layers across persist → rehydrate (graph_mem.rs:86-98)."""
+    params = HawkParams.new(64, 32, 8)
+    ids = np.arange(30, dtype=np.int64)
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 2**63, 30).astype(np.uint64)
+    layers = K.assign_layer(K.uniform_from_ids(ids), params.m_L)
+    # force one node far above everything: empty top-layer queue guaranteed
+    layers[13] = int(layers.max()) + 3
+    index = K.build_local(ids, data, "hamming", params, layers=layers)
+    assert index.entry == 13 and index.entry_layer == layers[13]
+
+    e_layer, e_dst, e_dist = K.adjacency_arrays(index, ids)
+    back = K.index_from_arrays(ids, data, "hamming", params,
+                               e_layer, e_dst, e_dist, layers=layers)
+    assert back.entry == index.entry
+    assert back.entry_layer == index.entry_layer
+    assert back.num_layers() == index.num_layers()
+    for q in range(30):
+        assert index.search(q, 3) == back.search(q, 3)
+
+
 def test_is_match_dedup():
     """LinearDb-style dedup via HNSW is_match (linear_db.rs:43-52)."""
     ids, data, index = _build_codes(20)
