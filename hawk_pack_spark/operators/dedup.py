@@ -7,7 +7,7 @@ documents, at 100 TB scale:
 - exact: hash-groupBy, one shuffle, first-id-wins (serial semantics).
 - MinHash-LSH: signature → bands → bucket equi-join → verify. The
   candidate join replaces the O(n²) scan; every stage is a built-in.
-- SimHash: 16-bit sign-aggregated token-hash code; groupBy code.
+- SimHash: 60-bit sign-aggregated token-hash code; groupBy code.
 - n-gram Jaccard: explode distinct grams → equi-join on gram →
   count-based Jaccard — pairs materialize only when they share a gram.
 
@@ -159,29 +159,56 @@ def minhash_near_dup(
     return verify_jaccard(cands, df, id_col, text_col, threshold)
 
 
-def simhash16(text_col: str = "text") -> Column:
-    """16-bit SimHash of the distinct token set: bit i is set iff the
-    sign-sum of token-hash bit i is positive. Pure column arithmetic
-    (16 unrolled terms), md5-based → oracle-reproducible."""
-    ts = F.array_distinct(tokens(text_col))
+SIMHASH_TEXT_BITS = 60  # full width of the portable md5-based hash64
+
+
+def simhash_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = SIMHASH_TEXT_BITS,
+) -> DataFrame:
+    """Per-doc SimHash of the distinct token set: bit i is set iff the
+    sign-sum of token-hash bit i over the doc's tokens is positive.
+    Returns (id, code BIGINT).
+
+    Width is the full 60 bits of the portable hash (a 16-bit code has
+    only 65k distinct values — identical-code grouping at corpus scale
+    would mass-merge unrelated docs; at 60 bits random collisions are
+    ~n²/2⁶⁰). Computed tokens-exploded + one groupBy with nbits
+    conditional sums — one shuffle total, all JVM-side; docs with no
+    tokens code to 0 (empty sign-sum, every bit negative)."""
+    ex = df.select(
+        F.col(id_col), F.explode(_distinct_tokens(text_col)).alias("tok")
+    ).withColumn("hv", hash64(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("hv", i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(nbits)
+    ]
+    bits = ex.groupBy(id_col).agg(*aggs)
     code = F.lit(0).cast("long")
-    for i in range(16):
-        contrib = F.aggregate(
-            F.transform(ts, lambda t: F.when(
-                F.shiftrightunsigned(hash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        code = code + F.when(contrib > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return code
+    for i in range(nbits):
+        code = code + F.when(
+            F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    coded = bits.select(F.col(id_col), code.alias("code"))
+    return df.select(id_col).join(coded, id_col, "left").select(
+        F.col(id_col), F.coalesce("code", F.lit(0).cast("long")).alias("code")
+    )
 
 
 def simhash_groups(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = SIMHASH_TEXT_BITS,
 ) -> DataFrame:
-    """Group docs by identical 16-bit simhash: (code, n_docs, min_id)."""
-    coded = df.select(F.col(id_col), simhash16(text_col).alias("code"))
+    """Group docs by identical simhash code: (code, n_docs, min_id)."""
+    coded = simhash_text(df, id_col, text_col, nbits)
     return coded.groupBy("code").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id")
     )

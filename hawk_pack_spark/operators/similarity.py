@@ -193,48 +193,88 @@ def all_pairs_cosine_numpy(
     threshold: float,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine similarity ≥ threshold via one BLAS matmul per
-    partition-block against the broadcast full matrix. Arithmetic is
-    dot(a,b)/(norm_a*norm_b) with norms precomputed per vector (same
-    formula as the fold-expression/oracle path; summation order differs
-    at the 1e-15 level, masked by round 6).
+    """All-pairs cosine similarity ≥ threshold via block-partitioned BLAS
+    matmuls: vectors hash into ``n_blocks`` blocks, every unordered block
+    pair (i <= j) becomes one cogroup task computing that block-pair's
+    similarity matrix. Nothing materializes on the driver — the only
+    driver-side object is the O(n_blocks²) block-pair spine. Arithmetic
+    is dot(a,b)/(norm_a*norm_b) (same formula as the fold-expression/
+    oracle path; summation order differs at the 1e-15 level, masked by
+    round 6).
 
-    Scale note: O(n²) by design — the exact verifier. At 100 TB the
-    LSH/banding operators prune candidates first; this kernel then runs
-    per candidate block."""
+    Scale note: O(n²) compute by design — the exact verifier. Each task
+    holds two blocks (2·n/n_blocks vectors); size n_blocks so a block
+    fits executor memory, and the shuffle volume is n·(n_blocks+1)/2
+    rows (each block joins n_blocks+1 pairs ÷ 2 sides). At 100 TB the
+    LSH/banding operators prune candidates first; this kernel is for the
+    exact sweep at verification scale."""
     import pandas as pd
 
-    rows = vectors.select(vec_id, vec_col).collect()
-    ids_all = np.array([r[0] for r in rows], dtype=np.int64)
-    mat_all = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
-    norms_all = np.linalg.norm(mat_all, axis=1)
-    sc = vectors.sparkSession.sparkContext
-    bc = sc.broadcast((ids_all, mat_all, norms_all))
+    spark = vectors.sparkSession
+    spine = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "ba int, bb int",
+    )
+    base = vectors.select(
+        F.col(vec_id).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)).cast("int"))
+    # side A carries block ba of every pair; side B carries block bb
+    # (qualified aliases: both sides reuse the same base/spine plan nodes,
+    # which Spark's ambiguous-self-join check otherwise rejects)
+    left = (
+        base.alias("lb")
+        .join(F.broadcast(spine.alias("ls")), F.col("lb.blk") == F.col("ls.ba"))
+        .select(F.col("ls.ba").alias("ba"), F.col("ls.bb").alias("bb"),
+                F.col("lb._id").alias("_id"), F.col("lb._v").alias("_v"))
+    )
+    right = (
+        base.alias("rb")
+        .join(F.broadcast(spine.alias("rs")), F.col("rb.blk") == F.col("rs.bb"))
+        .select(F.col("rs.ba").alias("ba"), F.col("rs.bb").alias("bb"),
+                F.col("rb._id").alias("_id"), F.col("rb._v").alias("_v"))
+    )
 
-    def part(it):
-        ids_b, mat_b, norms_b = bc.value
-        for pdf in it:
-            if pdf.empty:
-                continue
-            ids_a = pdf[vec_id].to_numpy(dtype=np.int64)
-            mat_a = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            norms_a = np.linalg.norm(mat_a, axis=1)
-            sims = (mat_a @ mat_b.T) / np.outer(norms_a, norms_b)
-            sims = np.round(sims, 6)
+    def block_pair(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        ids_a = lpdf["_id"].to_numpy(dtype=np.int64)
+        ids_b = rpdf["_id"].to_numpy(dtype=np.int64)
+        mat_a = np.array([np.asarray(v, dtype=np.float64) for v in lpdf["_v"]])
+        mat_b = np.array([np.asarray(v, dtype=np.float64) for v in rpdf["_v"]])
+        sims = (mat_a @ mat_b.T) / np.outer(
+            np.linalg.norm(mat_a, axis=1), np.linalg.norm(mat_b, axis=1)
+        )
+        sims = np.round(sims, 6)
+        if int(lpdf["ba"].iloc[0]) == int(lpdf["bb"].iloc[0]):
+            # diagonal block: both sides hold the same ids — emit the
+            # strict upper triangle by id
             ai, bi = np.nonzero(
                 (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
             )
-            yield pd.DataFrame(
-                {
-                    "id_a": ids_a[ai],
-                    "id_b": ids_b[bi],
-                    "sim": sims[ai, bi],
-                }
+            return pd.DataFrame(
+                {"id_a": ids_a[ai], "id_b": ids_b[bi], "sim": sims[ai, bi]}
             )
+        # off-diagonal: blocks are disjoint id sets seen exactly once
+        # (i < j spine) — orient each hit as (min, max); hash-assigned
+        # blocks don't order ids, so either side can hold the smaller id
+        ai, bi = np.nonzero(sims >= threshold)
+        ia, ib = ids_a[ai], ids_b[bi]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "sim": sims[ai, bi],
+            }
+        )
 
-    return vectors.select(vec_id, vec_col).mapInPandas(
-        part, "id_a long, id_b long, sim double"
+    return (
+        left.groupBy("ba", "bb")
+        .cogroup(right.groupBy("ba", "bb"))
+        .applyInPandas(block_pair, "id_a long, id_b long, sim double")
     )
 
 

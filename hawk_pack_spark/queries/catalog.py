@@ -1255,16 +1255,25 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_groups(docs)
 
 
-def _simhash_sql() -> str:
-    h = _HASH64.format(expr="t")
+def _simhash_sql(nbits: int = 60) -> str:
+    h = _HASH64.format(expr="tok")
+    bit_cols = ",\n    ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(nbits)
+    )
     terms = "\n    + ".join(
-        f"(CASE WHEN list_sum(list_transform(ts, t -> CASE WHEN (({h}) >> {i}) & 1 = 1"
-        f" THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
-        for i in range(16)
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(nbits)
     )
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
-coded AS (SELECT doc_id, {terms} AS code FROM toks)
+ex AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+h AS (SELECT doc_id, {h} AS hv FROM ex),
+bits AS (SELECT doc_id, {bit_cols} FROM h GROUP BY doc_id),
+coded0 AS (SELECT doc_id, {terms} AS code FROM bits),
+coded AS (
+  SELECT d.doc_id, COALESCE(c.code, CAST(0 AS BIGINT)) AS code
+  FROM documents d LEFT JOIN coded0 c USING (doc_id))
 SELECT code, COUNT(*) AS n_docs, MIN(doc_id) AS min_id FROM coded GROUP BY code
 """
 
