@@ -28,16 +28,18 @@ HEADLINE = [
     "purchase_window_attribution",
     "pq_ann_l2",
     "top3_orders_per_customer",
-    "events_hourly",
-    "sessionization",
+    "session_window_stats",
+    "sliding_window_counts",
     "doc_token_stats",
     "exact_dedup_docs",
     "knn_exact_l2",
-    "knn_exact_cosine",
+    "knn_exact_cosine_dot",
     "simhash_hamming_knn",
     "embedding_near_dup",
     "curation_pipeline",
     "hnsw_search_l2",
+    "minhash_near_dup",
+    "dedup_clusters",
 ]
 
 
@@ -128,6 +130,74 @@ def bench_hnsw_reference_shape(spark, timings: dict) -> None:
     timings["pq_search_100_in_20000"] = round(time.perf_counter() - t0, 3)
 
 
+def bench_ann_crossover(spark, timings: dict) -> None:
+    """HNSW-vs-exact crossover (VERDICT r01 item 6) and shard routing
+    (item 7): 50k 64-d float vectors, content-sharded (k-means cells)
+    HNSW vs exact scans (expression AND per-partition BLAS), 500 queries.
+
+    Records: exact scan, all-shards HNSW fan-out, and nprobe-routed
+    HNSW — routed cost must be sublinear in shard count (it searches
+    nprobe of 32 cells); crossover numbers are discussed in NOTES.md."""
+    import pyspark.sql.functions as F
+
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import hnsw
+    from hawk_pack_spark.operators.knn_exact import knn_exact
+    from hawk_pack_spark.operators.similarity import ivf_build, l2_topk_numpy
+
+    n = 50_000
+    n_queries = 500
+    if os.environ.get("SPARK_GRAFT_BENCH_FAST"):
+        n = 20_000
+    params = HawkParams.new(64, 48, 16)
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.sin(F.col("id") * i * 0.7 + i * i * 1.3),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    queries = vecs.where(F.col("vec_id") % (n // n_queries) == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).localCheckpoint()
+
+    t0 = time.perf_counter()
+    # coarse quantizer fit on a 20% sample (the 100 TB recipe: never
+    # fit k-means on the full corpus), assignment covers every row
+    assigned, _ = ivf_build(vecs, n_clusters=32, max_iter=5, fit_fraction=0.2)
+    index = hnsw.build_index(
+        vecs, metric="l2_sq", params=params, num_shards=32,
+        assignments=assigned.select("vec_id", F.col("cluster").alias("shard")),
+    ).localCheckpoint()
+    index.count()
+    timings[f"ann_build_content_sharded_{n}"] = round(time.perf_counter() - t0, 3)
+
+    # exact contrasts: the LinearDb-analog expression scan (interpreted
+    # higher-order funcs; 100 queries are plenty to place it) and the
+    # STRONGEST exact path — a per-partition BLAS matmul — at the full
+    # query load. The ANN rows must beat the latter to claim a win.
+    q100 = queries.where(F.col("query_id") < n // 5)
+    t0 = time.perf_counter()
+    knn_exact(vecs, q100, k=10, metric="l2_sq").count()
+    timings[f"ann_exact_expr_100q_{n}"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    l2_topk_numpy(vecs, queries, k=10).count()
+    timings[f"ann_exact_blas_{n_queries}q_{n}"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    hnsw.search(
+        index, queries, k=10, metric="l2_sq", params=params, num_shards=32
+    ).count()
+    timings[f"ann_hnsw_fanout_{n_queries}q_{n}"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    hnsw.search(
+        index, queries, k=10, metric="l2_sq", params=params,
+        num_shards=32, nprobe_shards=6,
+    ).count()
+    timings[f"ann_hnsw_routed_{n_queries}q_{n}"] = round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -152,6 +222,7 @@ def main() -> None:
         _ = n
 
     bench_hnsw_reference_shape(spark, timings)
+    bench_ann_crossover(spark, timings)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -96,11 +96,30 @@ def build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
-    """Build the sharded HNSW index DataFrame."""
-    prepped = _normalize_vectors(vectors, id_col, vec_col, metric).withColumn(
-        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(num_shards)).cast("int")
-    )
+    """Build the sharded HNSW index DataFrame.
+
+    ``assignments`` ((id, shard) rows, e.g. the k-means clusters of
+    ``similarity.ivf_build``) switches sharding from id-hash to CONTENT:
+    each shard covers a region of vector space, which is what makes
+    ``search(nprobe_shards=...)`` routing effective — with id-hashed
+    shards every shard sees the same distribution and routing can't
+    prune. This is IVF-partitioned HNSW (the IVF cell is the placement
+    unit, an HNSW graph accelerates search inside each cell) — the
+    standard composition for >100M-vector deployments."""
+    if assignments is not None:
+        prepped = _normalize_vectors(vectors, id_col, vec_col, metric).join(
+            assignments.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col("shard").cast("int").alias("shard"),
+            ),
+            "vec_id",
+        )
+    else:
+        prepped = _normalize_vectors(vectors, id_col, vec_col, metric).withColumn(
+            "shard", F.pmod(F.xxhash64("vec_id"), F.lit(num_shards)).cast("int")
+        )
     # explicit repartition: AQE's partition coalescing sees tiny shuffle
     # bytes and would merge the CPU-heavy kernel groups into few tasks,
     # serializing the build; user-specified partition counts are exempt
@@ -118,6 +137,43 @@ def build_index(
     return prepped.groupBy("shard").applyInPandas(build_shard, INDEX_SCHEMA)
 
 
+def shard_centroids(index_df: DataFrame, metric: str = "l2_sq") -> DataFrame:
+    """Per-shard centroid for query routing: element-wise mean of the
+    float payloads, or the bit-majority code for hamming. num_shards
+    rows — small enough to broadcast into query planning."""
+    if metric == "hamming":
+        sums = index_df.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(
+                    F.shiftrightunsigned("code", i).bitwiseAND(F.lit(1))
+                ).alias(f"_b{i}")
+                for i in range(64)
+            ],
+        )
+        code = F.lit(0).cast("long")
+        for i in range(64):
+            # bit 63 is the sign bit of the stored BIGINT: its two's-
+            # complement value is -2^63 (1 << 63 overflows signed long)
+            bit_val = (1 << i) if i < 63 else -(1 << 63)
+            code = code + F.when(
+                F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(bit_val).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return sums.select("shard", code.alias("c_code"))
+    per_dim = index_df.select(
+        "shard", F.posexplode("vec").alias("pos", "x")
+    ).groupBy("shard", "pos").agg(F.avg("x").alias("m"))
+    return (
+        per_dim.groupBy("shard")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("pm")
+        )
+        .select("shard", F.transform("pm", lambda e: e["m"]).alias("c_vec"))
+    )
+
+
 def search(
     index_df: DataFrame,
     queries: DataFrame,
@@ -127,17 +183,57 @@ def search(
     ef_search: int | None = None,
     query_id: str = "query_id",
     query_col: str = "query_vec",
+    num_shards: int | None = None,
+    nprobe_shards: int | None = None,
 ) -> DataFrame:
     """kNN over the sharded index: per-shard beam search (cogroup kernel),
-    then a global top-k merge. Returns (query_id, vec_id, dist, rank)."""
-    # shard ids are tiny (≤ thousands); materialize to break the self-join
-    # lineage between index_df and the replicated queries
-    shard_ids = [r.shard for r in index_df.select("shard").distinct().collect()]
-    shards = queries.sparkSession.createDataFrame(
-        [(s,) for s in shard_ids], "shard int"
-    )
+    then a global top-k merge. Returns (query_id, vec_id, dist, rank).
+
+    ``nprobe_shards``: route each query to only its n nearest shard
+    centroids (IVF-style coarse routing) instead of fanning out to every
+    shard — the scale path once shard count passes ~hundreds, making
+    per-query cost sublinear in shard count. None = consult all shards
+    (exact-within-index behavior). ``num_shards`` skips the one-row
+    metadata lookup when the caller already knows it (build metadata)."""
+    from hawk_pack_spark.functions.distance import distance_expr
+    from hawk_pack_spark.operators.topk import topk_rows
+
+    if num_shards is None:
+        # single-scalar metadata lookup (not a per-shard distinct scan);
+        # serving deployments should pass num_shards from build metadata
+        num_shards = 1 + (index_df.agg(F.max("shard")).collect()[0][0] or 0)
+    shard_ids = list(range(num_shards))
     qn = _normalize_vectors(queries, query_id, query_col, metric, out_id="query_id")
-    qrep = qn.crossJoin(F.broadcast(shards))  # replicate queries to every shard
+    if nprobe_shards is not None and nprobe_shards < num_shards:
+        # materialize the centroid table (num_shards rows) — breaks the
+        # lineage between index_df and the routed queries (the cogroup
+        # below would otherwise be an ambiguous self-join); at serving
+        # time centroids come from build metadata, not a per-query scan
+        cent_rows = shard_centroids(index_df, metric).collect()
+        if metric == "hamming":
+            cents = queries.sparkSession.createDataFrame(
+                [(r.shard, r.c_code) for r in cent_rows], "shard int, c_code long"
+            )
+        else:
+            cents = queries.sparkSession.createDataFrame(
+                [(r.shard, r.c_vec) for r in cent_rows],
+                "shard int, c_vec array<double>",
+            )
+        q_payload = "code" if metric == "hamming" else "vec"
+        c_payload = "c_code" if metric == "hamming" else "c_vec"
+        scored = qn.crossJoin(F.broadcast(cents)).withColumn(
+            "_cdist", distance_expr(metric, F.col(q_payload), F.col(c_payload))
+        )
+        routed = topk_rows(
+            scored, ["query_id"], "_cdist", nprobe_shards, tie_cols=["shard"],
+            rank_name="_crank",
+        ).select("query_id", "shard")
+        qrep = qn.join(routed, "query_id")
+    else:
+        shards = queries.sparkSession.createDataFrame(
+            [(s,) for s in shard_ids], "shard int"
+        )
+        qrep = qn.crossJoin(F.broadcast(shards))  # replicate queries to every shard
 
     def search_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:

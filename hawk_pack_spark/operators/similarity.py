@@ -76,12 +76,18 @@ def ivf_build(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    fit_fraction: float | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Fit seeded k-means and assign every vector to a cluster.
 
     Returns (assigned vectors DataFrame with a `cluster` column,
     centroid list). Centroids are small (n_clusters × dim) and live on
-    the driver for broadcast into query planning."""
+    the driver for broadcast into query planning.
+
+    ``fit_fraction``: fit the model on a seeded sample instead of the
+    full table (assignment still covers every row) — the standard
+    coarse-quantizer training recipe; at 100 TB you never fit k-means
+    on the full corpus."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -90,7 +96,12 @@ def ivf_build(
         F.col(vec_col).cast("array<double>").alias(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(ml_df)
+    fit_df = (
+        ml_df.sample(fraction=fit_fraction, seed=seed)
+        if fit_fraction is not None
+        else ml_df
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(fit_df)
     assigned = model.transform(ml_df).select(
         F.col(id_col),
         F.col(vec_col),
@@ -276,6 +287,51 @@ def all_pairs_cosine_numpy(
         .cogroup(right.groupBy("ba", "bb"))
         .applyInPandas(block_pair, "id_a long, id_b long, sim double")
     )
+
+
+def l2_topk_numpy(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+) -> DataFrame:
+    """Exact L2² top-k via one BLAS product per partition:
+    ||q-v||² = ||q||² - 2q·v + ||v||², so the pairwise matrix is a
+    matmul plus two rank-1 updates. Queries broadcast (small side);
+    each vector partition emits its local top-k; a Window merges —
+    the strongest exact baseline for the ANN crossover bench."""
+    import pandas as pd
+
+    q_rows = queries.select(query_id, query_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_mat))
+
+    def part(it):
+        q_ids_, q_mat_ = bc.value
+        q_sq = (q_mat_ * q_mat_).sum(1)[:, None]
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[vec_id].to_numpy(dtype=np.int64)
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d = q_sq - 2.0 * (q_mat_ @ mat.T) + (mat * mat).sum(1)[None, :]
+            kk = min(k, d.shape[1])
+            top = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(d.shape[0]):
+                for vi in top[qi]:
+                    rows.append((int(q_ids_[qi]), int(ids[vi]), float(d[qi, vi])))
+            yield pd.DataFrame(rows, columns=["query_id", "vec_id", "dist"])
+
+    local = vectors.select(vec_id, vec_col).mapInPandas(
+        part, "query_id long, vec_id long, dist double"
+    )
+    return topk_rows(local, ["query_id"], "dist", k, ascending=True, tie_cols=["vec_id"])
 
 
 def cosine_topk_numpy(

@@ -34,6 +34,71 @@ def num_layers(links: DataFrame) -> int:
     return 0 if top is None else int(top) + 1
 
 
+# ---------------------------------------------------------------------------
+# Postgres row layout (migrations/20240909105321_init.up.sql):
+#   hawk_graph_links(source_ref text, layer integer, links jsonb,
+#                    PRIMARY KEY (source_ref, layer))
+#   hawk_graph_entry(entry_point jsonb, id integer PRIMARY KEY)
+# The jsonb values mirror graph_pg.rs's serde encoding: a neighbor queue
+# serializes as [[vector_ref, distance], ...] (FurthestQueue is a
+# Vec<(V, D)>), the entry point as {"point": ..., "layer": n}
+# (EntryPoint struct, graph_store/mod.rs:14-18). These converters are the
+# layout contract; JDBC is just one transport for the same rows.
+
+
+def to_pg_rows(links: DataFrame, entries: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Normalized links/entry views → the reference's Postgres row shapes.
+
+    Returns (links_rows, entry_rows). ``entries`` is the per-shard entry
+    table of `hnsw.entry_points`; the reference keeps ONE row (id=0,
+    graph_pg.rs:69-80) because it is single-index — per-shard rows keyed
+    by shard id generalize that (id = shard)."""
+    links_rows = links.select(
+        F.col("src").cast("string").alias("source_ref"),
+        F.col("layer").cast("int").alias("layer"),
+        F.to_json(
+            F.transform(
+                "nbrs",
+                lambda x: F.array(x["dst"].cast("double"), x["dist"].cast("double")),
+            )
+        ).alias("links"),
+    )
+    entry_rows = entries.select(
+        F.to_json(
+            F.struct(F.col("point").alias("point"), F.col("layer").alias("layer"))
+        ).alias("entry_point"),
+        F.col("shard").cast("int").alias("id"),
+    )
+    return links_rows, entry_rows
+
+
+def from_pg_rows(
+    links_rows: DataFrame, entry_rows: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Inverse of `to_pg_rows`: parse the Postgres row shapes back into
+    the normalized links view (layer, src, nbrs ARRAY<STRUCT<dist,dst>>)
+    and entry table (shard, point, layer)."""
+    nbr_pairs = F.from_json(F.col("links"), "array<array<double>>")
+    links = links_rows.select(
+        F.col("source_ref").cast("long").alias("src"),
+        F.col("layer").cast("int").alias("layer"),
+        F.transform(
+            nbr_pairs,
+            lambda p: F.struct(
+                F.element_at(p, 2).alias("dist"),
+                F.element_at(p, 1).cast("long").alias("dst"),
+            ),
+        ).alias("nbrs"),
+    )
+    ep = F.from_json(F.col("entry_point"), "struct<point: long, layer: int>")
+    entries = entry_rows.select(
+        F.col("id").cast("int").alias("shard"),
+        ep["point"].alias("point"),
+        ep["layer"].alias("layer"),
+    )
+    return links, entries
+
+
 def export_links_jdbc(
     links: DataFrame,
     url: str | None = None,
@@ -41,17 +106,22 @@ def export_links_jdbc(
     mode: str = "overwrite",
 ) -> bool:
     """Export the normalized links view to the reference's Postgres
-    layout: (source_ref TEXT, layer INT, links JSON-as-TEXT). Returns
-    False (no-op) when no JDBC URL is configured — this container has
-    no database; the path is exercised against any reachable JDBC
-    endpoint in production."""
+    layout over JDBC. Returns False (no-op) when no JDBC URL is
+    configured — this container has no database; the ROW LAYOUT itself
+    is contract-tested without a database in
+    tests/test_graph_store.py::test_pg_row_layout_roundtrip."""
     url = url or os.environ.get("HAWK_PACK_JDBC_URL")
     if not url:
         return False
     rows = links.select(
         F.col("src").cast("string").alias("source_ref"),
         F.col("layer"),
-        F.to_json(F.col("nbrs")).alias("links"),
+        F.to_json(
+            F.transform(
+                "nbrs",
+                lambda x: F.array(x["dst"].cast("double"), x["dist"].cast("double")),
+            )
+        ).alias("links"),
     )
     rows.write.format("jdbc").option("url", url).option("dbtable", table).mode(
         mode

@@ -54,3 +54,41 @@ def test_incremental_build_matches_single_shot_quality(spark, sf_dir):
     assert r_incr > 0.95, f"incremental recall {r_incr}"
     # deviation between build strategies stays small
     assert abs(r_single - r_incr) < 0.05, (r_single, r_incr)
+
+
+def test_driver_loop_build_quality_vs_kernel(spark):
+    """Design (b) — the pure-dataflow driver-loop build with per-layer
+    beam snapshots — must produce an index whose search recall matches
+    the kernel build (design a) on the same vectors (VERDICT r01 item 5:
+    measure (b) against (a), not just (b) alone)."""
+    from hawk_pack_spark.operators.hnsw_driver import build_index_driver_loop
+
+    n = 150
+    params = HawkParams.new(32, 24, 8)
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.sin(F.col("id") * i * 0.9 + i * 2.17),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    queries = vecs.where(F.col("vec_id") % 10 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_exact(vecs, queries, k=5, metric="l2_sq")
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    kernel_idx = hnsw.build_index(vecs, metric="l2_sq", params=params, num_shards=2)
+    dataflow_idx = build_index_driver_loop(
+        vecs, metric="l2_sq", params=params, num_shards=2, bootstrap_size=40
+    )
+
+    recalls = {}
+    for name, idx in (("kernel", kernel_idx), ("dataflow", dataflow_idx)):
+        res = hnsw.search(idx, queries, k=5, metric="l2_sq", params=params)
+        a = {(r.query_id, r.vec_id) for r in res.collect()}
+        recalls[name] = len(a & e) / len(e)
+    assert recalls["kernel"] > 0.9, recalls
+    # batch-frozen rounds may deviate slightly from serial insertion,
+    # but the two designs must be in the same quality class
+    assert recalls["dataflow"] >= recalls["kernel"] - 0.1, recalls

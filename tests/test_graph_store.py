@@ -49,3 +49,57 @@ def test_num_layers(spark):
     assert G.num_layers(links) == 3
     assert G.num_layers(links, shard=1) == 1
     assert G.num_layers(G.empty_links(spark)) == 0
+
+
+def test_pg_row_layout_roundtrip(spark, tmp_path):
+    """The reference's Postgres row layout (init.up.sql:1-12:
+    hawk_graph_links(source_ref text, layer int, links jsonb) +
+    hawk_graph_entry(entry_point jsonb, id int)) must round-trip
+    losslessly through an actual write/read of those shapes — exercised
+    via files since the container has no database; JDBC is only a
+    different transport for the same rows."""
+    from pyspark.sql import functions as F
+
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import hnsw
+    from hawk_pack_spark.sources.graph_io import from_pg_rows, to_pg_rows
+
+    codes = spark.range(80).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 37).alias("code")
+    )
+    params = HawkParams.new(32, 16, 8)
+    index = hnsw.build_index(
+        codes, metric="hamming", params=params, num_shards=2, vec_col="code"
+    ).cache()
+    links = hnsw.to_links(index)
+    entries = hnsw.entry_points(index)
+
+    links_rows, entry_rows = to_pg_rows(links, entries)
+    # write/read the exact table shapes (files stand in for the tables)
+    links_rows.write.mode("overwrite").json(str(tmp_path / "hawk_graph_links"))
+    entry_rows.write.mode("overwrite").json(str(tmp_path / "hawk_graph_entry"))
+    lr = spark.read.schema("source_ref string, layer int, links string").json(
+        str(tmp_path / "hawk_graph_links")
+    )
+    er = spark.read.schema("entry_point string, id int").json(
+        str(tmp_path / "hawk_graph_entry")
+    )
+
+    links2, entries2 = from_pg_rows(lr, er)
+    # entry parity: same (shard, point, layer) set
+    assert {tuple(r) for r in entries2.collect()} == {
+        (r.shard, r.point, r.layer) for r in entries.collect()
+    }
+    # links parity: same (layer, src) keys and identical neighbor queues
+    # (order preserved by the JSON array; dst exact, dist to fp precision)
+    orig = {
+        (r.layer, r.src): [(n.dist, n.dst) for n in r.nbrs] for r in links.collect()
+    }
+    back = {
+        (r.layer, r.src): [(n.dist, n.dst) for n in r.nbrs] for r in links2.collect()
+    }
+    assert orig == back
+    # PK uniqueness of the exported rows: one row per (source_ref, layer)
+    assert (
+        links_rows.groupBy("source_ref", "layer").count().where(F.col("count") > 1)
+    ).isEmpty()

@@ -93,6 +93,54 @@ def test_recall_vs_exact_on_embeddings(spark, sf_dir):
     assert recall > 0.95, f"recall@10 = {recall}"
 
 
+def test_shard_routed_search(spark, sf_dir, code_index):
+    """IVF-partitioned HNSW: content-sharded build (k-means assignment)
+    + routing each query to its nprobe nearest shard centroids must keep
+    recall vs the all-shards fan-out — the scale path once shard count
+    passes ~hundreds. (With id-hashed shards routing CANNOT prune: every
+    shard sees the same distribution; content sharding is what makes the
+    centroids informative.)"""
+    from hawk_pack_spark.operators.similarity import ivf_build
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).cache()
+    params = HawkParams.new(64, 64, 16)
+    assigned, _ = ivf_build(emb, n_clusters=8)
+    index = hnsw.build_index(
+        emb, metric="l2_sq", params=params, num_shards=8,
+        assignments=assigned.select("vec_id", F.col("cluster").alias("shard")),
+    ).cache()
+    queries = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = hnsw.search(index, queries, k=10, metric="l2_sq", params=params)
+    routed = hnsw.search(
+        index, queries, k=10, metric="l2_sq", params=params,
+        num_shards=8, nprobe_shards=4,
+    )
+    f = {(r.query_id, r.vec_id) for r in full.collect()}
+    r = {(r.query_id, r.vec_id) for r in routed.collect()}
+    recall = len(f & r) / len(f)
+    assert recall > 0.75, f"routed recall vs full fan-out = {recall}"
+    # the query's own cell is always its nearest centroid, so the
+    # self-match must survive routing
+    self_rows = routed.where(
+        (F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)
+    ).count()
+    assert self_rows == 30
+
+    # hamming routing path (bit-majority centroids): plumbing returns
+    # a full result set per query
+    cq = spark.range(60).select(
+        F.col("id").alias("query_id"), F.col("id").alias("query_vec")
+    )
+    routed_h = hnsw.search(
+        code_index, cq, k=1, metric="hamming", params=PARAMS, nprobe_shards=2,
+    )
+    assert routed_h.count() == 60
+
+
 def test_index_persistence_roundtrip(spark, code_index, tmp_path):
     from hawk_pack_spark.sources.graph_io import load_index, num_layers, save_index
 

@@ -71,3 +71,32 @@ def test_exists_and_dedup_on_ingest(spark):
     # inserting the same batch again adds nothing (linear_db.rs:43-52)
     out2 = insert_unless_match(out, queries)
     assert out2.count() == 3
+
+
+def test_knn_self_duplicate_ties(spark):
+    """knn_self under exact duplicates (ADVICE r01): with >= k+1 copies
+    of one vector, the self row can tie at dist 0 behind lower-id
+    duplicates; ranks must still come back dense 1..k per query with
+    exactly k rows and no self rows."""
+    from hawk_pack_spark.operators.knn_exact import knn_self
+
+    k = 3
+    # ids 0..4 all identical; 5..9 distinct
+    rows = [(i, [1.0, 2.0]) for i in range(5)] + [
+        (i, [float(i), float(i) + 1.0]) for i in range(5, 10)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_self(vecs, k=k, metric="l2_sq").collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.vec_id, "self row leaked"
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for qid, rs in by_q.items():
+        assert len(rs) == k, f"query {qid}: {len(rs)} rows"
+        assert sorted(r.rank for r in rs) == list(range(1, k + 1))
+        dists = [r.dist for r in sorted(rs, key=lambda r: r.rank)]
+        assert dists == sorted(dists)
+    # a duplicate's top-k is the other k duplicates at distance 0
+    for qid in range(5):
+        assert all(r.dist == 0.0 and r.vec_id < 5 for r in by_q[qid])
