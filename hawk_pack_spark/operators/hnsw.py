@@ -88,6 +88,51 @@ def _normalize_vectors(
     )
 
 
+def balance_assignments(
+    assignments: DataFrame,
+    max_cell: int,
+    id_col: str = "vec_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Split oversized content cells into hash sub-shards.
+
+    K-means cells are uneven; a kernel task owns a whole shard, so one
+    hot cell serializes the build/search stage (applyInPandas groups
+    can't be split by AQE). Cells larger than ``max_cell`` are salted
+    into ceil(size/max_cell) sub-shards; sub-shard ids are dense-packed
+    after the original id space. Search routing is unaffected: centroids
+    are computed per (sub-)shard from members, so a split cell simply
+    contributes several nearby centroids — queries probing the region
+    probe its sub-shards."""
+    sizes = assignments.groupBy(shard_col).agg(F.count(F.lit(1)).alias("_sz"))
+    base = 1 + (assignments.agg(F.max(shard_col)).collect()[0][0] or 0)
+    splits = (
+        sizes.withColumn("_k", F.ceil(F.col("_sz") / F.lit(max_cell)).cast("int"))
+        .withColumn(
+            "_offset",
+            F.sum(F.when(F.col("_k") > 1, F.col("_k")).otherwise(0)).over(
+                Window.orderBy(shard_col).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select(shard_col, "_k", F.coalesce("_offset", F.lit(0)).alias("_offset"))
+    )
+    out = (
+        assignments.join(F.broadcast(splits), shard_col)
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_k") <= 1, F.col(shard_col)
+            ).otherwise(
+                F.lit(base)
+                + F.col("_offset")
+                + F.pmod(F.xxhash64(id_col), F.col("_k")).cast("int")
+            ),
+        )
+        .select(F.col(id_col), F.col("_new").cast("int").alias(shard_col))
+    )
+    return out
+
+
 def build_index(
     vectors: DataFrame,
     metric: str = "l2_sq",

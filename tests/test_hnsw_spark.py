@@ -233,3 +233,47 @@ def test_delete_from_index(spark):
         dels.select(F.col("vec_id")), "vec_id", "left_semi"
     ).count()
     assert overlap == 0
+
+
+def test_balance_assignments_splits_hot_cells(spark, sf_dir):
+    """Content cells are uneven (k-means); a kernel task owns a whole
+    shard, so hot cells must split into sub-shards before the build.
+    Balance, then verify cell-size bound, index integrity, and routed
+    search on the balanced index."""
+    from hawk_pack_spark.operators.similarity import ivf_build
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).cache()
+    n = emb.count()
+    # degenerate assignment: everything in cell 0 except a few rows
+    skewed = emb.select(
+        "vec_id", F.when(F.col("vec_id") < 5, 1).otherwise(0).cast("int").alias("shard")
+    )
+    balanced = hnsw.balance_assignments(skewed, max_cell=100)
+    sizes = {r.shard: r.cnt for r in balanced.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert max(sizes.values()) <= 160, sizes  # hash salting ~uniform
+    assert sum(sizes.values()) == n
+    # original hot cell id vacated, members redistributed beyond max id
+    assert 0 not in sizes
+
+    params = HawkParams.new(64, 64, 16)
+    index = hnsw.build_index(
+        emb, metric="l2_sq", params=params,
+        num_shards=len(sizes), assignments=balanced,
+    ).cache()
+    assert index.count() == n
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    routed = hnsw.search(
+        index, queries, k=5, metric="l2_sq", params=params, nprobe_shards=4
+    )
+    rows = routed.collect()
+    assert len(rows) == 100
+    # sub-shards of the split cell are spatially interchangeable, so the
+    # self row must still be routable (its sub-shard centroid is as
+    # close as any sibling's)
+    self_hits = sum(1 for r in rows if r.query_id == r.vec_id and r.dist == 0.0)
+    assert self_hits >= 16, self_hits
