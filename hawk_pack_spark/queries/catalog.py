@@ -2171,6 +2171,58 @@ FROM embeddings WHERE vec_id % 100 = 3
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the documents fixture (operators/bm25.py):
+    postings + idf + length-normalized tf scoring, top-10 per query.
+    Two queries of exactly TWO terms each: a two-operand float sum is
+    order-independent (fp addition commutes; only associativity breaks),
+    so the score hash-matches the oracle."""
+    from hawk_pack_spark.operators.bm25 import bm25_build, bm25_search
+
+    docs = load_table(spark, "documents", sf_dir)
+    index = bm25_build(docs)
+    qs = spark.createDataFrame(
+        [(0, ["scan", "merge"]), (1, ["window", "join"])],
+        "query_id long, terms array<string>",
+    )
+    out = bm25_search(index, qs, k=10)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+ex AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q AS (
+  SELECT 0 AS query_id, unnest(['scan', 'merge']) AS term
+  UNION ALL
+  SELECT 1 AS query_id, unnest(['window', 'join']) AS term),
+s AS (
+  SELECT q.query_id, tf.doc_id,
+    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, corpus),
+sc AS (SELECT query_id, doc_id, ROUND(SUM(s), 6) AS score
+       FROM s GROUP BY query_id, doc_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      FROM sc)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
+"""
+
+
+
 CATALOG: dict[str, QuerySpec] = {
     # -- round-2 front block: entries that were unchecked (or whose
     # implementation changed) go FIRST so the driver's 50-entry
@@ -2247,4 +2299,5 @@ RETIRED: dict[str, QuerySpec] = {
     "knn_exact_dot": QuerySpec(q_knn_exact_dot, KNN_DOT_SQL, "merged into knn_exact_cosine_dot"),
     "minhash_near_dup_uncapped": QuerySpec(q_minhash_near_dup_uncapped, _minhash_sql(), "uncapped MinHash-LSH (capped is the catalog default)"),
     "ngram_jaccard_uncapped": QuerySpec(q_ngram_jaccard_uncapped, NGRAM_JACCARD_SQL, "uncapped n-gram Jaccard"),
+    "bm25_topk": QuerySpec(q_bm25_topk, BM25_SQL, "BM25 retrieval (catalog at its 50-entry cap; pytest parity)"),
 }
