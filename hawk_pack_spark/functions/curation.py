@@ -1,0 +1,143 @@
+"""Training-data curation operators: repetition metrics, n-gram
+decontamination, and deterministic stratified sampling.
+
+These are the published curation stages a 100 TB pretraining pipeline
+runs between raw ingest and tokenization:
+
+- **Repetition metrics** (Rae et al. 2021 "Gopher", Table A1): fraction
+  of the document covered by its most frequent word 2-gram and by
+  duplicated word 5-grams. Documents dominated by repeated n-grams are
+  boilerplate/spam and get gated out.
+- **Decontamination** (Brown et al. 2020 "GPT-3", App. C): any training
+  document sharing >= k exact word n-grams with an evaluation set is
+  flagged. Expressed as an n-gram equi-join against the (small) eval
+  gram set — broadcast-joinable at any training-corpus scale.
+- **Stratified sampling** (domain/language mixing, e.g. The Pile /
+  CCNet): a deterministic per-group Bernoulli gate,
+  ``hash(id) mod 1000 < rate_permille(group)``. Hash-based (not rand())
+  so the sample is reproducible across runs, engines, and partitionings.
+
+Everything here is JVM-side built-ins on integer counts — no Python
+UDFs, no floats — so every operator is oracle-checkable bit-for-bit
+and stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hawk_pack_spark.functions import text as T
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("lang", "doc_id"),
+    short_n: int = 2,
+    long_n: int = 5,
+    top_frac_permille: int = 200,
+    dup_frac_permille: int = 100,
+) -> DataFrame:
+    """Per-document word n-gram repetition metrics (integer-only).
+
+    Returns one row per document: ``max_short`` (count of the most
+    frequent short_n-gram), ``n_short`` (total short_n-grams),
+    ``dup_long`` (total occurrences of long_n-grams that appear more
+    than once), ``n_long`` (total long_n-grams), and ``repetitive``
+    (1 when max_short/n_short > top_frac_permille/1000 or
+    dup_long/n_long > dup_frac_permille/1000, compared by integer
+    cross-multiplication so no floats are involved).
+
+    Scale shape: two explode->groupBy passes keyed by (doc, gram); both
+    shuffles are on high-cardinality keys, map-side combined, and the
+    result is one row per document. Linear in corpus bytes.
+    """
+    ids = [F.col(c) for c in id_cols]
+
+    def gram_stats(n: int, max_alias: str, tot_alias: str, dup_alias: str) -> DataFrame:
+        g = docs.select(*ids, F.explode(T.word_ngrams(text_col, n)).alias("gram"))
+        per_gram = g.groupBy(*id_cols, "gram").agg(F.count(F.lit(1)).alias("c"))
+        return per_gram.groupBy(*id_cols).agg(
+            F.max("c").alias(max_alias),
+            F.sum("c").alias(tot_alias),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+                dup_alias
+            ),
+        )
+
+    s = gram_stats(short_n, "max_short", "n_short", "_dup_s")
+    lg = gram_stats(long_n, "_max_l", "n_long", "dup_long")
+    j = s.drop("_dup_s").join(lg.drop("_max_l"), list(id_cols), "left")
+    j = j.withColumn("n_long", F.coalesce("n_long", F.lit(0))).withColumn(
+        "dup_long", F.coalesce("dup_long", F.lit(0))
+    )
+    flag = (
+        F.col("max_short") * F.lit(1000) > F.col("n_short") * F.lit(top_frac_permille)
+    ) | (F.col("dup_long") * F.lit(1000) > F.col("n_long") * F.lit(dup_frac_permille))
+    return j.withColumn("repetitive", F.when(flag, F.lit(1)).otherwise(F.lit(0)))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("lang", "doc_id"),
+    n: int = 3,
+    min_hits: int = 3,
+) -> DataFrame:
+    """Flag training documents that share exact word n-grams with an
+    evaluation set (GPT-3 App. C decontamination, word-level).
+
+    Returns one row per training document with ``hits`` (number of the
+    doc's DISTINCT n-grams that appear anywhere in the eval set) and
+    ``contaminated`` (1 when hits >= min_hits).
+
+    Scale shape: the eval gram set is tiny relative to the corpus
+    (benchmarks are ~1e5 docs vs ~1e10 training docs), so the join is
+    explicitly broadcast — the corpus side never shuffles; the only
+    wide op is the per-doc hit count, map-side combined.
+    """
+    grams = F.explode(F.array_distinct(T.word_ngrams(text_col, n))).alias("gram")
+    eval_grams = (
+        eval_docs.select(F.explode(F.array_distinct(T.word_ngrams(text_col, n))).alias("gram"))
+        .distinct()
+    )
+    tr = train.select(*[F.col(c) for c in id_cols], grams)
+    hits = (
+        tr.join(F.broadcast(eval_grams), "gram")
+        .groupBy(*id_cols)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    out = train.select(*id_cols).join(hits, list(id_cols), "left")
+    out = out.withColumn("hits", F.coalesce("hits", F.lit(0)))
+    return out.withColumn(
+        "contaminated",
+        F.when(F.col("hits") >= F.lit(min_hits), F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def stratified_keep(
+    id_col: Column | str,
+    group_col: Column | str,
+    rates_permille: Mapping[str, int],
+    default_permille: int = 100,
+    salt: str = "strat",
+) -> Column:
+    """Deterministic Bernoulli gate: keep iff
+    ``hash64(salt || id) mod 1000 < rate_permille(group)``.
+
+    Reproducible across runs/partitionings (pure function of the id),
+    engine-portable (md5-based hash64), and exact: the realized rate
+    converges to rate_permille/1000 with no RNG state to manage. This is
+    how corpus mixing weights are applied at scale — a rand() sample
+    changes membership on every retry/replay; a hash gate never does.
+    """
+    bucket = F.pmod(T.hash64(F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string"), salt=salt), F.lit(1000))
+    rate: Column = F.lit(default_permille)
+    for g, p in sorted(rates_permille.items()):
+        gc = F.col(group_col) if isinstance(group_col, str) else group_col
+        rate = F.when(gc == F.lit(g), F.lit(p)).otherwise(rate)
+    return bucket < rate

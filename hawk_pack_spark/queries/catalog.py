@@ -2223,6 +2223,198 @@ SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
 
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (Rae et al. 2021, Table A1), word
+    level: per-lang totals of top-2-gram concentration and duplicated
+    5-gram mass, plus how many docs the gate rejects. Integer-only
+    (fractions compared by cross-multiplication) so parity is exact."""
+    from hawk_pack_spark.functions.curation import repetition_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = repetition_stats(docs)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("repetitive").alias("n_repetitive"),
+        F.sum("max_short").alias("sum_max2"),
+        F.sum("n_short").alias("sum_n2"),
+        F.sum("dup_long").alias("sum_dup5"),
+        F.sum("n_long").alias("sum_n5"),
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT lang, doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+g2 AS (
+  SELECT lang, doc_id, unnest(CASE WHEN len(ts) >= 2
+    THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+    ELSE [] END) AS gram
+  FROM toks),
+c2 AS (SELECT lang, doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3),
+d2 AS (SELECT lang, doc_id, MAX(c) AS max_short,
+         CAST(SUM(c) AS BIGINT) AS n_short FROM c2 GROUP BY 1, 2),
+g5 AS (
+  SELECT lang, doc_id, unnest(CASE WHEN len(ts) >= 5
+    THEN list_transform(range(1, len(ts) - 3),
+         i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] || ' '
+              || ts[i + 3] || ' ' || ts[i + 4])
+    ELSE [] END) AS gram
+  FROM toks),
+c5 AS (SELECT lang, doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY 1, 2, 3),
+d5 AS (SELECT lang, doc_id,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_long,
+         CAST(SUM(c) AS BIGINT) AS n_long FROM c5 GROUP BY 1, 2),
+per_doc AS (
+  SELECT d2.lang, d2.doc_id, max_short, n_short,
+    COALESCE(dup_long, 0) AS dup_long, COALESCE(n_long, 0) AS n_long,
+    CASE WHEN max_short * 1000 > n_short * 200
+           OR COALESCE(dup_long, 0) * 1000 > COALESCE(n_long, 0) * 100
+         THEN 1 ELSE 0 END AS repetitive
+  FROM d2 LEFT JOIN d5 ON d2.lang = d5.lang AND d2.doc_id = d5.doc_id)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(repetitive) AS BIGINT) AS n_repetitive,
+  CAST(SUM(max_short) AS BIGINT) AS sum_max2,
+  CAST(SUM(n_short) AS BIGINT) AS sum_n2,
+  CAST(SUM(dup_long) AS BIGINT) AS sum_dup5,
+  CAST(SUM(n_long) AS BIGINT) AS sum_n5
+FROM per_doc GROUP BY lang
+"""
+
+
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3 App. C): docs with doc_id % 37 = 0
+    stand in for the benchmark; every other doc is flagged when >= 3 of
+    its distinct word 3-grams appear in the eval gram set. The eval gram
+    set is broadcast — the corpus side never shuffles for the join."""
+    from hawk_pack_spark.functions.curation import decontaminate
+
+    docs = load_table(spark, "documents", sf_dir)
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    tr = docs.where(F.col("doc_id") % 37 != 0)
+    flagged = decontaminate(tr, ev, n=3, min_hits=3)
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum("contaminated").alias("n_contaminated"),
+        F.sum("hits").alias("sum_hits"),
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT lang, doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+g AS (
+  SELECT lang, doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+    THEN list_transform(range(1, len(ts) - 1),
+         i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+    ELSE [] END)) AS gram
+  FROM toks),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT g.lang, g.doc_id, COUNT(*) AS hits
+  FROM g JOIN ev USING (gram)
+  WHERE g.doc_id % 37 != 0
+  GROUP BY 1, 2),
+flagged AS (
+  SELECT d.lang, d.doc_id, COALESCE(h.hits, 0) AS hits,
+    CASE WHEN COALESCE(h.hits, 0) >= 3 THEN 1 ELSE 0 END AS contaminated
+  FROM documents d LEFT JOIN hits h
+    ON d.lang = h.lang AND d.doc_id = h.doc_id
+  WHERE d.doc_id % 37 != 0)
+SELECT lang, COUNT(*) AS n_train,
+  CAST(SUM(contaminated) AS BIGINT) AS n_contaminated,
+  CAST(SUM(hits) AS BIGINT) AS sum_hits
+FROM flagged GROUP BY lang
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixing gate: per-language keep rates applied
+    as hash64(salt || doc_id) mod 1000 < rate — reproducible across
+    runs, engines, and partitionings (no RNG state). Reports per-lang
+    kept doc and token counts."""
+    from hawk_pack_spark.functions.curation import stratified_keep
+
+    docs = load_table(spark, "documents", sf_dir)
+    rates = {"en": 800, "de": 500, "fr": 500, "es": 250, "zh": 250}
+    kept = F.when(
+        stratified_keep("doc_id", "lang", rates, default_permille=100), F.lit(1)
+    ).otherwise(F.lit(0))
+    d = docs.select("lang", kept.alias("keep"), T.token_count("text").alias("t"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("keep").alias("n_kept"),
+        F.sum(F.col("keep") * F.col("t")).alias("kept_tokens"),
+    )
+
+
+STRATIFIED_SQL = """
+WITH d AS (
+  SELECT lang,
+    CASE WHEN CAST(concat('0x', substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+         < (CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500 WHEN 'fr' THEN 500
+                      WHEN 'es' THEN 250 WHEN 'zh' THEN 250 ELSE 100 END)
+         THEN 1 ELSE 0 END AS keep,
+    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS t
+  FROM documents)
+SELECT lang, COUNT(*) AS n_total,
+  CAST(SUM(keep) AS BIGINT) AS n_kept,
+  CAST(SUM(keep * t) AS BIGINT) AS kept_tokens
+FROM d GROUP BY lang
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing (budget 128 tokens) per language
+    stream, the pre-tokenization stage of a training pipeline. The
+    per-stream recurrence runs in an applyInPandas kernel (a running
+    total with conditional reset is not expressible as a window
+    function); streams fan out across executors. Oracle: the identical
+    recurrence as a recursive CTE."""
+    from hawk_pack_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang", "doc_id", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=128)
+    bins = packed.groupBy("lang", "bin_id").agg(
+        F.sum("n_tokens").alias("bt"), F.count(F.lit(1)).alias("nd")
+    )
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("nd").alias("n_docs"),
+        F.sum("bt").alias("total_tokens"),
+        F.max("bt").alias("max_bin_tokens"),
+    )
+
+
+PACK_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x != '')) AS BIGINT) AS t,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents),
+pack AS (
+  SELECT lang, rn, t, t AS fill, CAST(1 AS BIGINT) AS bin
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT k.lang, k.rn, k.t,
+    CASE WHEN p.fill + k.t > 128 THEN k.t ELSE p.fill + k.t END,
+    CASE WHEN p.fill + k.t > 128 THEN p.bin + 1 ELSE p.bin END
+  FROM toks k JOIN pack p ON k.lang = p.lang AND k.rn = p.rn + 1),
+bins AS (
+  SELECT lang, bin, CAST(SUM(t) AS BIGINT) AS bt, COUNT(*) AS nd
+  FROM pack GROUP BY 1, 2)
+SELECT lang, COUNT(*) AS n_bins, CAST(SUM(nd) AS BIGINT) AS n_docs,
+  CAST(SUM(bt) AS BIGINT) AS total_tokens, MAX(bt) AS max_bin_tokens
+FROM bins GROUP BY lang
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     # -- round-2 front block: entries that were unchecked (or whose
     # implementation changed) go FIRST so the driver's 50-entry
@@ -2240,6 +2432,13 @@ CATALOG: dict[str, QuerySpec] = {
     "multimodal_pipeline": QuerySpec(q_multimodal_pipeline, MULTIMODAL_SQL, "binary media -> features -> frames -> ANN loop"),
     "knn_exact_cosine_dot": QuerySpec(q_knn_exact_cosine_dot, _knn_cos_dot_sql(), "exact kNN, cosine + MIPS"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, Q_FP_SQL, "set + rolling doc fingerprints"),
+    # -- round-2 curation block: published training-data pipeline stages
+    # (Gopher repetition gate, GPT-3 decontamination, mixing weights,
+    # context-window packing) — new this round, so driver-window front.
+    "doc_repetition": QuerySpec(q_doc_repetition, REPETITION_SQL, "Gopher word-ngram repetition gate"),
+    "decontaminate_ngrams": QuerySpec(q_decontaminate_ngrams, DECONTAMINATE_SQL, "eval-set n-gram decontamination"),
+    "stratified_sample": QuerySpec(q_stratified_sample, STRATIFIED_SQL, "deterministic hash-gate domain mixing"),
+    "pack_sequences": QuerySpec(q_pack_sequences, PACK_SQL, "greedy context-window packing (applyInPandas vs recursive CTE)"),
     # -- stable block: unchanged r01-green queries, original order.
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
     "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS semi-join counts"),
@@ -2256,9 +2455,6 @@ CATALOG: dict[str, QuerySpec] = {
     "asof_last_purchase": QuerySpec(q_asof_last_purchase, ASOF_SQL, "backward as-of join"),
     "purchase_window_attribution": QuerySpec(q_purchase_window_attribution, RANGE_JOIN_SQL, "binned range join"),
     "quantiles_by_segment": QuerySpec(q_quantiles_by_segment, QUANTILE_SQL, "exact quantiles"),
-    "order_status_pivot": QuerySpec(q_order_status_pivot, PIVOT_SQL, "conditional-agg pivot"),
-    "part_type_regex": QuerySpec(q_part_type_regex, REGEX_SQL, "regex/string predicates"),
-    "set_ops_nations": QuerySpec(q_set_ops_nations, SET_OPS_SQL, "INTERSECT/EXCEPT"),
     "parts_above_brand_avg": QuerySpec(q_parts_above_brand_avg, ABOVE_AVG_SQL, "correlated-avg filter"),
     "nation_customer_agg": QuerySpec(q_nation_customer_agg, STRING_AGG_SQL, "ordered string aggregation"),
     "events_type_stats_salted": QuerySpec(q_events_type_stats_salted, SALTED_AGG_SQL, "skew-safe salted aggregation"),
@@ -2270,7 +2466,6 @@ CATALOG: dict[str, QuerySpec] = {
     "doc_quality": QuerySpec(q_doc_quality, Q_QUALITY_SQL, "quality scoring"),
     "lang_id": QuerySpec(q_lang_id, Q_LANG_SQL, "language ID heuristic"),
     "customer_running_totals": QuerySpec(q_customer_running_totals, RUNNING_SQL, "running/moving/lag windows"),
-    "customer_balance_ranks": QuerySpec(q_customer_balance_ranks, RANKS_SQL, "ntile/percent_rank/cume_dist"),
     "nation_name_fuzzy_pairs": QuerySpec(q_nation_name_fuzzy_pairs, FUZZY_SQL, "Levenshtein fuzzy pairs"),
     "exact_dedup_docs": QuerySpec(q_exact_dedup_docs, Q_DEDUP_SQL, "exact dedup"),
     "curation_pipeline": QuerySpec(q_curation_pipeline, CURATION_SQL, "quality->dedup->stats composition"),
@@ -2300,4 +2495,12 @@ RETIRED: dict[str, QuerySpec] = {
     "minhash_near_dup_uncapped": QuerySpec(q_minhash_near_dup_uncapped, _minhash_sql(), "uncapped MinHash-LSH (capped is the catalog default)"),
     "ngram_jaccard_uncapped": QuerySpec(q_ngram_jaccard_uncapped, NGRAM_JACCARD_SQL, "uncapped n-gram Jaccard"),
     "bm25_topk": QuerySpec(q_bm25_topk, BM25_SQL, "BM25 retrieval (catalog at its 50-entry cap; pytest parity)"),
+    # rotated out in favor of the round-2 curation block (operator shapes
+    # covered elsewhere: conditional aggs by order_status_pivot's cousins
+    # in q14/cube, regex by lang_id/events_json, window-rank breadth by
+    # customer_running_totals, set algebra trivial at any scale).
+    "order_status_pivot": QuerySpec(q_order_status_pivot, PIVOT_SQL, "conditional-agg pivot"),
+    "part_type_regex": QuerySpec(q_part_type_regex, REGEX_SQL, "regex/string predicates"),
+    "set_ops_nations": QuerySpec(q_set_ops_nations, SET_OPS_SQL, "INTERSECT/EXCEPT"),
+    "customer_balance_ranks": QuerySpec(q_customer_balance_ranks, RANKS_SQL, "ntile/percent_rank/cume_dist"),
 }
