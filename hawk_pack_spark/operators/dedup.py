@@ -266,3 +266,69 @@ def ngram_jaccard_pairs(
         shared.select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """Cluster-pruned embedding near-dup — SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then look for
+    cosine-similar pairs ONLY within each cluster. Near-duplicate
+    embeddings land in the same cell with high probability, so the
+    O(n²) all-pairs sweep shrinks to Σ|cell|² — with n/k-sized cells
+    that is n²/k work, and k grows with the corpus (the paper uses
+    ~10⁵ clusters at web scale) keeping per-cell work bounded.
+
+    Per-cell pairs run as one BLAS matmul in an applyInPandas kernel;
+    cells fan out across executors (explicit repartition on cluster —
+    the AQE-coalescing lesson, NOTES.md). Returns (id_a, id_b, sim)
+    with id_a < id_b, sim rounded to 6 — the same output contract as
+    the exact `all_pairs_cosine_numpy` verifier, so
+    pruned ⊆ exact always holds and recall against exact is the
+    quality metric (measured in the catalog summary query).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hawk_pack_spark.operators.similarity import ivf_build
+
+    assigned, _ = ivf_build(
+        vectors,
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        fit_fraction=fit_fraction,
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        v = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        nrm = np.linalg.norm(v, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        u = v / nrm[:, None]
+        s = u @ u.T
+        iu, ju = np.triu_indices(n, k=1)
+        sim = np.round(s[iu, ju], 6)
+        m = sim >= threshold
+        ia, ib = ids[iu[m]], ids[ju[m]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sim[m]})
+
+    sel = assigned.select("cluster", F.col(id_col), F.col(vec_col))
+    return (
+        sel.repartition(n_clusters, "cluster")
+        .groupBy("cluster")
+        .applyInPandas(pairs, "id_a long, id_b long, sim double")
+    )

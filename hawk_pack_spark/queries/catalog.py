@@ -2415,6 +2415,54 @@ FROM bins GROUP BY lang
 """
 
 
+def q_semdedup_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding near-dup restricted to
+    k-means cells — the published scale path that replaces the O(n²)
+    all-pairs sweep with Σ|cell|² work. The fixture's embeddings are iid
+    (max natural cosine 0.60 at every sf), so the query PLANTS the
+    near-dups it must find: every vec_id < 200 gets a deterministic
+    perturbed twin (cos ≈ 0.999) at vec_id + 1e6. At threshold 0.9 the
+    exact pair set is then precisely the 200 planted pairs — a count
+    the DuckDB oracle derives from the table — and the summary checks
+    (a) cluster-pruned pairs ⊆ exact pairs (computed in-engine by the
+    block-partitioned exact verifier) and (b) recall >= 95% (twins must
+    co-cluster)."""
+    from hawk_pack_spark.operators.dedup import semdedup_pairs
+    from hawk_pack_spark.operators.similarity import all_pairs_cosine_numpy
+
+    emb = _embeddings_vectors(spark, sf_dir)
+    base_id = F.col("vec_id")
+    twins = emb.where(base_id < 200).select(
+        (base_id + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.lit(0.01) * F.sin(base_id * (i.cast("double") + F.lit(1.0))),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(twins)
+    pruned = semdedup_pairs(aug, threshold=0.9, n_clusters=8)
+    exact = all_pairs_cosine_numpy(aug, threshold=0.9)
+    viol = pruned.join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .crossJoin(pruned.agg(F.count(F.lit(1)).alias("_np")))
+        .crossJoin(viol.agg(F.count(F.lit(1)).alias("_nv")))
+        .select(
+            "n_exact_pairs",
+            (F.col("_nv") == 0).alias("subset_ok"),
+            (F.col("_np") * 100 >= F.col("n_exact_pairs") * 95).alias("recall_ok"),
+        )
+    )
+
+
+SEMDEDUP_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS subset_ok, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 200
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     # -- round-2 front block: entries that were unchecked (or whose
     # implementation changed) go FIRST so the driver's 50-entry
@@ -2439,6 +2487,7 @@ CATALOG: dict[str, QuerySpec] = {
     "decontaminate_ngrams": QuerySpec(q_decontaminate_ngrams, DECONTAMINATE_SQL, "eval-set n-gram decontamination"),
     "stratified_sample": QuerySpec(q_stratified_sample, STRATIFIED_SQL, "deterministic hash-gate domain mixing"),
     "pack_sequences": QuerySpec(q_pack_sequences, PACK_SQL, "greedy context-window packing (applyInPandas vs recursive CTE)"),
+    "semdedup_near_dup": QuerySpec(q_semdedup_near_dup, SEMDEDUP_SQL, "SemDeDup cluster-pruned near-dup vs exact (planted twins)"),
     # -- stable block: unchanged r01-green queries, original order.
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
     "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS semi-join counts"),
@@ -2451,7 +2500,6 @@ CATALOG: dict[str, QuerySpec] = {
     "q03_shipping_priority": QuerySpec(q03_shipping_priority, Q03_SQL, "3-way join + top-10"),
     "q05_local_supplier_volume": QuerySpec(q05_local_supplier_volume, Q05_SQL, "6-way star join"),
     "top3_orders_per_customer": QuerySpec(q_top3_orders_per_customer, Q_TOP3_SQL, "group-wise top-k (queue semantics)"),
-    "customers_without_orders": QuerySpec(q_customers_without_orders, Q_NO_ORDERS_SQL, "anti join"),
     "asof_last_purchase": QuerySpec(q_asof_last_purchase, ASOF_SQL, "backward as-of join"),
     "purchase_window_attribution": QuerySpec(q_purchase_window_attribution, RANGE_JOIN_SQL, "binned range join"),
     "quantiles_by_segment": QuerySpec(q_quantiles_by_segment, QUANTILE_SQL, "exact quantiles"),
@@ -2503,4 +2551,5 @@ RETIRED: dict[str, QuerySpec] = {
     "part_type_regex": QuerySpec(q_part_type_regex, REGEX_SQL, "regex/string predicates"),
     "set_ops_nations": QuerySpec(q_set_ops_nations, SET_OPS_SQL, "INTERSECT/EXCEPT"),
     "customer_balance_ranks": QuerySpec(q_customer_balance_ranks, RANKS_SQL, "ntile/percent_rank/cume_dist"),
+    "customers_without_orders": QuerySpec(q_customers_without_orders, Q_NO_ORDERS_SQL, "anti join (0-row result; shape used inside dedup/decontaminate)"),
 }
