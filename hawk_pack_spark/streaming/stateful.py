@@ -70,3 +70,57 @@ def stateful_seen_filter(codes_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _pack_fn_factory(budget: int, order_col: str, token_col: str):
+    def pack_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (stream_key,) = key
+        b, fill = state.get if state.exists else (0, 0)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((b, fill))
+            yield pd.DataFrame(
+                columns=["stream", order_col, token_col, "bin_id"]
+            ).astype(
+                {"stream": "object", order_col: "int64",
+                 token_col: "int64", "bin_id": "int64"}
+            )
+            return
+        pdf = pd.concat(frames).sort_values(order_col, kind="mergesort")
+        bins = []
+        for t in pdf[token_col].to_numpy():
+            if b == 0 or fill + t > budget:
+                b += 1
+                fill = int(t)
+            else:
+                fill += int(t)
+            bins.append(b)
+        state.update((b, fill))
+        out = pdf[[order_col, token_col]].copy()
+        out.insert(0, "stream", stream_key)
+        out["bin_id"] = bins
+        yield out
+
+    return pack_fn
+
+
+def streaming_pack(docs_stream, budget: int = 128,
+                   order_col: str = "doc_id", token_col: str = "n_tokens"):
+    """Streaming greedy sequence packing: docs(stream, doc_id, n_tokens)
+    → same rows + bin_id, where the OPEN bin (id, fill) survives across
+    micro-batches as per-key state — a restart resumes filling the same
+    bin instead of fragmenting at batch boundaries. Within a batch, docs
+    pack in order_col order; across batches, in arrival order (the
+    streaming contract — there is no global order to sort by).
+
+    Same greedy recurrence as operators/packing.pack_sequences, so a
+    single-batch stream reproduces the batch operator exactly."""
+    return docs_stream.groupBy("stream").applyInPandasWithState(
+        _pack_fn_factory(budget, order_col, token_col),
+        outputStructType=(
+            f"stream string, {order_col} long, {token_col} long, bin_id long"
+        ),
+        stateStructType="bin long, fill long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
