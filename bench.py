@@ -40,6 +40,12 @@ HEADLINE = [
     "hnsw_search_l2",
     "minhash_near_dup",
     "dedup_clusters",
+    # round-2 curation block
+    "doc_repetition",
+    "decontaminate_ngrams",
+    "stratified_sample",
+    "pack_sequences",
+    "semdedup_near_dup",
 ]
 
 

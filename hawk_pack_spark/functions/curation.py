@@ -53,7 +53,10 @@ def repetition_stats(
 
     Scale shape: two explode->groupBy passes keyed by (doc, gram); both
     shuffles are on high-cardinality keys, map-side combined, and the
-    result is one row per document. Linear in corpus bytes.
+    result is one row per document. Linear in corpus bytes. (A fused
+    single-explode variant tagging grams with their n was measured
+    ~2x SLOWER at sf0.1 — array-of-struct construction costs more than
+    the second scan branch; measured, not guessed.)
     """
     ids = [F.col(c) for c in id_cols]
 

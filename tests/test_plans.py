@@ -142,3 +142,38 @@ def test_routed_search_broadcasts_routing_table(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in s
     assert "BroadcastHashJoin" in s or "BroadcastExchange" in s
     assert "CartesianProduct" not in s
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval gram set must broadcast — the corpus side of the
+    decontamination join never shuffles."""
+    s = _plan(spark, sf_dir, "decontaminate_ngrams")
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_repetition_partial_aggregation(spark, sf_dir):
+    """Both explode->count passes must map-side combine before their
+    exchanges (linear scaling in corpus bytes)."""
+    s = _plan(spark, sf_dir, "doc_repetition")
+    assert "partial_count" in s or "partial_sum" in s
+    assert "CartesianProduct" not in s
+
+
+def test_stratified_sample_single_scan_no_join(spark, sf_dir):
+    """The hash gate is a pure column expression: one documents scan,
+    no join, no window — just scan -> project -> partial agg."""
+    s = _plan(spark, sf_dir, "stratified_sample")
+    assert "Join" not in s and "Window" not in s
+    # exactly one scan: one Location line in the detail section
+    assert s.count("Location: InMemoryFileIndex") == 1
+    assert "partial_count" in s or "partial_sum" in s
+
+
+def test_pack_sequences_single_group_exchange(spark, sf_dir):
+    """Packing fans out per stream key via FlatMapGroupsInPandas; the
+    bin aggregation must reuse the same (lang) clustering — no extra
+    wide shuffle beyond the group exchange and the final agg."""
+    s = _plan(spark, sf_dir, "pack_sequences")
+    assert "FlatMapGroupsInPandas" in s
+    assert "CartesianProduct" not in s
