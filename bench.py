@@ -46,6 +46,7 @@ HEADLINE = [
     "stratified_sample",
     "pack_sequences",
     "semdedup_near_dup",
+    "quality_classifier",
 ]
 
 

@@ -144,3 +144,46 @@ def stratified_keep(
         gc = F.col(group_col) if isinstance(group_col, str) else group_col
         rate = F.when(gc == F.lit(g), F.lit(p)).otherwise(rate)
     return bucket < rate
+
+
+def quality_features(text_col: str = "text") -> dict[str, Column]:
+    """Cheap per-document features for model-based quality filtering:
+    all JVM-side column expressions (no n-grams, no Python) so scoring
+    a corpus is one codegen'd projection."""
+    ts = T.tokens(text_col)
+    n = F.size(ts)
+    nz = F.greatest(n, F.lit(1)).cast("double")
+    return {
+        "f_n_tokens": n.cast("double"),
+        "f_distinct_ratio": F.size(F.array_distinct(ts)) / nz,
+        "f_mean_tok_len": F.aggregate(
+            ts, F.lit(0).cast("double"), lambda a, t: a + F.length(t)
+        )
+        / nz,
+    }
+
+
+def fit_quality_model(
+    train: DataFrame,
+    label_col: str = "label",
+    feature_cols: list[str] | None = None,
+    max_iter: int = 25,
+):
+    """Fit the quality-gate classifier: logistic regression over the
+    cheap features — the published second tier of quality filtering
+    (GPT-3 App. A; FineWeb) distills expensive/heuristic judgments into
+    a linear scorer cheap enough for the full corpus. Training is one
+    treeAggregate per LBFGS step (scale-safe); at 100 TB fit on a
+    sample and score everything."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.pipeline import Pipeline
+
+    feature_cols = feature_cols or sorted(
+        c for c in train.columns if c.startswith("f_")
+    )
+    asm = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    lr = LogisticRegression(
+        featuresCol="features", labelCol=label_col, maxIter=max_iter, regParam=0.01
+    )
+    return Pipeline(stages=[asm, lr]).fit(train)

@@ -2463,6 +2463,79 @@ FROM embeddings WHERE vec_id < 200
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (the second filtering tier of GPT-3
+    App. A / FineWeb): a seeded logistic regression over cheap per-doc
+    features, trained to separate spam from natural text and applied to
+    a held-out split. The fixture has no spam, so the query PLANTS it:
+    every doc_id % 4 == 0 gets a twin (id + 1e6) whose text is its
+    first 3 tokens repeated 12 times. The hash-gate split (80/20) is
+    engine-portable, so the oracle derives n_train/n_holdout exactly;
+    the learned gate must reach 95% holdout accuracy (boolean).
+    Training is LBFGS treeAggregates — scale-safe; score is one
+    codegen'd projection + model transform."""
+    from hawk_pack_spark.functions.curation import (
+        fit_quality_model,
+        quality_features,
+        stratified_keep,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    ts = T.tokens("text")
+    spam_text = F.concat_ws(
+        " ", F.flatten(F.array_repeat(F.slice(ts, 1, 3), 12))
+    )
+    spam = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        spam_text.alias("text"),
+    )
+    aug = docs.unionByName(spam).withColumn(
+        "label", (F.col("doc_id") >= 1_000_000).cast("int")
+    )
+    feats = quality_features("text")
+    featured = aug.select(
+        "doc_id", "label", *[expr.alias(name) for name, expr in feats.items()]
+    )
+    # 80/20 deterministic hash split (rates_permille={} -> default 800)
+    is_train = stratified_keep("doc_id", F.lit("x"), {}, default_permille=800, salt="split")
+    featured = featured.withColumn("is_train", is_train).localCheckpoint()
+    model = fit_quality_model(featured.where(F.col("is_train")), label_col="label")
+    scored = model.transform(featured.where(~F.col("is_train")))
+    correct = (F.col("prediction") == F.col("label")).cast("int")
+    return (
+        featured.agg(
+            F.sum(F.col("is_train").cast("int")).alias("n_train"),
+            F.sum((~F.col("is_train")).cast("int")).alias("n_holdout"),
+        )
+        .crossJoin(
+            scored.agg(
+                F.sum(correct).alias("_ok"), F.count(F.lit(1)).alias("_n")
+            )
+        )
+        .select(
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_holdout").cast("long").alias("n_holdout"),
+            (F.col("_ok") * 100 >= F.col("_n") * 95).alias("acc_ok"),
+        )
+    )
+
+
+QUALITY_CLASSIFIER_SQL = """
+WITH aug AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 4 = 0),
+s AS (
+  SELECT CASE WHEN CAST(concat('0x', substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 800
+         THEN 1 ELSE 0 END AS tr
+  FROM aug)
+SELECT CAST(SUM(tr) AS BIGINT) AS n_train,
+       CAST(COUNT(*) - SUM(tr) AS BIGINT) AS n_holdout,
+       TRUE AS acc_ok
+FROM s
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     # -- round-2 front block: entries that were unchecked (or whose
     # implementation changed) go FIRST so the driver's 50-entry
@@ -2488,6 +2561,7 @@ CATALOG: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(q_stratified_sample, STRATIFIED_SQL, "deterministic hash-gate domain mixing"),
     "pack_sequences": QuerySpec(q_pack_sequences, PACK_SQL, "greedy context-window packing (applyInPandas vs recursive CTE)"),
     "semdedup_near_dup": QuerySpec(q_semdedup_near_dup, SEMDEDUP_SQL, "SemDeDup cluster-pruned near-dup vs exact (planted twins)"),
+    "quality_classifier": QuerySpec(q_quality_classifier, QUALITY_CLASSIFIER_SQL, "model-based quality gate (LR distillation, planted spam)"),
     # -- stable block: unchanged r01-green queries, original order.
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
     "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS semi-join counts"),
@@ -2510,7 +2584,6 @@ CATALOG: dict[str, QuerySpec] = {
     "session_window_stats": QuerySpec(q_session_window_stats, SESSION_WINDOW_SQL, "built-in session_window"),
     "sliding_window_counts": QuerySpec(q_sliding_window_counts, SLIDING_SQL, "sliding windows"),
     "doc_token_stats": QuerySpec(q_doc_token_stats, Q_TOKEN_SQL, "tokenization"),
-    "vocab_top_tokens": QuerySpec(q_vocab_top_tokens, VOCAB_SQL, "vocabulary build (top-k + dense ids)"),
     "doc_quality": QuerySpec(q_doc_quality, Q_QUALITY_SQL, "quality scoring"),
     "lang_id": QuerySpec(q_lang_id, Q_LANG_SQL, "language ID heuristic"),
     "customer_running_totals": QuerySpec(q_customer_running_totals, RUNNING_SQL, "running/moving/lag windows"),
@@ -2552,4 +2625,5 @@ RETIRED: dict[str, QuerySpec] = {
     "set_ops_nations": QuerySpec(q_set_ops_nations, SET_OPS_SQL, "INTERSECT/EXCEPT"),
     "customer_balance_ranks": QuerySpec(q_customer_balance_ranks, RANKS_SQL, "ntile/percent_rank/cume_dist"),
     "customers_without_orders": QuerySpec(q_customers_without_orders, Q_NO_ORDERS_SQL, "anti join (0-row result; shape used inside dedup/decontaminate)"),
+    "vocab_top_tokens": QuerySpec(q_vocab_top_tokens, VOCAB_SQL, "vocabulary build (explode+count+rank shapes kept in-catalog elsewhere)"),
 }

@@ -94,3 +94,30 @@ def test_pack_sequences_matches_reference_and_respects_budget(spark):
         for b, fill in fills.items():
             members = [t for _, t, bb in items if bb == b]
             assert fill <= 128 or len(members) == 1
+
+
+def test_quality_model_separates_planted_spam(spark):
+    from hawk_pack_spark.functions.curation import fit_quality_model, quality_features
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(300):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(40)), 0))
+    for i in range(100):  # spam: 3 tokens repeated
+        t = " ".join(rng.sample(vocab, 3))
+        rows.append((10_000 + i, " ".join([t] * 12), 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    feats = quality_features("text")
+    featured = df.select(
+        "doc_id", "label", *[e.alias(n) for n, e in feats.items()]
+    ).localCheckpoint()
+    train = featured.where(F.col("doc_id") % 5 != 0)
+    hold = featured.where(F.col("doc_id") % 5 == 0)
+    model = fit_quality_model(train, label_col="label")
+    scored = model.transform(hold)
+    agg = scored.agg(
+        F.sum((F.col("prediction") == F.col("label")).cast("int")).alias("ok"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg["n"] > 50 and agg["ok"] / agg["n"] >= 0.95
