@@ -47,6 +47,8 @@ HEADLINE = [
     "pack_sequences",
     "semdedup_near_dup",
     "quality_classifier",
+    "pii_scrub",
+    "perplexity_filter",
 ]
 
 

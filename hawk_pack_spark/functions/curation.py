@@ -187,3 +187,80 @@ def fit_quality_model(
         featuresCol="features", labelCol=label_col, maxIter=max_iter, regParam=0.01
     )
     return Pipeline(stages=[asm, lr]).fit(train)
+
+
+# engine-portable PII patterns: no lookarounds, no \d/\b shorthand
+# differences — the exact same strings compile in Java regex (Spark)
+# and RE2 (DuckDB) with identical semantics.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def scrub_pii(text_col: Column | str) -> tuple[Column, dict[str, Column]]:
+    """PII redaction (the CCNet/FineWeb release stage): emails, phone
+    numbers, and IPv4 addresses replaced by <TYPE> placeholders.
+
+    Returns (scrubbed text column, {type: per-row match count}). Order
+    matters: email first (an email contains dots + digits an ipv4
+    pattern could partially claim), then phone, then ipv4 — the counts
+    are computed on the SAME intermediate the replacement saw, so
+    count and replacement never disagree.
+
+    Pure regexp built-ins — one codegen'd projection over corpus bytes.
+    """
+    s = T._c(text_col)
+    counts: dict[str, Column] = {}
+    for name, pat in PII_PATTERNS.items():
+        counts[name] = F.size(F.regexp_extract_all(s, F.lit(pat), 0))
+        s = F.regexp_replace(s, pat, f"<{name.upper()}>")
+    return s, counts
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("lang", "doc_id"),
+) -> DataFrame:
+    """Perplexity filtering (CCNet, Wenzek et al. 2019): score every
+    document under an n-gram LM trained on the corpus itself and flag
+    the high-perplexity tail. Here an add-1-smoothed bigram model —
+    p(b|a) = (c_ab + 1) / (c_a + V) — trained and applied in the same
+    dataflow.
+
+    Cross-engine float discipline: each bigram's negative log-prob is
+    rounded to integer MICRO-NATS once (round(ln(p) * 1e6)), and all
+    downstream aggregation is exact integer summation — ln() is the
+    only float op, applied to identical operands in both engines (the
+    BM25 oracle established ln bit-parity).
+
+    Returns one row per doc: n_bigrams, sum_lp_micro (total score in
+    micro-nats). Scale shape: the model table is the observed-bigram
+    count table (vocabulary-sized, not corpus-sized) joined back on the
+    gram key; both the training counts and the scoring join are
+    map-side-combined shuffles on the gram."""
+    ids = [F.col(c) for c in id_cols]
+    g = docs.select(*ids, F.explode(T.word_ngrams(text_col, 2)).alias("gram"))
+    c_ab = g.groupBy("gram").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = docs.select(F.explode(T.tokens(text_col)).alias("tok"))
+    c_a = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c_a"))
+    v = uni.select(F.count_distinct("tok").alias("v"))
+    model = (
+        c_ab.withColumn("tok", F.split(F.col("gram"), " ")[0])
+        .join(c_a, "tok")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "gram",
+            F.round(
+                -F.log((F.col("c_ab") + 1) / (F.col("c_a") + F.col("v"))) * 1e6
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return g.join(model, "gram").groupBy(*id_cols).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp_micro").alias("sum_lp_micro"),
+    )

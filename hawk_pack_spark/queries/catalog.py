@@ -2536,6 +2536,146 @@ FROM s
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit (the CCNet/FineWeb release stage). The
+    fixture contains no PII, so the query PLANTS it deterministically
+    (doc_id % 5 picks email/phone/ipv4 contamination), scrubs with the
+    engine-portable patterns, and reports per-lang integer counts of
+    each redaction type plus the residual-match count over the scrubbed
+    text — which must be 0 (the oracle recomputes the identical plant +
+    scrub in DuckDB). One codegen'd projection; no joins, no UDFs."""
+    from hawk_pack_spark.functions.curation import PII_PATTERNS, scrub_pii
+
+    docs = load_table(spark, "documents", sf_dir).select("lang", "doc_id", "text")
+    d = F.col("doc_id")
+    planted = docs.withColumn(
+        "ptext",
+        F.when(
+            d % 5 == 1,
+            F.concat(F.col("text"), F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.col("text"), F.lit(" call 555-010-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+        )
+        .when(
+            d % 5 == 3,
+            F.concat(F.col("text"), F.lit(" from 10."), (d % 200).cast("string"), F.lit(".0."), (d % 250).cast("string")),
+        )
+        .otherwise(F.col("text")),
+    )
+    scrubbed, counts = scrub_pii("ptext")
+    residual = sum(
+        (F.size(F.regexp_extract_all(scrubbed, F.lit(p), 0)) for p in PII_PATTERNS.values()),
+        F.lit(0),
+    )
+    per_doc = planted.select(
+        "lang",
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ipv4"].alias("i"),
+        residual.alias("r"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("i").alias("n_ips"),
+        F.sum("r").alias("n_residual"),
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH planted AS (
+  SELECT lang,
+    CASE
+      WHEN doc_id % 5 = 1 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      WHEN doc_id % 5 = 2 THEN text || ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      WHEN doc_id % 5 = 3 THEN text || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+      ELSE text END AS ptext
+  FROM documents),
+s1 AS (
+  SELECT lang,
+    len(regexp_extract_all(ptext, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS e,
+    regexp_replace(ptext, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM planted),
+s2 AS (
+  SELECT lang, e,
+    len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS p,
+    regexp_replace(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT lang, e, p,
+    len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS i,
+    regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g') AS t3
+  FROM s2),
+r AS (
+  SELECT lang, e, p, i,
+    len(regexp_extract_all(t3, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+    + len(regexp_extract_all(t3, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+    + len(regexp_extract_all(t3, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS res
+  FROM s3)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(e) AS BIGINT) AS n_emails,
+  CAST(SUM(p) AS BIGINT) AS n_phones,
+  CAST(SUM(i) AS BIGINT) AS n_ips,
+  CAST(SUM(res) AS BIGINT) AS n_residual
+FROM r GROUP BY lang
+"""
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering (CCNet): train an add-1 bigram LM on the
+    corpus, score every doc in micro-nats (integer accounting — ln() is
+    the only float op, applied to identical operands in both engines),
+    and flag the high-perplexity tail (avg > 3.45 nats, compared by
+    integer cross-multiplication). Reports per-lang doc/flag counts and
+    exact micro-nat totals."""
+    from hawk_pack_spark.functions.curation import bigram_lm_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    sc = bigram_lm_scores(docs)
+    flagged = F.when(
+        F.col("sum_lp_micro") > F.col("n_bigrams") * F.lit(3_450_000), 1
+    ).otherwise(0)
+    return sc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flagged).alias("n_flagged"),
+        F.sum("n_bigrams").alias("sum_bigrams"),
+        F.sum("sum_lp_micro").alias("sum_lp_micro"),
+    )
+
+
+PERPLEXITY_SQL = """
+WITH toks AS (
+  SELECT lang, doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+g AS (
+  SELECT lang, doc_id, unnest(CASE WHEN len(ts) >= 2
+    THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+    ELSE [] END) AS gram
+  FROM toks),
+cab AS (SELECT gram, COUNT(*) AS c_ab FROM g GROUP BY gram),
+uni AS (SELECT unnest(ts) AS tok FROM toks),
+ca AS (SELECT tok, COUNT(*) AS c_a FROM uni GROUP BY tok),
+v AS (SELECT COUNT(DISTINCT tok) AS v FROM uni),
+model AS (
+  SELECT gram,
+    CAST(ROUND(-ln((c_ab + 1.0) / (c_a + v)) * 1e6) AS BIGINT) AS lp_micro
+  FROM cab JOIN ca ON string_split(cab.gram, ' ')[1] = ca.tok, v),
+sc AS (
+  SELECT lang, doc_id, COUNT(*) AS nb,
+    CAST(SUM(lp_micro) AS BIGINT) AS lp
+  FROM g JOIN model USING (gram) GROUP BY 1, 2)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN lp > nb * 3450000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(SUM(nb) AS BIGINT) AS sum_bigrams,
+  CAST(SUM(lp) AS BIGINT) AS sum_lp_micro
+FROM sc GROUP BY lang
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     # -- round-2 front block: entries that were unchecked (or whose
     # implementation changed) go FIRST so the driver's 50-entry
@@ -2562,6 +2702,8 @@ CATALOG: dict[str, QuerySpec] = {
     "pack_sequences": QuerySpec(q_pack_sequences, PACK_SQL, "greedy context-window packing (applyInPandas vs recursive CTE)"),
     "semdedup_near_dup": QuerySpec(q_semdedup_near_dup, SEMDEDUP_SQL, "SemDeDup cluster-pruned near-dup vs exact (planted twins)"),
     "quality_classifier": QuerySpec(q_quality_classifier, QUALITY_CLASSIFIER_SQL, "model-based quality gate (LR distillation, planted spam)"),
+    "pii_scrub": QuerySpec(q_pii_scrub, PII_SCRUB_SQL, "PII redaction audit (planted email/phone/ipv4, zero residual)"),
+    "perplexity_filter": QuerySpec(q_perplexity_filter, PERPLEXITY_SQL, "CCNet perplexity filter (add-1 bigram LM, micro-nat accounting)"),
     # -- stable block: unchanged r01-green queries, original order.
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
     "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS semi-join counts"),
@@ -2576,9 +2718,7 @@ CATALOG: dict[str, QuerySpec] = {
     "top3_orders_per_customer": QuerySpec(q_top3_orders_per_customer, Q_TOP3_SQL, "group-wise top-k (queue semantics)"),
     "asof_last_purchase": QuerySpec(q_asof_last_purchase, ASOF_SQL, "backward as-of join"),
     "purchase_window_attribution": QuerySpec(q_purchase_window_attribution, RANGE_JOIN_SQL, "binned range join"),
-    "quantiles_by_segment": QuerySpec(q_quantiles_by_segment, QUANTILE_SQL, "exact quantiles"),
     "parts_above_brand_avg": QuerySpec(q_parts_above_brand_avg, ABOVE_AVG_SQL, "correlated-avg filter"),
-    "nation_customer_agg": QuerySpec(q_nation_customer_agg, STRING_AGG_SQL, "ordered string aggregation"),
     "events_type_stats_salted": QuerySpec(q_events_type_stats_salted, SALTED_AGG_SQL, "skew-safe salted aggregation"),
     "events_json": QuerySpec(q_events_json, Q_EVENTS_JSON_SQL, "JSON extraction"),
     "session_window_stats": QuerySpec(q_session_window_stats, SESSION_WINDOW_SQL, "built-in session_window"),
@@ -2626,4 +2766,6 @@ RETIRED: dict[str, QuerySpec] = {
     "customer_balance_ranks": QuerySpec(q_customer_balance_ranks, RANKS_SQL, "ntile/percent_rank/cume_dist"),
     "customers_without_orders": QuerySpec(q_customers_without_orders, Q_NO_ORDERS_SQL, "anti join (0-row result; shape used inside dedup/decontaminate)"),
     "vocab_top_tokens": QuerySpec(q_vocab_top_tokens, VOCAB_SQL, "vocabulary build (explode+count+rank shapes kept in-catalog elsewhere)"),
+    "nation_customer_agg": QuerySpec(q_nation_customer_agg, STRING_AGG_SQL, "ordered string aggregation"),
+    "quantiles_by_segment": QuerySpec(q_quantiles_by_segment, QUANTILE_SQL, "exact quantiles"),
 }

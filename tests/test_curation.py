@@ -121,3 +121,48 @@ def test_quality_model_separates_planted_spam(spark):
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     assert agg["n"] > 50 and agg["ok"] / agg["n"] >= 0.95
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from hawk_pack_spark.functions.curation import PII_PATTERNS, scrub_pii
+
+    df = _docs(
+        spark,
+        [
+            ("en", 1, "reach me at jane.doe@corp.io or 555-123-4567 today"),
+            ("en", 2, "server 10.0.42.7 rebooted"),
+            ("en", 3, "nothing sensitive here"),
+        ],
+    )
+    scrubbed, counts = scrub_pii("text")
+    out = df.select(
+        "doc_id",
+        scrubbed.alias("clean"),
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ipv4"].alias("i"),
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert got[1]["e"] == 1 and got[1]["p"] == 1
+    assert "<EMAIL>" in got[1]["clean"] and "<PHONE>" in got[1]["clean"]
+    assert "jane" not in got[1]["clean"] and "4567" not in got[1]["clean"]
+    assert got[2]["i"] == 1 and "<IPV4>" in got[2]["clean"]
+    assert got[3]["clean"] == "nothing sensitive here"
+    # no residual PII anywhere
+    import pyspark.sql.functions as F2
+    resid = sum(
+        (F2.size(F2.regexp_extract_all(scrubbed, F2.lit(p), 0)) for p in PII_PATTERNS.values()),
+        F2.lit(0),
+    )
+    assert df.select(F2.sum(resid).alias("r")).collect()[0]["r"] == 0
+
+
+def test_bigram_lm_rare_sequences_score_higher(spark):
+    from hawk_pack_spark.functions.curation import bigram_lm_scores
+
+    common = [("en", i, "the cat sat on the mat " * 4) for i in range(20)]
+    rare = [("en", 99, "zqx wvu tsr qpo nml kji")]
+    df = _docs(spark, common + rare)
+    sc = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    avg = lambda r: r["sum_lp_micro"] / r["n_bigrams"]
+    assert avg(sc[99]) > avg(sc[0]) * 2  # unseen-ish bigrams cost far more
