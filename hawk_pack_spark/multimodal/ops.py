@@ -34,9 +34,10 @@ FEATURE_DIM = 64
 def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a deterministic media table from the documents fixture.
     IMAGE rows carry a REAL binary-PPM payload (16x12 RGB, pixels tiled
-    from the doc's utf-8 bytes — decodable by `decode_image` with no
-    codec library); audio/video rows carry the raw text bytes (their
-    codecs genuinely aren't in this container). kind round-robins
+    from the doc's utf-8 bytes) and AUDIO rows a REAL 16-bit PCM WAV
+    (samples tiled from the same bytes) — both decodable with no codec
+    library; video rows carry the raw text bytes (video containers
+    genuinely aren't parseable here). kind round-robins
     image/audio/video; metadata is derived the same for every kind."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kind = F.element_at(
@@ -60,10 +61,13 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = pdf.copy()
             payloads = []
             for k, p in zip(out["kind"], out["payload"]):
+                raw = np.frombuffer(bytes(p), dtype=np.uint8)
                 if k == "image":
-                    raw = np.frombuffer(bytes(p), dtype=np.uint8)
                     px = np.resize(raw, 12 * 16 * 3).reshape(12, 16, 3)
                     payloads.append(encode_ppm(px))
+                elif k == "audio":
+                    s = (np.resize(raw, 800).astype(np.int16) - 128) * 256
+                    payloads.append(encode_wav(s, 16000))
                 else:
                     payloads.append(bytes(p))
             out["payload"] = payloads
@@ -163,6 +167,66 @@ def decode_image(payload: bytes) -> np.ndarray:
         ) from e
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode mono int16 samples as a RIFF/WAVE PCM file — pure
+    struct/numpy, no codec library."""
+    import struct
+
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE 16-bit PCM (mono or interleaved; averaged to
+    mono) → (float64 samples in [-1, 1], sample_rate). Chunk-walks the
+    RIFF container — pure struct/numpy."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, bits, data = 12, None, 1, 16, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", payload, pos + 8)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    x = np.frombuffer(data, dtype=np.int16).astype(np.float64) / 32768.0
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+def audio_feature(samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real (deterministic, model-free) audio embedding: 32 log-power
+    spectral bands (numpy rfft) + 16 frame RMS energies + 16 frame
+    zero-crossing rates, L2-normalized. Same 64-dim contract as the
+    image path."""
+    x = samples if len(samples) else np.zeros(1)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    bands = np.array_split(spec, 32)
+    f_spec = np.log1p(np.array([b.mean() if len(b) else 0.0 for b in bands]))
+    frames = np.array_split(x, 16)
+    f_rms = np.array([np.sqrt((f**2).mean()) if len(f) else 0.0 for f in frames])
+    f_zcr = np.array(
+        [np.mean(np.abs(np.diff(np.signbit(f)))) if len(f) > 1 else 0.0 for f in frames]
+    )
+    v = np.concatenate([f_spec, f_rms, f_zcr])
+    assert v.shape == (dim,)
+    return _center_normalize(v)
+
+
 def image_feature(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     """Real (deterministic, model-free) image embedding: 4x4 spatial
     grid of per-cell RGB means (48 dims) + 16-bin grayscale histogram,
@@ -181,7 +245,24 @@ def image_feature(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     hist, _ = np.histogram(gray, bins=16, range=(0, 256))
     v = np.concatenate([np.concatenate(cells), hist / max(gray.size, 1)])
     assert v.shape == (dim,)
-    return v / max(np.linalg.norm(v), 1e-30)
+    return _center_normalize(v)
+
+
+def _center_normalize(v: np.ndarray) -> np.ndarray:
+    """Zero-mean then unit-norm. Centering matters for ANN quality:
+    raw grid/spectral features share a large DC component, so without
+    it every vector points the same way (pairwise cos 0.99+), tight
+    clusters capture all HNSW edges, and scattered vectors become
+    unreachable islands — observed, not hypothetical. Constant vectors
+    (uniform image, digital silence) fall back to a fixed unit basis
+    vector so the output is always well-defined."""
+    c = v - v.mean()
+    n = np.linalg.norm(c)
+    if n < 1e-12:
+        out = np.zeros_like(v)
+        out[0] = 1.0
+        return out
+    return c / n
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
@@ -197,11 +278,13 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             feats = []
             for p in pdf["payload"]:
                 b = bytes(p)
-                # REAL path for codec-free formats (PPM/BMP); the
-                # deterministic fake covers formats whose codecs are
-                # absent from this container (documented stub)
+                # REAL paths for codec-free formats (PPM/BMP images,
+                # PCM WAV audio); the deterministic fake covers formats
+                # whose codecs are absent from this container
                 if b.startswith(b"P6") or b.startswith(b"BM"):
                     feats.append(image_feature(decode_image(b)).tolist())
+                elif b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+                    feats.append(audio_feature(decode_wav(b)[0]).tolist())
                 else:
                     feats.append(_fake_decode(b).tolist())
             yield pd.DataFrame(

@@ -65,9 +65,22 @@ class Metric:
 class LocalHNSW:
     """One in-memory HNSW graph over local indices 0..n-1."""
 
-    def __init__(self, metric: Metric, params: HawkParams):
+    def __init__(
+        self,
+        metric: Metric,
+        params: HawkParams,
+        neighbor_heuristic: bool = False,
+    ):
         self.metric = metric
         self.params = params
+        # opt-in Algorithm 4 neighbor selection (Malkov & Yashunin 2016):
+        # the reference trims to the M NEAREST (connect_bidir), which on
+        # near-duplicate-clustered data lets a tight cluster capture all
+        # M slots and partitions the graph into unreachable islands
+        # (observed with real multimodal features). The heuristic keeps
+        # direction-diverse edges instead. Default False = reference
+        # parity.
+        self.neighbor_heuristic = neighbor_heuristic
         # adjacency: layer -> node -> ascending [(dist, nbr), ...]
         self.adj: dict[int, dict[int, list[tuple[float, int]]]] = {}
         self.entry: int | None = None
@@ -197,11 +210,41 @@ class LocalHNSW:
         if insertion_layer > self.entry_layer:
             self.set_entry_point(q_idx, insertion_layer)
 
+    def _select_neighbors(
+        self, node: int, candidates: list[tuple[float, int]], m: int
+    ) -> list[tuple[float, int]]:
+        """Neighbor selection for `node` from distance-ascending
+        `candidates`. Default: the reference's M-nearest trim. With
+        neighbor_heuristic: Algorithm 4 — keep a candidate only if it is
+        closer to `node` than to every already-kept neighbor (edges span
+        directions instead of piling into one tight cluster), then
+        backfill with the remaining nearest (keepPrunedConnections)."""
+        if not self.neighbor_heuristic or len(candidates) <= m:
+            return candidates[:m]
+        selected: list[tuple[float, int]] = []
+        for d, c in candidates:
+            if len(selected) >= m:
+                break
+            sel_ids = [s for _, s in selected]
+            if not sel_ids or all(
+                d < dcs for dcs in self.metric.batch(c, sel_ids)
+            ):
+                selected.append((d, c))
+        if len(selected) < m:
+            kept = {c for _, c in selected}
+            for d, c in candidates:
+                if len(selected) >= m:
+                    break
+                if c not in kept:
+                    selected.append((d, c))
+            selected.sort()
+        return selected
+
     def _connect_bidir(
         self, q_idx: int, candidates: list[tuple[float, int]], lc: int
     ) -> None:
         p = self.params
-        chosen = candidates[: p.get_M(lc)]
+        chosen = self._select_neighbors(q_idx, candidates, p.get_M(lc))
         layer = self.adj.setdefault(lc, {})
         layer[q_idx] = list(chosen)
         m_max = p.get_M_max(lc)
@@ -211,7 +254,7 @@ class LocalHNSW:
             q.append((d, q_idx))
             q.sort()
             if len(q) > m_max:
-                del q[m_max:]
+                q[:] = self._select_neighbors(n, q, m_max)
             layer[n] = q
 
     def is_match(self, q_idx: int, threshold: float = 0.0) -> bool:
@@ -249,12 +292,13 @@ def build_local(
     params: HawkParams,
     layers: np.ndarray | None = None,
     seed: int = 42,
+    neighbor_heuristic: bool = False,
 ) -> LocalHNSW:
     """Build one shard's index by sequential insertion in id order (the
     reference engine is serial by design; order fixed for determinism)."""
     order = np.argsort(ids, kind="stable")
     metric = Metric(metric_name, data)
-    index = LocalHNSW(metric, params)
+    index = LocalHNSW(metric, params, neighbor_heuristic=neighbor_heuristic)
     if layers is None:
         layers = assign_layer(uniform_from_ids(ids, seed), params.m_L)
     for pos in order.tolist():

@@ -142,8 +142,15 @@ def build_index(
     vec_col: str = "embedding",
     seed: int = 42,
     assignments: DataFrame | None = None,
+    neighbor_heuristic: bool = False,
 ) -> DataFrame:
     """Build the sharded HNSW index DataFrame.
+
+    ``neighbor_heuristic``: opt into Algorithm 4 neighbor selection
+    (direction-diverse edges) — use for near-duplicate-heavy data where
+    the reference's M-nearest trim lets tight clusters capture every
+    edge slot and strand the rest of the graph. Default off = reference
+    connect_bidir parity.
 
     ``assignments`` ((id, shard) rows, e.g. the k-means clusters of
     ``similarity.ivf_build``) switches sharding from id-hash to CONTENT:
@@ -176,7 +183,8 @@ def build_index(
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         data = _payload(pdf, metric)
         layers = K.assign_layer(K.uniform_from_ids(ids, seed), params.m_L)
-        index = K.build_local(ids, data, metric, params, layers=layers)
+        index = K.build_local(ids, data, metric, params, layers=layers,
+                              neighbor_heuristic=neighbor_heuristic)
         return _emit_index(shard, ids, pdf, metric, layers, index)
 
     return prepped.groupBy("shard").applyInPandas(build_shard, INDEX_SCHEMA)

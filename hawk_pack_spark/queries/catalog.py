@@ -1644,7 +1644,12 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
     )
     params = HawkParams.new(32, 32, 8)
-    index = hnsw.build_index(vecs, metric="cosine", params=params, num_shards=4)
+    # real features form near-duplicate clusters (statistically similar
+    # media) — Algorithm 4 neighbor selection keeps the graph connected
+    index = hnsw.build_index(
+        vecs, metric="cosine", params=params, num_shards=4,
+        neighbor_heuristic=True,
+    )
     queries = vecs.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -143,3 +143,38 @@ def test_is_match_dedup():
     index3 = K.LocalHNSW(K.Metric("hamming", data3), index.params)
     index3.adj, index3.entry, index3.entry_layer = index.adj, index.entry, index.entry_layer
     assert not index3.is_match(20, 0.0)
+
+
+def test_neighbor_heuristic_keeps_clustered_graph_connected():
+    """Near-duplicate clusters + scattered points: the reference's
+    M-nearest trim lets each tight cluster capture every edge slot,
+    stranding scattered vectors (observed with real multimodal
+    features). Algorithm 4 neighbor selection must keep every vector
+    reachable — 100% self-recall — while the default path stays
+    reference-faithful."""
+    import numpy as np
+
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import _hnsw_kernel as K
+
+    rng = np.random.default_rng(17)
+    clusters = []
+    for c in range(3):  # 3 tight clusters of 60 near-identical vectors
+        center = rng.standard_normal(16) * 5
+        clusters.append(center + rng.standard_normal((60, 16)) * 1e-3)
+    scattered = rng.standard_normal((20, 16)) * 5
+    data = np.vstack(clusters + [scattered])
+    ids = np.arange(len(data))
+    params = HawkParams.new(16, 16, 8)
+
+    index = K.build_local(ids, data, "cosine", params, neighbor_heuristic=True)
+    misses = sum(
+        1 for i in range(len(data))
+        if not (res := index.search(int(i), 1)) or res[0][1] != i
+    )
+    assert misses == 0, f"{misses} unreachable vectors with heuristic"
+
+    # degree bounds still hold under heuristic selection
+    for lc, nodes in index.adj.items():
+        for node, nbrs in nodes.items():
+            assert len(nbrs) <= params.get_M_max(lc)

@@ -80,3 +80,44 @@ def test_extract_features_uses_real_path_for_ppm(spark):
     feats = {r.media_id: np.array(r.feature) for r in extract_features(df).collect()}
     assert np.allclose(feats[1], image_feature(px))  # REAL decode+embed
     assert feats[1].shape == feats[2].shape == (64,)
+
+
+def test_wav_roundtrip_exact():
+    from hawk_pack_spark.multimodal.ops import decode_wav, encode_wav
+
+    rng = np.random.default_rng(9)
+    s = rng.integers(-32768, 32767, size=500, dtype=np.int16)
+    x, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000
+    assert np.allclose(x, s.astype(np.float64) / 32768.0)
+
+
+def test_audio_feature_real_signal():
+    from hawk_pack_spark.multimodal.ops import audio_feature, decode_wav, encode_wav
+
+    t = np.arange(1600)
+    tone = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    noise = (np.random.default_rng(1).standard_normal(1600) * 8000).astype(np.int16)
+    f_tone = audio_feature(decode_wav(encode_wav(tone))[0])
+    f_noise = audio_feature(decode_wav(encode_wav(noise))[0])
+    for f in (f_tone, f_noise):
+        assert f.shape == (64,) and abs(np.linalg.norm(f) - 1.0) < 1e-12
+    # a pure tone and white noise must embed far apart
+    assert float(f_tone @ f_noise) < 0.9
+    # silence embeds without NaN/zero-norm
+    silent = audio_feature(np.zeros(1600))
+    assert abs(np.linalg.norm(silent) - 1.0) < 1e-12
+
+
+def test_extract_features_uses_real_path_for_wav(spark):
+    from hawk_pack_spark.multimodal.ops import audio_feature, decode_wav, encode_wav
+
+    s = (np.arange(400) % 97).astype(np.int16) * 300
+    rows = [(7, "audio", bytearray(encode_wav(s)), None)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    feats = {r.media_id: np.array(r.feature) for r in extract_features(df).collect()}
+    assert np.allclose(feats[7], audio_feature(decode_wav(encode_wav(s))[0]))
