@@ -2681,6 +2681,185 @@ FROM sc GROUP BY lang
 """
 
 
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline, end to end, as ONE declarative
+    plan: repetition gate (Gopher) → perplexity gate (CCNet bigram LM)
+    → eval-set decontamination (GPT-3) → exact dedup (min-id wins) →
+    stratified mixing sample → greedy context-window packing. Reports
+    per-lang survivor counts at every stage plus packed-bin totals —
+    the funnel a data engineer actually monitors. Every stage is the
+    already-oracle-checked operator; this query proves they COMPOSE
+    (flags computed on original text, applied jointly; dedup among
+    gate-survivors; packing over the sampled stream)."""
+    from hawk_pack_spark.functions.curation import (
+        bigram_lm_scores,
+        decontaminate,
+        repetition_stats,
+        stratified_keep,
+    )
+    from hawk_pack_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    tr = docs.where(F.col("doc_id") % 37 != 0)
+
+    rep = repetition_stats(docs).select("lang", "doc_id", "repetitive")
+    ppl = bigram_lm_scores(docs).select(
+        "lang",
+        "doc_id",
+        (F.col("sum_lp_micro") > F.col("n_bigrams") * F.lit(3_450_000))
+        .cast("int")
+        .alias("high_ppl"),
+    )
+    con = decontaminate(tr, ev, n=3, min_hits=3).select(
+        "lang", "doc_id", "contaminated"
+    )
+    flags = (
+        tr.select("lang", "doc_id", "text", T.token_count("text").alias("n_tokens"))
+        .join(rep, ["lang", "doc_id"], "left")
+        .join(ppl, ["lang", "doc_id"], "left")
+        .join(con, ["lang", "doc_id"], "left")
+        .withColumn("repetitive", F.coalesce("repetitive", F.lit(0)))
+        .withColumn("high_ppl", F.coalesce("high_ppl", F.lit(0)))
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(0)))
+    )
+    gated = flags.where(
+        (F.col("repetitive") == 0)
+        & (F.col("high_ppl") == 0)
+        & (F.col("contaminated") == 0)
+    )
+    keyed = gated.withColumn("h", F.md5(F.lower(F.col("text"))))
+    keep = keyed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    deduped = keyed.join(keep, "h").where(F.col("doc_id") == F.col("keep_id"))
+    rates = {"en": 800, "de": 500, "fr": 500, "es": 250, "zh": 250}
+    sampled = deduped.where(
+        stratified_keep("doc_id", "lang", rates, default_permille=100)
+    ).localCheckpoint()
+    packed = pack_sequences(
+        sampled.select("lang", "doc_id", F.col("n_tokens").cast("long")), budget=128
+    )
+    bins = packed.groupBy("lang").agg(
+        F.count_distinct("bin_id").alias("n_bins"),
+        F.sum("n_tokens").alias("sum_tokens_packed"),
+    )
+    funnel = (
+        tr.groupBy("lang").agg(F.count(F.lit(1)).alias("n_input"))
+        .join(gated.groupBy("lang").agg(F.count(F.lit(1)).alias("n_gated")), "lang", "left")
+        .join(deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_deduped")), "lang", "left")
+        .join(sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")), "lang", "left")
+        .join(bins, "lang", "left")
+    )
+    return funnel.select(
+        "lang",
+        "n_input",
+        F.coalesce("n_gated", F.lit(0)).alias("n_gated"),
+        F.coalesce("n_deduped", F.lit(0)).alias("n_deduped"),
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+        F.coalesce("sum_tokens_packed", F.lit(0)).alias("sum_tokens_packed"),
+    )
+
+
+TRAINING_PIPELINE_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id, text,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+g2 AS (
+  SELECT lang, doc_id, unnest(CASE WHEN len(ts) >= 2
+    THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+    ELSE [] END) AS gram FROM toks),
+c2 AS (SELECT lang, doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3),
+d2 AS (SELECT lang, doc_id, MAX(c) AS max_short,
+         CAST(SUM(c) AS BIGINT) AS n_short FROM c2 GROUP BY 1, 2),
+g5 AS (
+  SELECT lang, doc_id, unnest(CASE WHEN len(ts) >= 5
+    THEN list_transform(range(1, len(ts) - 3),
+         i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] || ' '
+              || ts[i + 3] || ' ' || ts[i + 4])
+    ELSE [] END) AS gram FROM toks),
+c5 AS (SELECT lang, doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY 1, 2, 3),
+d5 AS (SELECT lang, doc_id,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_long,
+         CAST(SUM(c) AS BIGINT) AS n_long FROM c5 GROUP BY 1, 2),
+repdoc AS (
+  SELECT d2.lang, d2.doc_id,
+    CASE WHEN max_short * 1000 > n_short * 200
+           OR COALESCE(dup_long, 0) * 1000 > COALESCE(n_long, 0) * 100
+         THEN 1 ELSE 0 END AS repetitive
+  FROM d2 LEFT JOIN d5 ON d2.lang = d5.lang AND d2.doc_id = d5.doc_id),
+cab AS (SELECT gram, COUNT(*) AS c_ab FROM g2 GROUP BY gram),
+uni AS (SELECT unnest(ts) AS tok FROM toks),
+ca AS (SELECT tok, COUNT(*) AS c_a FROM uni GROUP BY tok),
+vv AS (SELECT COUNT(DISTINCT tok) AS v FROM uni),
+model AS (
+  SELECT gram,
+    CAST(ROUND(-ln((c_ab + 1.0) / (c_a + v)) * 1e6) AS BIGINT) AS lp_micro
+  FROM cab JOIN ca ON string_split(cab.gram, ' ')[1] = ca.tok, vv),
+ppl AS (
+  SELECT lang, doc_id,
+    CASE WHEN CAST(SUM(lp_micro) AS BIGINT) > COUNT(*) * 3450000
+         THEN 1 ELSE 0 END AS high_ppl
+  FROM g2 JOIN model USING (gram) GROUP BY 1, 2),
+g3 AS (
+  SELECT lang, doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+    THEN list_transform(range(1, len(ts) - 1),
+         i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+    ELSE [] END)) AS gram FROM toks),
+evg AS (SELECT DISTINCT gram FROM g3 WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT g3.lang, g3.doc_id, COUNT(*) AS hits
+  FROM g3 JOIN evg USING (gram)
+  WHERE g3.doc_id % 37 != 0 GROUP BY 1, 2),
+tr AS (SELECT lang, doc_id, text, CAST(len(ts) AS BIGINT) AS n_tokens
+       FROM toks WHERE doc_id % 37 != 0),
+gated AS (
+  SELECT tr.lang, tr.doc_id, tr.text, tr.n_tokens
+  FROM tr
+  LEFT JOIN repdoc ON tr.lang = repdoc.lang AND tr.doc_id = repdoc.doc_id
+  LEFT JOIN ppl ON tr.lang = ppl.lang AND tr.doc_id = ppl.doc_id
+  LEFT JOIN hits ON tr.lang = hits.lang AND tr.doc_id = hits.doc_id
+  WHERE COALESCE(repetitive, 0) = 0 AND COALESCE(high_ppl, 0) = 0
+    AND CASE WHEN COALESCE(hits.hits, 0) >= 3 THEN 1 ELSE 0 END = 0),
+keyed AS (SELECT *, md5(lower(text)) AS h FROM gated),
+keep AS (SELECT h, MIN(doc_id) AS keep_id FROM keyed GROUP BY h),
+deduped AS (
+  SELECT keyed.* FROM keyed JOIN keep USING (h) WHERE doc_id = keep_id),
+sampled AS (
+  SELECT lang, doc_id, n_tokens FROM deduped
+  WHERE CAST(concat('0x', substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+        < (CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500 WHEN 'fr' THEN 500
+                     WHEN 'es' THEN 250 WHEN 'zh' THEN 250 ELSE 100 END)),
+rn AS (
+  SELECT lang, doc_id, n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM sampled),
+pack AS (
+  SELECT lang, rn, n_tokens AS t, n_tokens AS fill, CAST(1 AS BIGINT) AS bin
+  FROM rn WHERE rn = 1
+  UNION ALL
+  SELECT k.lang, k.rn, k.n_tokens,
+    CASE WHEN p.fill + k.n_tokens > 128 THEN k.n_tokens ELSE p.fill + k.n_tokens END,
+    CASE WHEN p.fill + k.n_tokens > 128 THEN p.bin + 1 ELSE p.bin END
+  FROM rn k JOIN pack p ON k.lang = p.lang AND k.rn = p.rn + 1),
+bins AS (
+  SELECT lang, COUNT(DISTINCT bin) AS n_bins,
+    CAST(SUM(t) AS BIGINT) AS sum_tokens_packed
+  FROM pack GROUP BY lang),
+funnel AS (
+  SELECT t.lang,
+    (SELECT COUNT(*) FROM tr WHERE tr.lang = t.lang) AS n_input,
+    (SELECT COUNT(*) FROM gated g WHERE g.lang = t.lang) AS n_gated,
+    (SELECT COUNT(*) FROM deduped d WHERE d.lang = t.lang) AS n_deduped,
+    (SELECT COUNT(*) FROM sampled s WHERE s.lang = t.lang) AS n_sampled
+  FROM (SELECT DISTINCT lang FROM tr) t)
+SELECT funnel.lang, n_input, n_gated, n_deduped, n_sampled,
+  COALESCE(n_bins, 0) AS n_bins,
+  COALESCE(sum_tokens_packed, 0) AS sum_tokens_packed
+FROM funnel LEFT JOIN bins ON funnel.lang = bins.lang
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     # -- round-2 front block: entries that were unchecked (or whose
     # implementation changed) go FIRST so the driver's 50-entry
@@ -2709,6 +2888,7 @@ CATALOG: dict[str, QuerySpec] = {
     "quality_classifier": QuerySpec(q_quality_classifier, QUALITY_CLASSIFIER_SQL, "model-based quality gate (LR distillation, planted spam)"),
     "pii_scrub": QuerySpec(q_pii_scrub, PII_SCRUB_SQL, "PII redaction audit (planted email/phone/ipv4, zero residual)"),
     "perplexity_filter": QuerySpec(q_perplexity_filter, PERPLEXITY_SQL, "CCNet perplexity filter (add-1 bigram LM, micro-nat accounting)"),
+    "training_data_pipeline": QuerySpec(q_training_data_pipeline, TRAINING_PIPELINE_SQL, "end-to-end funnel: gates -> decontaminate -> dedup -> sample -> pack"),
     # -- stable block: unchanged r01-green queries, original order.
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
     "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS semi-join counts"),
@@ -2729,7 +2909,6 @@ CATALOG: dict[str, QuerySpec] = {
     "session_window_stats": QuerySpec(q_session_window_stats, SESSION_WINDOW_SQL, "built-in session_window"),
     "sliding_window_counts": QuerySpec(q_sliding_window_counts, SLIDING_SQL, "sliding windows"),
     "doc_token_stats": QuerySpec(q_doc_token_stats, Q_TOKEN_SQL, "tokenization"),
-    "doc_quality": QuerySpec(q_doc_quality, Q_QUALITY_SQL, "quality scoring"),
     "lang_id": QuerySpec(q_lang_id, Q_LANG_SQL, "language ID heuristic"),
     "customer_running_totals": QuerySpec(q_customer_running_totals, RUNNING_SQL, "running/moving/lag windows"),
     "nation_name_fuzzy_pairs": QuerySpec(q_nation_name_fuzzy_pairs, FUZZY_SQL, "Levenshtein fuzzy pairs"),
@@ -2773,4 +2952,5 @@ RETIRED: dict[str, QuerySpec] = {
     "vocab_top_tokens": QuerySpec(q_vocab_top_tokens, VOCAB_SQL, "vocabulary build (explode+count+rank shapes kept in-catalog elsewhere)"),
     "nation_customer_agg": QuerySpec(q_nation_customer_agg, STRING_AGG_SQL, "ordered string aggregation"),
     "quantiles_by_segment": QuerySpec(q_quantiles_by_segment, QUANTILE_SQL, "exact quantiles"),
+    "doc_quality": QuerySpec(q_doc_quality, Q_QUALITY_SQL, "heuristic quality scoring (exercised in-catalog by curation_pipeline)"),
 }
