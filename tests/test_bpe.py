@@ -1,0 +1,56 @@
+"""BPE training: distributed dataflow must reproduce the plain-python
+reference (same merges in the same order, same final segmentations)."""
+
+from __future__ import annotations
+
+import random
+
+from hawk_pack_spark.operators.bpe import END, train_bpe, train_bpe_reference
+
+
+def _freqs_from_texts(texts):
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split():
+            wf[w] = wf.get(w, 0) + 1
+    return wf
+
+
+def test_bpe_matches_reference_on_synthetic(spark):
+    rng = random.Random(13)
+    vocab = ["low", "lower", "lowest", "newer", "new", "wider", "widest", "slow"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(30)) for _ in range(40)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, segmented = train_bpe(docs, n_merges=12)
+    want = train_bpe_reference(_freqs_from_texts(texts), n_merges=12)
+    assert merges == want and len(merges) == 12
+    # classic BPE behavior: frequent suffixes glue into single symbols
+    glued = {a + b for a, b, _ in merges}
+    assert any(g.endswith(END) for g in glued)
+    # segmentations are exact concatenations of their words
+    for r in segmented.collect():
+        assert "".join(r["syms"]) == r["w"] + END
+
+
+def test_bpe_on_fixture_matches_reference(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, _ = train_bpe(docs, n_merges=8)
+    rows = duckdb.sql(
+        f"""SELECT w, COUNT(*) AS f FROM (
+              SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS w
+              FROM '{sf_dir}/documents.parquet') GROUP BY w"""
+    ).fetchall()
+    want = train_bpe_reference({w: f for w, f in rows}, n_merges=8)
+    assert merges == want and len(merges) == 8
+
+
+def test_bpe_stops_when_pairs_exhaust(spark):
+    docs = spark.createDataFrame([(0, "ab ab cd")], "doc_id long, text string")
+    merges, _ = train_bpe(docs, n_merges=50, min_pair_freq=2)
+    # only (a, b+END) reaches freq 2; everything else is unique
+    assert len(merges) == 1 and merges[0][:2] == ("a", "b" + END)
