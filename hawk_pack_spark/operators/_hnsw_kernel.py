@@ -331,6 +331,7 @@ def index_from_arrays(
     e_dsts: list,
     e_dists: list,
     layers: np.ndarray | None = None,
+    neighbor_heuristic: bool = False,
 ) -> LocalHNSW:
     """Rehydrate a LocalHNSW from stored parallel-array adjacency (global
     ids → local indices).
@@ -344,7 +345,7 @@ def index_from_arrays(
     the layer is derived from adjacency presence, which can under-report
     exactly that case."""
     metric = Metric(metric_name, data)
-    index = LocalHNSW(metric, params)
+    index = LocalHNSW(metric, params, neighbor_heuristic=neighbor_heuristic)
     id_to_local = {int(g): i for i, g in enumerate(ids.tolist())}
     for local in range(len(ids)):
         lays, dsts, dists = e_layers[local], e_dsts[local], e_dists[local]

@@ -335,6 +335,7 @@ def insert_batch(
     vec_col: str = "embedding",
     seed: int = 42,
     match_threshold: float | None = None,
+    neighbor_heuristic: bool = False,
 ) -> DataFrame:
     """Two-phase batch insert into an existing index (reference insert
     lifecycle, SURVEY.md §3 EP2): phase 1 searches, the caller-side
@@ -373,7 +374,8 @@ def insert_batch(
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             data = _payload(pdf, metric)
             layers = K.assign_layer(K.uniform_from_ids(ids, seed), params.m_L)
-            index = K.build_local(ids, data, metric, params, layers=layers)
+            index = K.build_local(ids, data, metric, params, layers=layers,
+                                  neighbor_heuristic=neighbor_heuristic)
             return _emit_index(shard, ids, pdf, metric, layers, index)
 
         left = left.sort_values("vec_id").reset_index(drop=True)
@@ -390,7 +392,7 @@ def insert_batch(
         index = K.index_from_arrays(
             old_ids, full, metric, params,
             left["e_layer"].tolist(), left["e_dst"].tolist(), left["e_dist"].tolist(),
-            layers=old_layers,
+            layers=old_layers, neighbor_heuristic=neighbor_heuristic,
         )
         n = len(old_ids)
         accepted = []
