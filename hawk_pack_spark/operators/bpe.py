@@ -147,3 +147,72 @@ def train_bpe_reference(
                     out.append(s)
             vocab[w] = out
     return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Apply a trained merge table to a corpus: one row per document
+    with its subword sequence and count.
+
+    Production shape: per-word segmentation runs in an Arrow-batched
+    mapInPandas kernel with a per-batch memo (corpus words repeat
+    heavily — each distinct word segments once per batch), applying
+    merges in learned priority order. The k-nested-fold expression
+    alternative is O(k) Catalyst nodes per row; the kernel is O(merges
+    actually present in the word) with dict lookups.
+    """
+    import pandas as pd
+
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    def segment(word: str) -> list[str]:
+        syms = [*list(word[:-1]), word[-1] + END] if word else []
+        while len(syms) >= 2:
+            best_i, best_r = -1, None
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                r = ranks.get(pair)
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            a, b = syms[best_i], syms[best_i + 1]
+            # merge ALL non-overlapping (a,b) left-to-right (paper rule)
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    from hawk_pack_spark.functions.text import tokens as _tokens
+
+    base = docs.select(*[F.col(c) for c in id_cols], _tokens(text_col).alias("_ws"))
+    out_schema = ", ".join(
+        [f"{c} long" for c in id_cols] + ["subwords array<string>", "n_subwords long"]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            rows_sub, rows_n = [], []
+            for ws in pdf["_ws"]:
+                subs: list[str] = []
+                for w in ws:
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = segment(w)
+                    subs.extend(got)
+                rows_sub.append(subs)
+                rows_n.append(len(subs))
+            out = pd.DataFrame({c: pdf[c] for c in id_cols})
+            out["subwords"] = rows_sub
+            out["n_subwords"] = rows_n
+            yield out
+
+    return base.mapInPandas(run, out_schema)

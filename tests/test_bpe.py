@@ -54,3 +54,32 @@ def test_bpe_stops_when_pairs_exhaust(spark):
     merges, _ = train_bpe(docs, n_merges=50, min_pair_freq=2)
     # only (a, b+END) reaches freq 2; everything else is unique
     assert len(merges) == 1 and merges[0][:2] == ("a", "b" + END)
+
+
+def test_apply_bpe_consistent_with_training(spark):
+    """Applying the learned merges to the training corpus must reproduce
+    the final training segmentation for every word (priority-ordered
+    application converges to the same fixpoint as sequential training
+    on words the trainer saw)."""
+    from hawk_pack_spark.operators.bpe import apply_bpe
+
+    texts = ["low lower lowest low low", "newer new newest lower low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, segmented = train_bpe(docs, n_merges=10)
+    want = {r["w"]: list(r["syms"]) for r in segmented.collect()}
+    out = apply_bpe(docs, merges).collect()
+    for r in out:
+        # re-split subwords back into words via the END marker
+        words, cur = [], []
+        for s in r["subwords"]:
+            cur.append(s)
+            if s.endswith(END):
+                words.append(cur)
+                cur = []
+        texts_words = texts[r["doc_id"]].split()
+        assert len(words) == len(texts_words)
+        for w, got in zip(texts_words, words):
+            assert got == want[w], (w, got, want[w])
+        assert r["n_subwords"] == len(r["subwords"])
