@@ -264,3 +264,39 @@ def bigram_lm_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("lp_micro").alias("sum_lp_micro"),
     )
+
+
+def clean_text_expr(text_col: Column | str) -> Column:
+    """JVM-side text cleanup (one codegen'd projection): strip control
+    characters, collapse whitespace runs to single spaces, trim. The
+    universal first stage of corpus ingestion; everything downstream
+    (tokenization, hashing, dedup) assumes it ran."""
+    s = T._c(text_col)
+    s = F.regexp_replace(s, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    s = F.regexp_replace(s, r"\s+", " ")
+    return F.trim(s)
+
+
+def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization via Arrow-batched mapInPandas — Spark
+    has no built-in NFC, and byte-identical text is what makes exact
+    dedup correct across sources that encode the same string as
+    composed vs decomposed codepoints (e.g. e+combining-acute vs
+    precomposed). Python's unicodedata is the reference implementation;
+    batches stream through, nothing collects."""
+    import unicodedata
+
+    cols = docs.columns
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[text_col] = [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in docs.schema)
+    _ = cols
+    return docs.mapInPandas(run, schema)

@@ -166,3 +166,19 @@ def test_bigram_lm_rare_sequences_score_higher(spark):
     sc = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
     avg = lambda r: r["sum_lp_micro"] / r["n_bigrams"]
     assert avg(sc[99]) > avg(sc[0]) * 2  # unseen-ish bigrams cost far more
+
+
+def test_clean_text_and_nfc_normalize(spark):
+    from hawk_pack_spark.functions.curation import clean_text_expr, nfc_normalize
+
+    decomposed = "café  du\tmonde"  # e + combining acute, messy spacing
+    composed = "café du monde"
+    df = spark.createDataFrame(
+        [("en", 1, decomposed + "\x00\x1f"), ("en", 2, composed)],
+        "lang string, doc_id long, text string",
+    )
+    cleaned = df.select("doc_id", clean_text_expr("text").alias("text"), "lang")
+    out = {r["doc_id"]: r["text"] for r in nfc_normalize(cleaned).collect()}
+    # after clean + NFC the two encodings are byte-identical -> exact
+    # dedup sees them as the same document
+    assert out[1] == out[2] == composed
