@@ -27,51 +27,51 @@ def asof_join_backward(
 
     Tie rule: right rows at exactly left.ts ARE visible (<=), matching
     DuckDB's ASOF JOIN; among equal-ts right rows the highest-ordered
-    one wins deterministically."""
-    l_tagged = left.withColumn("_is_left", F.lit(1)).withColumn(
-        "_ts", F.col(left_ts)
+    one wins deterministically.
+
+    Row atomicity: all value columns travel as ONE struct through a
+    single last(ignorenulls), so the carried result is always a single
+    winning right row — carrying each column through its own
+    last(ignorenulls) would stitch values from different right rows
+    whenever some value columns are NULL in the winner."""
+    rtypes = dict(right.dtypes)
+    vals_type = (
+        "struct<" + ",".join(f"`{v}`:{rtypes[v]}" for v in value_cols) + ">"
     )
-    for v in value_cols:
-        l_tagged = l_tagged.withColumn(f"_r_{v}", F.lit(None).cast(dict(right.dtypes)[v]))
-    r_tagged = right.select(
-        F.col(key),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_is_left"),
-        *[F.col(v).alias(f"_r_{v}") for v in value_cols],
-    )
-    l_aligned = l_tagged.select(
+    l_aligned = left.select(
         *[F.col(c) for c in left.columns],
-        "_ts", "_is_left", *[f"_r_{v}" for v in value_cols],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(vals_type).alias("_rvals"),
     )
-    r_aligned = r_tagged.select(
+    r_aligned = right.select(
         *[
-            F.col(c) if c in (key,) else F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            F.col(c) if c == key else F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
             for c in left.columns
         ],
-        "_ts", "_is_left", *[f"_r_{v}" for v in value_cols],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.struct(*[F.col(v).alias(v) for v in value_cols]).alias("_rvals"),
     )
     u = l_aligned.unionByName(r_aligned)
     # right rows sort before left at equal ts → visible to them (<=).
-    # The value columns join the orderBy as the final keys: without them
+    # The value struct joins the orderBy as the final key: without it
     # two right rows with equal (key, ts) have no defined relative order
     # and last(ignorenulls) would pick whichever landed last in partition
-    # order — varying across shuffles. With them, the largest value tuple
-    # wins, deterministically.
+    # order — varying across shuffles. With it, the largest value tuple
+    # (field-wise struct comparison) wins, deterministically and as a
+    # whole row.
     w = (
         Window.partitionBy(key)
         .orderBy(
             F.col("_ts").asc(),
             F.col("_is_left").asc(),
-            *[F.col(f"_r_{v}").asc_nulls_first() for v in value_cols],
+            F.col("_rvals").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = u
-    for v in value_cols:
-        carried = carried.withColumn(
-            f"asof_{v}", F.last(f"_r_{v}", ignorenulls=True).over(w)
-        )
+    carried = u.withColumn("_won", F.last("_rvals", ignorenulls=True).over(w))
     return carried.where(F.col("_is_left") == 1).select(
         *[F.col(c) for c in left.columns],
-        *[F.col(f"asof_{v}") for v in value_cols],
+        *[F.col("_won")[v].alias(f"asof_{v}") for v in value_cols],
     )

@@ -53,12 +53,19 @@ def bm25_search(
     b: float = 0.75,
     query_id: str = "query_id",
     terms_col: str = "terms",
+    score_round: int | None = None,
 ) -> DataFrame:
     """Batch BM25 top-k: ``queries`` is (query_id, terms ARRAY<STRING>).
     Returns (query_id, doc_id, score, rank), score descending.
 
     Repeated query terms weight tf-style (each occurrence adds one
-    score term), matching the standard bag-of-words query model."""
+    score term), matching the standard bag-of-words query model.
+
+    ``score_round``: round the score to this many decimals BEFORE
+    ranking (tie-broken by doc_id). Cross-engine parity checks must
+    rank on the same quantity they compare — ranking on the unrounded
+    score while the oracle ranks on the rounded one lets two docs whose
+    scores differ by < the rounding quantum swap ranks."""
     q = queries.select(
         F.col(query_id).alias("query_id"), F.explode(terms_col).alias("term")
     )
@@ -86,6 +93,8 @@ def bm25_search(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("s").alias("score"))
     )
+    if score_round is not None:
+        scored = scored.withColumn("score", F.round("score", score_round))
     return topk_rows(
         scored, ["query_id"], "score", k, ascending=False, tie_cols=["doc_id"]
     )

@@ -1612,9 +1612,12 @@ FROM embeddings
 
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal loop collapsed to one checkable row: binary
-    media table → mapInPandas feature extraction (deterministic fake
-    decode — codecs aren't in this container; the Arrow plumbing is the
-    real path) → frame sampling → HNSW ANN over the features.
+    media table → mapInPandas feature extraction → frame sampling →
+    HNSW ANN over the features. synthetic_media emits REAL P6 PPM image
+    and 16-bit PCM WAV audio payloads, and extract_features runs the
+    real pure-numpy decode + feature paths for those rows (RGB grid +
+    histogram; log-power FFT bands + RMS/ZCR); only the video rows fall
+    back to the deterministic fake (no codec in this container).
 
     n_media / n_frames_sampled are EXACTLY derivable from the documents
     table (media metadata is a pure function of doc_id/n_chars), so the
@@ -2181,7 +2184,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings + idf + length-normalized tf scoring, top-10 per query.
     Two queries of exactly TWO terms each: a two-operand float sum is
     order-independent (fp addition commutes; only associativity breaks),
-    so the score hash-matches the oracle."""
+    so the score hash-matches the oracle. Both engines rank on the
+    score ROUNDED to 6 decimals (score_round=6 here, ROUND(SUM(s),6)
+    in the oracle) so sub-quantum score differences can't swap ranks."""
     from hawk_pack_spark.operators.bm25 import bm25_build, bm25_search
 
     docs = load_table(spark, "documents", sf_dir)
@@ -2190,9 +2195,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, ["scan", "merge"]), (1, ["window", "join"])],
         "query_id long, terms array<string>",
     )
-    out = bm25_search(index, qs, k=10)
-    return out.select(
-        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    return bm25_search(index, qs, k=10, score_round=6).select(
+        "query_id", "doc_id", "score", "rank"
     )
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -44,6 +44,32 @@ def num_layers(links: DataFrame) -> int:
 # Vec<(V, D)>), the entry point as {"point": ..., "layer": n}
 # (EntryPoint struct, graph_store/mod.rs:14-18). These converters are the
 # layout contract; JDBC is just one transport for the same rows.
+#
+# The vector ref is an INTEGER in the reference's serde (Vec<(V, D)> with
+# integer V) — to_json over a uniform double array would render refs as
+# 42.0 and silently lose precision above 2^53, so the pair array is
+# rendered with format_string instead: [[42,1.5],...] with the ref as an
+# exact integer literal at any id width.
+
+
+def _links_json() -> Column:
+    """nbrs ARRAY<STRUCT<dist,dst>> → the reference's [[ref, dist], ...]
+    JSON text, refs as exact integer literals."""
+    return F.concat(
+        F.lit("["),
+        F.array_join(
+            F.transform(
+                "nbrs",
+                lambda x: F.format_string(
+                    "[%s,%s]",
+                    x["dst"].cast("string"),
+                    x["dist"].cast("double").cast("string"),
+                ),
+            ),
+            ",",
+        ),
+        F.lit("]"),
+    )
 
 
 def to_pg_rows(links: DataFrame, entries: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -56,12 +82,7 @@ def to_pg_rows(links: DataFrame, entries: DataFrame) -> tuple[DataFrame, DataFra
     links_rows = links.select(
         F.col("src").cast("string").alias("source_ref"),
         F.col("layer").cast("int").alias("layer"),
-        F.to_json(
-            F.transform(
-                "nbrs",
-                lambda x: F.array(x["dst"].cast("double"), x["dist"].cast("double")),
-            )
-        ).alias("links"),
+        _links_json().alias("links"),
     )
     entry_rows = entries.select(
         F.to_json(
@@ -77,16 +98,25 @@ def from_pg_rows(
 ) -> tuple[DataFrame, DataFrame]:
     """Inverse of `to_pg_rows`: parse the Postgres row shapes back into
     the normalized links view (layer, src, nbrs ARRAY<STRUCT<dist,dst>>)
-    and entry table (shard, point, layer)."""
-    nbr_pairs = F.from_json(F.col("links"), "array<array<double>>")
+    and entry table (shard, point, layer).
+
+    The pair text is split manually (regexp over the inner [ref,dist]
+    pairs) rather than from_json'd as array<array<double>>, so integer
+    refs parse exactly at any id width; the ref column tolerates both
+    the integer form this module writes and a float form (42.0) that a
+    foreign writer might emit."""
+    inner = F.expr(r"regexp_extract_all(links, '\\[([^\\[\\]]+)\\]', 1)")
     links = links_rows.select(
         F.col("source_ref").cast("long").alias("src"),
         F.col("layer").cast("int").alias("layer"),
         F.transform(
-            nbr_pairs,
-            lambda p: F.struct(
-                F.element_at(p, 2).alias("dist"),
-                F.element_at(p, 1).cast("long").alias("dst"),
+            inner,
+            lambda s: F.struct(
+                F.split(s, ",")[1].cast("double").alias("dist"),
+                F.coalesce(
+                    F.split(s, ",")[0].try_cast("long"),
+                    F.split(s, ",")[0].cast("double").cast("long"),
+                ).alias("dst"),
             ),
         ).alias("nbrs"),
     )
@@ -116,12 +146,7 @@ def export_links_jdbc(
     rows = links.select(
         F.col("src").cast("string").alias("source_ref"),
         F.col("layer"),
-        F.to_json(
-            F.transform(
-                "nbrs",
-                lambda x: F.array(x["dst"].cast("double"), x["dist"].cast("double")),
-            )
-        ).alias("links"),
+        _links_json().alias("links"),
     )
     rows.write.format("jdbc").option("url", url).option("dbtable", table).mode(
         mode

@@ -49,6 +49,26 @@ def test_bpe_on_fixture_matches_reference(spark, sf_dir):
     assert merges == want and len(merges) == 8
 
 
+def test_incremental_trainer_matches_reference_deep():
+    """The heap/inverted-index trainer must track the O(vocab)-per-merge
+    reference exactly over a long merge sequence on a large random
+    vocabulary — this exercises stale-heap skipping, count decreases,
+    self-pairs (a==b), and pair extinction."""
+    from hawk_pack_spark.operators.bpe import _train_on_word_table
+
+    rng = random.Random(99)
+    alphabet = "abcdef"
+    wf = {}
+    for _ in range(2000):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        wf[w] = wf.get(w, 0) + rng.randint(1, 50)
+    merges, vocab = _train_on_word_table(wf, n_merges=400, min_pair_freq=2)
+    want = train_bpe_reference(wf, n_merges=400, min_pair_freq=2)
+    assert merges == want
+    for w, syms in vocab.items():
+        assert "".join(syms) == w + END
+
+
 def test_bpe_stops_when_pairs_exhaust(spark):
     docs = spark.createDataFrame([(0, "ab ab cd")], "doc_id long, text string")
     merges, _ = train_bpe(docs, n_merges=50, min_pair_freq=2)

@@ -103,3 +103,34 @@ def test_pg_row_layout_roundtrip(spark, tmp_path):
     assert (
         links_rows.groupBy("source_ref", "layer").count().where(F.col("count") > 1)
     ).isEmpty()
+
+
+def test_pg_rows_integer_refs_exact_above_2_53(spark):
+    """The links JSON must carry vector refs as integer literals so ids
+    above 2^53 (where doubles lose integer resolution) round-trip
+    exactly — the reference's serde writes integer refs
+    (graph_pg.rs set_links; FurthestQueue is Vec<(V, D)> with integer
+    V), and a double-typed encoding both corrupts big ids and diverges
+    textually (42.0 vs 42) from reference-written rows."""
+    from pyspark.sql import functions as F
+
+    from hawk_pack_spark.sources.graph_io import from_pg_rows, to_pg_rows
+
+    big = 2**60 + 3  # not representable as a double
+    links = spark.createDataFrame(
+        [(0, 7, [(0.5, big), (1.25, big + 1)])],
+        "layer int, src long, nbrs array<struct<dist double, dst long>>",
+    )
+    entries = spark.createDataFrame([(0, 7, 0)], "shard int, point long, layer int")
+    links_rows, entry_rows = to_pg_rows(links, entries)
+    txt = links_rows.select("links").collect()[0][0]
+    assert str(big) in txt and f"{float(big)}" not in txt
+    links2, _ = from_pg_rows(links_rows, entry_rows)
+    got = links2.collect()[0]
+    assert [(n.dist, n.dst) for n in got.nbrs] == [(0.5, big), (1.25, big + 1)]
+    # tolerance for a foreign writer that emits refs as floats
+    foreign = spark.createDataFrame(
+        [("7", 0, "[[42.0,0.5]]")], "source_ref string, layer int, links string"
+    )
+    links3, _ = from_pg_rows(foreign, entry_rows)
+    assert [(n.dist, n.dst) for n in links3.collect()[0].nbrs] == [(0.5, 42)]
