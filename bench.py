@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from hawk_pack_spark.queries import CATALOG  # noqa: E402
+from hawk_pack_spark.queries.catalog import ALL_SPECS  # noqa: E402
 from hawk_pack_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -233,7 +233,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        spec = CATALOG.get(name)
+        spec = ALL_SPECS.get(name)
         if spec is None:
             continue
         t0 = time.perf_counter()

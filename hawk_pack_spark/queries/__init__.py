@@ -1,3 +1,3 @@
-from hawk_pack_spark.queries.catalog import CATALOG, QuerySpec
+from hawk_pack_spark.queries.catalog import ALL_SPECS, CATALOG, QuerySpec
 
-__all__ = ["CATALOG", "QuerySpec"]
+__all__ = ["ALL_SPECS", "CATALOG", "QuerySpec"]

@@ -2864,7 +2864,7 @@ FROM funnel LEFT JOIN bins ON funnel.lang = bins.lang
 """
 
 
-CATALOG: dict[str, QuerySpec] = {
+_STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-2 front block: entries that were unchecked (or whose
     # implementation changed) go FIRST so the driver's 50-entry
     # correctness window records them; every entry is oracle-backed.
@@ -2929,7 +2929,7 @@ CATALOG: dict[str, QuerySpec] = {
 # operators stay in the engine and their parity stays verified: the
 # pytest suite sweeps RETIRED against the same DuckDB oracles at
 # sf0.001 (tests/test_retired_parity.py).
-RETIRED: dict[str, QuerySpec] = {
+_ROTATED_OUT_SPECS: dict[str, QuerySpec] = {
     "rollup_returnflag": QuerySpec(q_rollup_returnflag, Q_ROLLUP_SQL, "grouping sets (CUBE kept in-catalog)"),
     "orders_monthly": QuerySpec(q_orders_monthly, Q_MONTHLY_SQL, "time bucketing (sliding windows kept)"),
     "part_brand_stats": QuerySpec(q_part_brand_stats, Q_PART_SQL, "agg + avg parity (brand-avg filter kept)"),
@@ -2958,3 +2958,76 @@ RETIRED: dict[str, QuerySpec] = {
     "quantiles_by_segment": QuerySpec(q_quantiles_by_segment, QUANTILE_SQL, "exact quantiles"),
     "doc_quality": QuerySpec(q_doc_quality, Q_QUALITY_SQL, "heuristic quality scoring (exercised in-catalog by curation_pipeline)"),
 }
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation (round-2 VERDICT item 5).
+#
+# The driver records at most 50 correctness rows per round, but the
+# engine has 73 oracle-backed queries. A fixed 50-entry catalog means 23
+# oracles can never earn a driver row. Instead: 42 PINNED entries (the
+# queries whose driver row is the only end-to-end verification of a core
+# operator family — the ANN/HNSW invariant block, the dedup family, the
+# curation block, the flagship relational shapes) hold their slot every
+# round, and 8 ROTATING slots cycle deterministically through everything
+# else, keyed on the round number. Over ceil(31/8)=4 rounds every oracle
+# in the pool earns a driver row; queries not currently rotated in are
+# still parity-swept by pytest (tests/test_retired_parity.py).
+#
+# The round number is inferred from the CORRECTNESS_r*.json artifacts the
+# driver itself commits at the end of each round — deterministic within a
+# round (the file for the current round doesn't exist yet while it runs)
+# and needs no out-of-band signal.
+
+_PINNED_NAMES = [
+    n for n in _STABLE_SPECS
+    if n not in {
+        # thin relational/text shapes whose operator coverage is retained
+        # by pinned cousins (q18 subqueries, cube conditional aggs,
+        # top_supplier correlated scalar, session_window event-time,
+        # curation_pipeline tokenization/lang features) — these rotate.
+        "q04_order_priority", "q14_promo_revenue_share",
+        "parts_above_brand_avg", "lang_id", "customer_running_totals",
+        "nation_name_fuzzy_pairs", "doc_token_stats",
+        "sliding_window_counts",
+    }
+]
+
+_ROTATION_POOL: list[str] = list(_ROTATED_OUT_SPECS) + [
+    n for n in _STABLE_SPECS if n not in set(_PINNED_NAMES)
+]
+
+_ALL_SPECS: dict[str, QuerySpec] = {**_STABLE_SPECS, **_ROTATED_OUT_SPECS}
+
+_ROTATING_SLOTS = 50 - len(_PINNED_NAMES)
+
+
+def _round_index() -> int:
+    """Current round = count of committed per-round correctness artifacts
+    + 1 (the driver writes CORRECTNESS_r{N}.json only at round end)."""
+    import glob
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return len(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))) + 1
+
+
+def _rotate(round_index: int) -> tuple[dict[str, QuerySpec], dict[str, QuerySpec]]:
+    pool = _ROTATION_POOL
+    k = _ROTATING_SLOTS
+    off = (round_index * k) % len(pool)
+    rotating = [pool[(off + i) % len(pool)] for i in range(k)]
+    catalog = {n: _ALL_SPECS[n] for n in rotating}  # new names first: the
+    catalog.update({n: _ALL_SPECS[n] for n in _PINNED_NAMES})  # driver caps at 50
+    retired = {n: s for n, s in _ALL_SPECS.items() if n not in catalog}
+    return catalog, retired
+
+
+CATALOG, RETIRED = _rotate(_round_index())
+
+# Rotation-independent view for callers that key on names (bench.py's
+# HEADLINE set must measure the same queries every round regardless of
+# which slots they occupy).
+ALL_SPECS = _ALL_SPECS
