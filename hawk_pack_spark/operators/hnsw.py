@@ -227,6 +227,143 @@ def shard_centroids(index_df: DataFrame, metric: str = "l2_sq") -> DataFrame:
     )
 
 
+def search_serving(
+    index_df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2_sq",
+    params: HawkParams = DEFAULT_PARAMS,
+    ef_search: int | None = None,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    nprobe_shards: int | None = None,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Serving-path search: queries move to the data, the index never
+    moves.
+
+    The cogroup path (`search`) repartitions the FULL index per call and
+    recomputes centroids with an O(n) scan — right for one-off
+    analytical jobs where the index is transient, wrong for serving
+    where the index is long-lived and queries are the small side. Here
+    the (bounded) query batch is collected, routed driver-side against
+    build-time centroids, and broadcast; one `mapInPandas` pass over the
+    index searches each shard's routed queries with ZERO index shuffle,
+    and a JVM-side `shard IN (probed…)` filter skips Arrow transfer of
+    unprobed shards entirely. Per-query cost is nprobe × O(log shard) —
+    independent of total shard count AND free of the per-call O(n)
+    setup the cogroup path pays.
+
+    Requirements: index partitions must contain whole shards (true for
+    ``build_index`` output and anything ``repartition(n, "shard")``-ed
+    before checkpointing — applyInPandas output keeps its grouping
+    physically). ``centroids`` is ``shard_centroids(index).collect()``
+    — num_shards rows of build-time serving metadata; computed on the
+    fly if omitted (one O(n) scan — hoist it out of any loop).
+    """
+    spark = queries.sparkSession
+    qn = _normalize_vectors(queries, query_id, query_col, metric, out_id="query_id")
+    payload = "code" if metric == "hamming" else "vec"
+    q_rows = qn.select("query_id", payload).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, dist double, rank int"
+        )
+    if metric == "hamming":
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_data = np.array([r[1] for r in q_rows], dtype=np.int64).view(np.uint64)
+    else:
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_data = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+
+    # driver-side routing against build-time centroids (tiny matrices)
+    if nprobe_shards is not None:
+        if centroids is None:
+            centroids = shard_centroids(index_df, metric).collect()
+        # shard-ascending order + stable argsort = the cogroup router's
+        # tie-break (topk_rows tie_cols=["shard"]) exactly
+        centroids = sorted(centroids, key=lambda r: r[0])
+        c_shards = np.array([r[0] for r in centroids], dtype=np.int64)
+        if metric == "hamming":
+            c_codes = np.array([r[1] for r in centroids], dtype=np.int64).view(
+                np.uint64
+            )
+            cd = np.zeros((len(q_ids), len(c_shards)), dtype=np.float64)
+            for j, c in enumerate(c_codes):
+                x = q_data ^ c
+                cd[:, j] = np.unpackbits(
+                    x.view(np.uint8).reshape(len(q_ids), 8), axis=1
+                ).sum(axis=1)
+        else:
+            c_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in centroids])
+            cd = (
+                (q_data * q_data).sum(1)[:, None]
+                - 2.0 * (q_data @ c_mat.T)
+                + (c_mat * c_mat).sum(1)[None, :]
+            )
+        npb = min(nprobe_shards, len(c_shards))
+        order = np.argsort(cd, axis=1, kind="stable")[:, :npb]
+        routed: dict[int, list[int]] = {}
+        for qi in range(len(q_ids)):
+            for c in order[qi]:
+                routed.setdefault(int(c_shards[c]), []).append(qi)
+        scan = index_df.where(
+            F.col("shard").isin([int(s) for s in routed])
+        )
+    else:
+        routed = None
+        scan = index_df
+
+    bc = spark.sparkContext.broadcast((q_ids, q_data, routed))
+
+    def run(batches):
+        q_ids_, q_data_, routed_ = bc.value
+        # Arrow batches can split a shard: accumulate the partition
+        # (bounded — a partition holds whole shards) before grouping.
+        parts = [pdf for pdf in batches if not pdf.empty]
+        if not parts:
+            return
+        whole = pd.concat(parts, ignore_index=True)
+        out_rows: list[tuple] = []
+        for shard, pdf in whole.groupby("shard", sort=False):
+            shard = int(shard)
+            q_idx = (
+                routed_.get(shard) if routed_ is not None else range(len(q_ids_))
+            )
+            if not q_idx:
+                continue
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            data = _payload(pdf, metric)
+            sel = list(q_idx)
+            qd = q_data_[sel]
+            full = _stack_payload(data, qd, metric)
+            index = K.index_from_arrays(
+                ids, full, metric, params,
+                pdf["e_layer"].tolist(), pdf["e_dst"].tolist(),
+                pdf["e_dist"].tolist(),
+                layers=pdf["layer"].to_numpy(dtype=np.int32),
+            )
+            n = len(ids)
+            for j, qi in enumerate(sel):
+                qid = int(q_ids_[qi])
+                for d, local in index.search(n + j, k, ef_search):
+                    out_rows.append((shard, qid, int(ids[local]), float(d)))
+        yield pd.DataFrame(
+            out_rows, columns=["shard", "query_id", "vec_id", "dist"]
+        )
+
+    per_shard = scan.mapInPandas(run, SEARCH_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+
+
 def search(
     index_df: DataFrame,
     queries: DataFrame,

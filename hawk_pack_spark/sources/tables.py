@@ -36,13 +36,22 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # The events fixture is TIMESTAMP(NANOS) which Spark reads as raw
-    # nanos (legacy.parquet.nanosAsLong). Reconstruct micros-precision
-    # timestamps with floor division — DuckDB truncates nanos the same way.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    # The events fixture's ts physical type has varied across testdata
+    # generations: TIMESTAMP(NANOS) (read as raw nanos under
+    # legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS) with
+    # isAdjustedToUTC=false (read as TIMESTAMP_NTZ by Spark 4, while
+    # DuckDB reads it as a naive TIMESTAMP). Normalize both to the
+    # session-UTC instant type the catalog's epoch-second convention is
+    # written against — under a UTC session the NTZ wall-clock IS the
+    # instant, matching DuckDB's EPOCH() on the naive value.
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

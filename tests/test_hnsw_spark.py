@@ -277,3 +277,66 @@ def test_balance_assignments_splits_hot_cells(spark, sf_dir):
     # close as any sibling's)
     self_hits = sum(1 for r in rows if r.query_id == r.vec_id and r.dist == 0.0)
     assert self_hits >= 16, self_hits
+
+
+def test_search_serving_matches_cogroup(spark, sf_dir, code_index):
+    """The serving path (broadcast queries + mapInPandas over the
+    unmoved index, driver-side centroid routing) must return the same
+    results as the cogroup path at the same nprobe — it is the same
+    per-shard kernel search reached with zero index shuffle."""
+    from hawk_pack_spark.operators.similarity import ivf_build
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).cache()
+    params = HawkParams.new(64, 64, 16)
+    assigned, _ = ivf_build(emb, n_clusters=8)
+    index = hnsw.build_index(
+        emb, metric="l2_sq", params=params, num_shards=8,
+        assignments=assigned.select("vec_id", F.col("cluster").alias("shard")),
+    ).localCheckpoint()
+    queries = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = hnsw.shard_centroids(index, "l2_sq").collect()
+    a = hnsw.search(
+        index, queries, k=10, metric="l2_sq", params=params,
+        num_shards=8, nprobe_shards=4,
+    ).collect()
+    b = hnsw.search_serving(
+        index, queries, k=10, metric="l2_sq", params=params,
+        nprobe_shards=4, centroids=cents,
+    ).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in a} == {
+        (r.query_id, r.vec_id, r.rank) for r in b
+    }
+    # fan-out form (no routing) agrees too
+    c = hnsw.search_serving(
+        index, queries, k=10, metric="l2_sq", params=params
+    ).collect()
+    d = hnsw.search(
+        index, queries, k=10, metric="l2_sq", params=params, num_shards=8
+    ).collect()
+    assert {(r.query_id, r.vec_id) for r in c} == {
+        (r.query_id, r.vec_id) for r in d
+    }
+
+    # hamming serving path must agree with the cogroup router at equal
+    # nprobe (id-hashed shards make bit-majority routing uninformative,
+    # so self-recall is NOT guaranteed here — agreement is the contract)
+    hq = spark.range(0, 199, 9).select(
+        F.col("id").alias("query_id"), F.col("id").alias("query_vec")
+    )
+    hc = hnsw.shard_centroids(code_index, "hamming").collect()
+    e = hnsw.search_serving(
+        code_index, hq, k=1, metric="hamming", params=PARAMS,
+        nprobe_shards=2, centroids=hc,
+    ).collect()
+    f = hnsw.search(
+        code_index, hq, k=1, metric="hamming", params=PARAMS,
+        num_shards=4, nprobe_shards=2,
+    ).collect()
+    assert len(e) == 23
+    assert {(r.query_id, r.vec_id, r.dist) for r in e} == {
+        (r.query_id, r.vec_id, r.dist) for r in f
+    }

@@ -9,13 +9,15 @@ import io
 
 import pytest
 
-from hawk_pack_spark.queries import CATALOG
+from hawk_pack_spark.queries import ALL_SPECS
 
 
 def _plan(spark, sf_dir, name: str) -> str:
+    # ALL_SPECS, not CATALOG: plan properties must hold regardless of
+    # which rotation slot a query currently occupies
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        CATALOG[name].fn(spark, sf_dir).explain("formatted")
+        ALL_SPECS[name].fn(spark, sf_dir).explain("formatted")
     return buf.getvalue()
 
 
