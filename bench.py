@@ -5,12 +5,24 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Replicates the reference bench's shape (benches/hnsw.rs: search/insert
 against a prebuilt DB, HNSW vs brute-force contrast) plus the relational
 headline queries.
+
+Attribution (VERDICT r02 item 2): every timing row is the MEDIAN of
+N repeated measurements taken in a fixed order (catalog queries run as
+round-robin sweeps so cache warm-up spreads evenly); "spread" records
+[min, max, n] per row so round-over-round deltas can be judged against
+measured noise instead of guessed. Heavy one-off families (the 1M-vector
+ANN ladder) run once and report n=1.
+
+Env knobs: SPARK_GRAFT_BENCH_REPEATS (default 3),
+SPARK_GRAFT_BENCH_FAST (skip the 100k build and the 1M family,
+single repeat — the quick iteration loop).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -18,6 +30,11 @@ sys.path.insert(0, "/root/repo")
 
 from hawk_pack_spark.queries.catalog import ALL_SPECS  # noqa: E402
 from hawk_pack_spark.session import get_spark  # noqa: E402
+
+FAST = bool(os.environ.get("SPARK_GRAFT_BENCH_FAST"))
+REPEATS = 1 if FAST else int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+# expensive families (index builds, crossover) repeat fewer times
+REPEATS_HEAVY = min(REPEATS, 2)
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -51,10 +68,24 @@ HEADLINE = [
     "perplexity_filter",
 ]
 
+SAMPLES: dict[str, list[float]] = {}
+CONTRASTS: dict[str, float] = {}
+RECALLS: dict[str, float] = {}
 
-def bench_hnsw_reference_shape(spark, timings: dict) -> None:
+
+def record(name: str, sec: float) -> None:
+    SAMPLES.setdefault(name, []).append(round(sec, 3))
+
+
+def timed(name: str, thunk) -> None:
+    t0 = time.perf_counter()
+    thunk()
+    record(name, time.perf_counter() - t0)
+
+
+def bench_hnsw_reference_shape(spark) -> None:
     """The reference bench's shape (benches/hnsw.rs): build a code index
-    at 1k/10k, then time inserting 100 new vectors into the prebuilt
+    at 1k/10k/100k, then time inserting 100 new vectors into the prebuilt
     index, with the LinearDb brute-force contrast."""
     import pyspark.sql.functions as F
 
@@ -63,49 +94,46 @@ def bench_hnsw_reference_shape(spark, timings: dict) -> None:
     from hawk_pack_spark.operators.knn_exact import exists_match
 
     params = HawkParams.new(64, 32, 32)
-    # the reference bench's three sizes (benches/hnsw.rs:15); 100k is
-    # affordable since the AQE-coalescing fix (16s on 32 cores)
-    sizes = (1_000, 10_000, 100_000)
-    if os.environ.get("SPARK_GRAFT_BENCH_FAST"):
-        sizes = (1_000, 10_000)
+    # the reference bench's three sizes (benches/hnsw.rs:15)
+    sizes = (1_000, 10_000) if FAST else (1_000, 10_000, 100_000)
     for n in sizes:
         codes = spark.range(n).select(
             F.col("id").alias("vec_id"), F.col("id").alias("code")
         )
-        # shard-size ladder measured at n=100k on local[32]: 33 shards
-        # 12.0s, 48 → 7.3s, 64 → 5.3s, 96 → 4.4s — per-shard beam cost
-        # grows superlinearly with graph size, so smaller shards win
-        # until task overhead; ~1.5k rows/shard is the sweet spot that
-        # keeps search fan-out (shards × per-shard kernel) flat too
+        # shard-size ladder measured at n=100k on local[32]: ~1.5k
+        # rows/shard is the sweet spot (NOTES.md)
         shards = max(8, n // 1500)
         t0 = time.perf_counter()
         index = hnsw.build_index(
             codes, metric="hamming", params=params, num_shards=shards, vec_col="code"
         ).localCheckpoint()
-        timings[f"hnsw_build_codes_{n}"] = round(time.perf_counter() - t0, 3)
+        record(f"hnsw_build_codes_{n}", time.perf_counter() - t0)
 
         batch = spark.range(100).select(
             (F.col("id") + 10 * n).alias("vec_id"),
             (F.col("id") * 131 + n).alias("code"),
         )
-        t0 = time.perf_counter()
-        hnsw.insert_batch(
-            index, batch, metric="hamming", params=params,
-            vec_col="code", match_threshold=0.0,
-        ).count()
-        timings[f"hnsw_insert_100_into_{n}"] = round(time.perf_counter() - t0, 3)
+        timed(
+            f"hnsw_insert_100_into_{n}",
+            lambda: hnsw.insert_batch(
+                index, batch, metric="hamming", params=params,
+                vec_col="code", match_threshold=0.0,
+            ).count(),
+        )
 
         # LinearDb contrast: brute-force duplicate scan for the same batch
-        t0 = time.perf_counter()
-        exists_match(
-            codes.select("vec_id", F.col("code").alias("embedding")),
-            batch.select(
-                F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec")
-            ),
-            threshold=0.0,
-            metric="hamming",
-        ).count()
-        timings[f"linear_exists_100_in_{n}"] = round(time.perf_counter() - t0, 3)
+        timed(
+            f"linear_exists_100_in_{n}",
+            lambda: exists_match(
+                codes.select("vec_id", F.col("code").alias("embedding")),
+                batch.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("code").alias("query_vec"),
+                ),
+                threshold=0.0,
+                metric="hamming",
+            ).count(),
+        )
 
     # float-vector scale shape: 20k synthetic 64-d vectors (the fixture
     # embeddings table is only 2k rows at sf0.1)
@@ -122,13 +150,14 @@ def bench_hnsw_reference_shape(spark, timings: dict) -> None:
         vecs, metric="l2_sq", params=fparams, num_shards=16
     ).localCheckpoint()
     fidx.count()
-    timings["hnsw_build_vec_20000"] = round(time.perf_counter() - t0, 3)
+    record("hnsw_build_vec_20000", time.perf_counter() - t0)
     q = vecs.where(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    t0 = time.perf_counter()
-    hnsw.search(fidx, q, k=10, metric="l2_sq", params=fparams).count()
-    timings["hnsw_search_100_in_20000"] = round(time.perf_counter() - t0, 3)
+    timed(
+        "hnsw_search_100_in_20000",
+        lambda: hnsw.search(fidx, q, k=10, metric="l2_sq", params=fparams).count(),
+    )
 
     # PQ at the same 20k ladder: compressed-scan contrast (32× smaller
     # candidate bytes; ADC never touches float vectors)
@@ -138,23 +167,17 @@ def bench_hnsw_reference_shape(spark, timings: dict) -> None:
     cb = pq.pq_train(vecs, m=8, k=256, sample_size=4_000, seed=7, iters=10)
     enc = pq.pq_encode(vecs, cb).localCheckpoint()
     enc.count()
-    timings["pq_train_encode_20000"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    pq.pq_search(enc, cb, q, kth=10, rerank_with=vecs, oversample=5).count()
-    timings["pq_search_100_in_20000"] = round(time.perf_counter() - t0, 3)
+    record("pq_train_encode_20000", time.perf_counter() - t0)
+    timed(
+        "pq_search_100_in_20000",
+        lambda: pq.pq_search(enc, cb, q, kth=10, rerank_with=vecs, oversample=5).count(),
+    )
 
 
-CONTRASTS: dict[str, float] = {}
-
-
-def bench_ann_crossover(spark, timings: dict) -> None:
-    """HNSW-vs-exact crossover (VERDICT r01 item 6) and shard routing
-    (item 7): 50k 64-d float vectors, content-sharded (k-means cells)
-    HNSW vs exact scans (expression AND per-partition BLAS), 500 queries.
-
-    Records: exact scan, all-shards HNSW fan-out, and nprobe-routed
-    HNSW — routed cost must be sublinear in shard count (it searches
-    nprobe of 32 cells); crossover numbers are discussed in NOTES.md."""
+def bench_ann_crossover(spark) -> None:
+    """HNSW-vs-exact crossover at 50k (VERDICT r01 items 6/7): exact
+    scans (expression AND per-partition BLAS) vs all-shards HNSW fan-out
+    vs nprobe-routed HNSW, 500 queries."""
     import pyspark.sql.functions as F
 
     from hawk_pack_spark.config import HawkParams
@@ -162,10 +185,8 @@ def bench_ann_crossover(spark, timings: dict) -> None:
     from hawk_pack_spark.operators.knn_exact import knn_exact
     from hawk_pack_spark.operators.similarity import ivf_build, l2_topk_numpy
 
-    n = 50_000
+    n = 20_000 if FAST else 50_000
     n_queries = 500
-    if os.environ.get("SPARK_GRAFT_BENCH_FAST"):
-        n = 20_000
     params = HawkParams.new(64, 48, 16)
     vecs = spark.range(n).select(
         F.col("id").alias("vec_id"),
@@ -182,12 +203,17 @@ def bench_ann_crossover(spark, timings: dict) -> None:
     # coarse quantizer fit on a 20% sample (the 100 TB recipe: never
     # fit k-means on the full corpus), assignment covers every row
     assigned, _ = ivf_build(vecs, n_clusters=32, max_iter=5, fit_fraction=0.2)
+    asg = hnsw.balance_assignments(
+        assigned.select("vec_id", F.col("cluster").alias("shard")),
+        max_cell=max(2000, (3 * n) // 64),
+    ).localCheckpoint()
+    num_shards = 1 + asg.agg(F.max("shard")).collect()[0][0]
     index = hnsw.build_index(
-        vecs, metric="l2_sq", params=params, num_shards=32,
-        assignments=assigned.select("vec_id", F.col("cluster").alias("shard")),
+        vecs, metric="l2_sq", params=params, num_shards=num_shards,
+        assignments=asg,
     ).localCheckpoint()
     index.count()
-    timings[f"ann_build_content_sharded_{n}"] = round(time.perf_counter() - t0, 3)
+    record(f"ann_build_content_sharded_{n}", time.perf_counter() - t0)
 
     # exact contrasts: the LinearDb-analog expression scan (interpreted
     # higher-order funcs; 100 queries are plenty to place it) and the
@@ -196,27 +222,186 @@ def bench_ann_crossover(spark, timings: dict) -> None:
     q100 = queries.where(F.col("query_id") < n // 5)
     t0 = time.perf_counter()
     knn_exact(vecs, q100, k=10, metric="l2_sq").count()
-    # contrast baseline: measured to PLACE the ANN curves (it is the
-    # LinearDb-analog scan, deliberately the weak path at this n) —
-    # reported but excluded from the headline sum so the headline
-    # tracks recommended paths round-over-round.
     CONTRASTS[f"ann_exact_expr_100q_{n}"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    l2_topk_numpy(vecs, queries, k=10).count()
-    timings[f"ann_exact_blas_{n_queries}q_{n}"] = round(time.perf_counter() - t0, 3)
+    timed(
+        f"ann_exact_blas_{n_queries}q_{n}",
+        lambda: l2_topk_numpy(vecs, queries, k=10).count(),
+    )
+
+    timed(
+        f"ann_hnsw_fanout_{n_queries}q_{n}",
+        lambda: hnsw.search(
+            index, queries, k=10, metric="l2_sq", params=params,
+            num_shards=num_shards,
+        ).count(),
+    )
+
+    timed(
+        f"ann_hnsw_routed_{n_queries}q_{n}",
+        lambda: hnsw.search(
+            index, queries, k=10, metric="l2_sq", params=params,
+            num_shards=num_shards, nprobe_shards=6,
+        ).count(),
+    )
+
+    cents = hnsw.shard_centroids(index, "l2_sq").collect()
+    timed(
+        f"ann_hnsw_serving_{n_queries}q_{n}",
+        lambda: hnsw.search_serving(
+            index, queries, k=10, metric="l2_sq", params=params,
+            nprobe_shards=6, centroids=cents,
+        ).count(),
+    )
+
+
+def bench_ann_1m(spark) -> None:
+    """The 1M-vector ladder (VERDICT r02 item 1): content-sharded HNSW
+    with serving-path routed search vs the strongest exact scan, with
+    measured recall@10. Runs ONCE per bench invocation (n=1 spread)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import hnsw
+    from hawk_pack_spark.operators.similarity import ivf_build, l2_topk_numpy
+
+    n, cells, nprobe, n_queries = 1_000_000, 256, 16, 500
+    params = HawkParams.new(64, 48, 16)
+    vecs = (
+        spark.range(n)
+        .repartition(64)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.sin(F.col("id") * i * 0.7 + i * i * 1.3),
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    queries = (
+        vecs.where(F.col("vec_id") % (n // n_queries) == 7)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .localCheckpoint()
+    )
+    queries.count()
 
     t0 = time.perf_counter()
-    hnsw.search(
-        index, queries, k=10, metric="l2_sq", params=params, num_shards=32
-    ).count()
-    timings[f"ann_hnsw_fanout_{n_queries}q_{n}"] = round(time.perf_counter() - t0, 3)
+    assigned, _ = ivf_build(
+        vecs, n_clusters=cells, max_iter=5, fit_fraction=50_000 / n
+    )
+    asg = hnsw.balance_assignments(
+        assigned.select("vec_id", F.col("cluster").alias("shard")),
+        max_cell=(3 * n) // (2 * cells),
+    ).localCheckpoint()
+    num_shards = 1 + asg.agg(F.max("shard")).collect()[0][0]
+    index = hnsw.build_index(
+        vecs, metric="l2_sq", params=params, num_shards=num_shards,
+        assignments=asg,
+    ).localCheckpoint()
+    index.count()
+    record("ann1m_build_content_sharded", time.perf_counter() - t0)
 
+    # build-time serving metadata (what a deployment holds in memory)
+    t0 = time.perf_counter()
+    cents = hnsw.shard_centroids(index, "l2_sq").collect()
+    record("ann1m_centroids", time.perf_counter() - t0)
+
+    timed(
+        f"ann1m_exact_blas_{n_queries}q",
+        lambda: l2_topk_numpy(vecs, queries, k=10).count(),
+    )
+    timed(
+        f"ann1m_serving_routed_{n_queries}q",
+        lambda: hnsw.search_serving(
+            index, queries, k=10, metric="l2_sq", params=params,
+            nprobe_shards=nprobe, centroids=cents,
+        ).count(),
+    )
+    # the cogroup path at the same nprobe — the per-call index shuffle it
+    # pays is the contrast that motivates the serving path
     t0 = time.perf_counter()
     hnsw.search(
         index, queries, k=10, metric="l2_sq", params=params,
-        num_shards=32, nprobe_shards=6,
+        num_shards=num_shards, nprobe_shards=nprobe,
     ).count()
-    timings[f"ann_hnsw_routed_{n_queries}q_{n}"] = round(time.perf_counter() - t0, 3)
+    CONTRASTS[f"ann1m_cogroup_routed_{n_queries}q"] = round(
+        time.perf_counter() - t0, 3
+    )
+
+    # small-batch latency shape: the exact scan amortizes its O(n) pass
+    # over the batch; the serving floor is the Arrow scan of probed shards
+    q50 = queries.limit(50).localCheckpoint()
+    q50.count()
+    timed(
+        "ann1m_exact_blas_50q", lambda: l2_topk_numpy(vecs, q50, k=10).count()
+    )
+    timed(
+        "ann1m_serving_routed_50q",
+        lambda: hnsw.search_serving(
+            index, q50, k=10, metric="l2_sq", params=params,
+            nprobe_shards=nprobe, centroids=cents,
+        ).count(),
+    )
+
+    # measured recall@10 of the routed path vs the exact scan (untimed)
+    truth: dict[int, set[int]] = {}
+    for r in l2_topk_numpy(vecs, queries, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits: dict[int, set[int]] = {}
+    for r in hnsw.search_serving(
+        index, queries, k=10, metric="l2_sq", params=params,
+        nprobe_shards=nprobe, centroids=cents,
+    ).collect():
+        hits.setdefault(r["query_id"], set()).add(r["vec_id"])
+    RECALLS[f"ann1m_serving_routed_{n_queries}q"] = round(
+        float(
+            np.mean(
+                [len(truth[q] & hits.get(q, set())) / len(truth[q]) for q in truth]
+            )
+        ),
+        4,
+    )
+
+
+def bench_bpe(spark) -> None:
+    """BPE tokenizer training (VERDICT r02 item 3's bench row): corpus →
+    (word, freq) in one distributed shuffle, then the incremental
+    driver-side merge loop. The documents fixture has a 31-word
+    vocabulary (93 learnable merges), so a deterministic ~20k-word
+    synthetic corpus provides the 1k-merge load."""
+    import pyspark.sql.functions as F
+
+    from hawk_pack_spark.operators.bpe import train_bpe
+    from hawk_pack_spark.sources import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = load_table(spark, "documents", sf_dir)
+    timed("bpe_train_docs_full", lambda: train_bpe(docs, 1024)[1].count())
+
+    n_rows = 50_000 if FAST else 300_000
+    corpus = spark.range(n_rows).select(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda j: F.conv(
+                    F.pmod(F.xxhash64(F.col("id") * 8 + j), F.lit(20_000)).cast(
+                        "string"
+                    ),
+                    10,
+                    36,
+                ),
+            ),
+            " ",
+        ).alias("text")
+    )
+    timed(
+        "bpe_train_1024_merges_synth",
+        lambda: train_bpe(corpus, 1024)[1].count(),
+    )
 
 
 def main() -> None:
@@ -231,20 +416,28 @@ def main() -> None:
 
     load_table(spark, "lineitem", sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = ALL_SPECS.get(name)
-        if spec is None:
-            continue
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+    # catalog queries: REPEATS full round-robin sweeps in a fixed order
+    for _ in range(REPEATS):
+        for name in HEADLINE:
+            spec = ALL_SPECS.get(name)
+            if spec is None:
+                continue
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            record(name, time.perf_counter() - t0)
 
-    bench_hnsw_reference_shape(spark, timings)
-    bench_ann_crossover(spark, timings)
+    for _ in range(REPEATS_HEAVY):
+        bench_hnsw_reference_shape(spark)
+        bench_ann_crossover(spark)
+    for _ in range(REPEATS):
+        bench_bpe(spark)
+    if not FAST:
+        bench_ann_1m(spark)
 
+    queries = {k: round(statistics.median(v), 3) for k, v in SAMPLES.items()}
+    spread = {
+        k: [min(v), max(v), len(v)] for k, v in SAMPLES.items() if len(v) > 1
+    }
     # the r01 headline intersection: queries benched identically in both
     # rounds, so the judge can compare round-over-round without the
     # added-coverage rows (crossover family, curation block) skewing it
@@ -264,17 +457,20 @@ def main() -> None:
         "pq_search_100_in_20000",
     }
     r01_comparable = round(
-        sum(v for k, v in timings.items() if k in r01_names), 3
+        sum(v for k, v in queries.items() if k in r01_names), 3
     )
-    total = round(sum(timings.values()), 3)
+    total = round(sum(queries.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": queries,
+                "spread": spread,
+                "repeats": REPEATS,
                 "contrasts": CONTRASTS,
+                "recalls": RECALLS,
                 "r01_comparable_total": r01_comparable,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

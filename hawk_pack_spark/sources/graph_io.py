@@ -129,17 +129,26 @@ def from_pg_rows(
     return links, entries
 
 
+def _jdbc_writer(df: DataFrame, url: str, table: str, mode: str, driver: str | None):
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        w = w.option("driver", driver)
+    w.mode(mode).save()
+
+
 def export_links_jdbc(
     links: DataFrame,
     url: str | None = None,
     table: str = "hawk_graph_links",
     mode: str = "overwrite",
+    driver: str | None = None,
 ) -> bool:
     """Export the normalized links view to the reference's Postgres
     layout over JDBC. Returns False (no-op) when no JDBC URL is
-    configured — this container has no database; the ROW LAYOUT itself
-    is contract-tested without a database in
-    tests/test_graph_store.py::test_pg_row_layout_roundtrip."""
+    configured. The layout contract is database-agnostic: the live
+    round-trip is exercised against embedded Derby (the only dockerless
+    database this container ships — tests/test_graph_store.py::
+    test_jdbc_roundtrip_derby); against Postgres only the URL changes."""
     url = url or os.environ.get("HAWK_PACK_JDBC_URL")
     if not url:
         return False
@@ -148,7 +157,48 @@ def export_links_jdbc(
         F.col("layer"),
         _links_json().alias("links"),
     )
-    rows.write.format("jdbc").option("url", url).option("dbtable", table).mode(
-        mode
-    ).save()
+    _jdbc_writer(rows, url, table, mode, driver)
     return True
+
+
+def export_graph_jdbc(
+    links: DataFrame,
+    entries: DataFrame,
+    url: str | None = None,
+    driver: str | None = None,
+    links_table: str = "hawk_graph_links",
+    entry_table: str = "hawk_graph_entry",
+    mode: str = "overwrite",
+) -> bool:
+    """Export the full GraphStore state (links + entry points) in the
+    reference's two-table Postgres layout (init.up.sql:1-12)."""
+    url = url or os.environ.get("HAWK_PACK_JDBC_URL")
+    if not url:
+        return False
+    links_rows, entry_rows = to_pg_rows(links, entries)
+    _jdbc_writer(links_rows, url, links_table, mode, driver)
+    _jdbc_writer(entry_rows, url, entry_table, mode, driver)
+    return True
+
+
+def import_graph_jdbc(
+    spark: SparkSession,
+    url: str | None = None,
+    driver: str | None = None,
+    links_table: str = "hawk_graph_links",
+    entry_table: str = "hawk_graph_entry",
+) -> tuple[DataFrame, DataFrame] | None:
+    """Inverse of `export_graph_jdbc`: read the two Postgres-layout
+    tables back and parse into the normalized (links, entries) views.
+    Returns None when no JDBC URL is configured."""
+    url = url or os.environ.get("HAWK_PACK_JDBC_URL")
+    if not url:
+        return None
+
+    def read(table: str) -> DataFrame:
+        r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+        if driver:
+            r = r.option("driver", driver)
+        return r.load()
+
+    return from_pg_rows(read(links_table), read(entry_table))
