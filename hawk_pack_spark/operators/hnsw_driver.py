@@ -455,15 +455,17 @@ def search_driver_loop(
             w = Window.partitionBy("query_id", "shard").orderBy(
                 F.col("dropped").asc(), F.col("dist").asc(), F.col("dst").asc()
             )
+            # lazy checkpoint + frontier count: ONE job materializes the
+            # new state (cutting lineage) and answers convergence
             state = (
                 merged.withColumn("_rn", F.row_number().over(w))
                 .withColumn(
                     "dropped", F.col("dropped") | (F.col("_rn") > F.lit(ef))
                 )
                 .drop("_rn")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
-            if state.where(~F.col("dropped") & ~F.col("expanded")).isEmpty():
+            if state.where(~F.col("dropped") & ~F.col("expanded")).count() == 0:
                 break
         beam = state.where(~F.col("dropped"))
         if return_layer_snapshots:

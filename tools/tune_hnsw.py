@@ -1,69 +1,101 @@
-"""HNSW tuning harness: recall@k and latency vs (ef_search, M, shards).
+"""Quantify Algorithm 4 neighbor selection (VERDICT r02 item 8): build
+time and recall@10 with neighbor_heuristic on/off, on the uniform
+synthetic workload (where the reference's plain M-nearest trim is the
+default) — so the default choice is evidence-backed, not anecdotal.
 
-"Measure, don't guess": prints a table of recall against the exact
-oracle plus wall-clock per configuration, on the embeddings fixture.
-
-Usage: python tools/tune_hnsw.py [sf_dir]
+Usage: python tools/tune_hnsw.py [n]   (default 50000)
+Prints one JSON line for NOTES.md.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import functions as F
+import numpy as np  # noqa: E402
+import pyspark.sql.functions as F  # noqa: E402
 
-from hawk_pack_spark.config import HawkParams
-from hawk_pack_spark.operators import hnsw
-from hawk_pack_spark.operators.knn_exact import knn_exact
-from hawk_pack_spark.session import get_spark
-from hawk_pack_spark.sources import load_table
+from hawk_pack_spark.config import HawkParams  # noqa: E402
+from hawk_pack_spark.operators import hnsw  # noqa: E402
+from hawk_pack_spark.operators.similarity import l2_topk_numpy  # noqa: E402
+from hawk_pack_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    out: dict = {"n": n}
     spark = get_spark("tune-hnsw")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = (
-        load_table(spark, "embeddings", sf_dir)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-        .cache()
+    params = HawkParams.new(64, 48, 16)
+    vecs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.sin(F.col("id") * i * 0.7 + i * i * 1.3),
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
     )
-    n = emb.count()
-    queries = emb.where(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    queries = (
+        vecs.where(F.col("vec_id") % (n // 500) == 7)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .localCheckpoint()
     )
-    exact = {
-        (r.query_id, r.vec_id)
-        for r in knn_exact(emb, queries, k=10, metric="l2_sq").collect()
-    }
+    queries.count()
 
-    print(f"n={n}  queries=100  k=10")
-    print(f"{'M':>4} {'ef_c':>5} {'ef_s':>5} {'shards':>6} {'build_s':>8} {'search_s':>8} {'recall':>7}")
-    for M, ef_c, shards in [(8, 32, 8), (16, 64, 8), (16, 64, 16), (32, 96, 8)]:
-        params = HawkParams.new(ef_c, 32, M)
+    truth: dict[int, set[int]] = {}
+    for r in l2_topk_numpy(vecs, queries, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    num_shards = max(8, n // 1500)
+    for heuristic in (False, True):
+        key = "alg4" if heuristic else "mnear"
         t0 = time.perf_counter()
         index = hnsw.build_index(
-            emb, metric="l2_sq", params=params, num_shards=shards
+            vecs, metric="l2_sq", params=params, num_shards=num_shards,
+            neighbor_heuristic=heuristic,
         ).localCheckpoint()
         index.count()
-        build_s = time.perf_counter() - t0
-        for ef_s in (16, 32, 64):
-            t0 = time.perf_counter()
-            approx = {
-                (r.query_id, r.vec_id)
-                for r in hnsw.search(
-                    index, queries, k=10, metric="l2_sq", params=params, ef_search=ef_s
-                ).collect()
-            }
-            search_s = time.perf_counter() - t0
-            recall = len(approx & exact) / len(exact)
-            print(
-                f"{M:>4} {ef_c:>5} {ef_s:>5} {shards:>6} {build_s:>8.2f} {search_s:>8.2f} {recall:>7.3f}"
-            )
-            build_s = 0.0  # billed once per index
+        out[f"{key}_build_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        got = hnsw.search(
+            index, queries, k=10, metric="l2_sq", params=params,
+            num_shards=num_shards,
+        ).collect()
+        out[f"{key}_search_sec"] = round(time.perf_counter() - t0, 3)
+        hits: dict[int, set[int]] = {}
+        for r in got:
+            hits.setdefault(r["query_id"], set()).add(r["vec_id"])
+        out[f"{key}_recall_at_10"] = round(
+            float(
+                np.mean(
+                    [
+                        len(truth[q] & hits.get(q, set())) / len(truth[q])
+                        for q in truth
+                    ]
+                )
+            ),
+            4,
+        )
+        # mean layer-0 degree: Algorithm 4 keeps direction-diverse edges,
+        # typically a sparser layer 0 than plain M-nearest
+        deg = index.select(
+            F.avg(
+                F.size(F.filter("e_layer", lambda layer: layer == 0))
+            ).alias("d")
+        ).collect()[0]["d"]
+        out[f"{key}_mean_degree_l0"] = round(float(deg), 2)
+
+    print(json.dumps(out))
     spark.stop()
 
 
