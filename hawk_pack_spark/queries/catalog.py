@@ -1551,6 +1551,60 @@ SELECT CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_results,
 """
 
 
+def q_hnsw_serving_search_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path ANN search (hnsw.search_serving: queries broadcast
+    to the unmoved index, driver-side centroid routing — the zero-
+    index-shuffle deployment shape that wins the 1M-vector crossover
+    bench). Invariants in one row: the usual rank/recall summary of the
+    fan-out serving result vs exact kNN, PLUS execution-path equality —
+    serving must return exactly the cogroup path's rows, both fan-out
+    and routed at the same nprobe (the tie-break contract)."""
+    emb, index = _hnsw_index(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    serv = hnsw.search_serving(
+        index, queries, k=10, metric="l2_sq", params=_HNSW_PARAMS
+    )
+    cog = hnsw.search(index, queries, k=10, metric="l2_sq", params=_HNSW_PARAMS)
+    cents = hnsw.shard_centroids(index, "l2_sq").collect()
+    serv_r = hnsw.search_serving(
+        index, queries, k=10, metric="l2_sq", params=_HNSW_PARAMS,
+        nprobe_shards=4, centroids=cents,
+    )
+    cog_r = hnsw.search(
+        index, queries, k=10, metric="l2_sq", params=_HNSW_PARAMS,
+        num_shards=8, nprobe_shards=4,
+    )
+    exact = knn_exact(emb, queries, k=10, metric="l2_sq")
+
+    def n_diff(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
+        cols = ["query_id", "vec_id", "rank"]
+        return (
+            a.select(*cols).exceptAll(b.select(*cols))
+            .unionByName(b.select(*cols).exceptAll(a.select(*cols)))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    return (
+        _ann_summary(serv, exact, k=10, min_recall=0.9)
+        .crossJoin(n_diff(serv, cog, "_d1"))
+        .crossJoin(n_diff(serv_r, cog_r, "_d2"))
+        .select(
+            "n_queries", "n_results", "ranks_ok", "recall_ok",
+            (F.col("_d1") == 0).alias("fanout_matches_cogroup"),
+            (F.col("_d2") == 0).alias("routed_matches_cogroup"),
+        )
+    )
+
+
+HNSW_SERVING_SUMMARY_SQL = """
+SELECT CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_results,
+       TRUE AS ranks_ok, TRUE AS recall_ok,
+       TRUE AS fanout_matches_cogroup, TRUE AS routed_matches_cogroup
+"""
+
+
 def q_hnsw_self_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference flagship invariant (hawk_searcher.rs:441-479): every
     indexed vector, searched at k=1, must return itself at distance 0.
@@ -2876,6 +2930,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "hnsw_self_recall": QuerySpec(q_hnsw_self_recall, HNSW_SELF_RECALL_SQL, "HNSW self-recall invariant (flagship)"),
     "hnsw_links_stats": QuerySpec(q_hnsw_links_stats, HNSW_LINKS_STATS_SQL, "HNSW graph degree/membership invariants"),
     "hnsw_search_l2": QuerySpec(q_hnsw_search_l2, HNSW_SEARCH_SUMMARY_SQL, "sharded HNSW ANN search vs exact recall"),
+    "hnsw_serving_search_l2": QuerySpec(q_hnsw_serving_search_l2, HNSW_SERVING_SUMMARY_SQL, "serving-path (broadcast-query, zero-shuffle) search ≡ cogroup path + recall gate"),
     "ivf_ann_l2": QuerySpec(q_ivf_ann_l2, IVF_SUMMARY_SQL, "IVF bucketed ANN vs exact recall"),
     "pq_ann_l2": QuerySpec(q_pq_ann_l2, PQ_SUMMARY_SQL, "product-quantized ANN + re-rank vs exact recall"),
     "multimodal_pipeline": QuerySpec(q_multimodal_pipeline, MULTIMODAL_SQL, "binary media -> features -> frames -> ANN loop"),
