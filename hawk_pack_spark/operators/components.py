@@ -61,6 +61,9 @@ def connected_components(
         parent = propagated.select(
             F.col("node").alias("component"), F.col("component").alias("grand")
         )
+        # lazy checkpoint + changed-count: one job materializes the new
+        # labels (cutting lineage) AND answers convergence, instead of a
+        # checkpoint job followed by a separate isEmpty probe
         new_labels = (
             propagated.join(parent, "component", "left")
             .select(
@@ -69,13 +72,14 @@ def connected_components(
                     "component"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
+            .count()
+            == 0
         )
         labels = new_labels
         if converged:
