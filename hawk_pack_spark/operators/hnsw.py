@@ -567,12 +567,25 @@ def insert_batch(
             }
         )
 
-    return (
-        index_df.repartition(num_shards, "shard")
+    # touched-shard split: only shards that actually receive batch rows
+    # go through the kernel; untouched shards pass through JVM-side with
+    # no Arrow round-trip. With id-hashed placement a small batch
+    # touches ≤len(batch) of the shards, so at serving scale (thousands
+    # of shards) the rewrite cost tracks the BATCH, not the index.
+    # prepped is checkpointed first so the phase-1 dedup search (when
+    # match_threshold is set) runs once, not once per reference.
+    prepped = prepped.localCheckpoint()
+    touched = [r[0] for r in prepped.select("shard").distinct().collect()]
+    idx_touched = index_df.where(F.col("shard").isin(touched))
+    updated = (
+        idx_touched.repartition(len(touched) or 1, "shard")
         .groupBy("shard")
-        .cogroup(prepped.repartition(num_shards, "shard").groupBy("shard"))
+        .cogroup(prepped.repartition(len(touched) or 1, "shard").groupBy("shard"))
         .applyInPandas(insert_shard, INDEX_SCHEMA)
     )
+    if len(touched) == num_shards:
+        return updated
+    return index_df.where(~F.col("shard").isin(touched)).unionByName(updated)
 
 
 # ---------------------------------------------------------------------------
