@@ -2,12 +2,13 @@
 
 The Spark-side plumbing is real — schema, partition-preserving
 mapInPandas with Arrow batches, feature vectors that feed straight into
-the ANN/dedup operators. The codec story: P6 PPM and uncompressed
-24-bit BMP are REALLY decoded (pure numpy — no codec library needed)
-and embedded via a real grid+histogram feature; compressed formats
-(PNG/JPEG) and audio/video codecs are absent from this container, so
-those payloads take a clearly-marked deterministic fake path. Swapping
-the fake for PIL/ffmpeg changes one function, not the pipeline.
+the ANN/dedup operators. The codec story: P6 PPM, uncompressed 24-bit
+BMP, AND 8-bit non-interlaced PNG (stdlib zlib inflate + numpy
+unfiltering of all five row filters) are REALLY decoded — no codec
+library needed — and embedded via a real grid+histogram feature;
+JPEG and audio/video codecs are absent from this container, so those
+payloads take a clearly-marked deterministic fake path. Swapping the
+fake for PIL/ffmpeg changes one function, not the pipeline.
 
 Media schema:
     media(media_id LONG, kind STRING, payload BINARY,
@@ -144,16 +145,123 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if h > 0 else img  # positive height = bottom-up
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real PNG (8-bit RGB,
+    filter-0 rows, one zlib IDAT) — stdlib zlib + numpy only."""
+    import struct
+    import zlib
+
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG (gray / RGB / RGBA; alpha
+    dropped, gray broadcast) → (h, w, 3) uint8 RGB. Pure stdlib zlib
+    inflate + numpy/scalar unfiltering of the five PNG row filters —
+    no codec library (the compressed format that used to be an honest
+    stub, now real)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, idat, meta = len(_PNG_SIG), [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = meta
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced gray/RGB(A) PNGs decode natively"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG payload size mismatch")
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        ftype = raw[y * (stride + 1)]
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 2:  # Up
+            rec = (row + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the in-progress row: scalar scan
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) >> 1
+                elif ftype == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                rec[x] = (row[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    if channels == 2:  # gray+alpha: broadcast gray, drop alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGB or RGBA→RGB
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode for codec-free formats: P6 PPM and uncompressed
-    24-bit BMP are parsed with numpy alone. Compressed formats (PNG/
-    JPEG) fall back to PIL when available; in this container they raise
-    NotImplementedError (no codec libraries) — the pipeline then uses
+    """Real image decode with no codec library: P6 PPM, uncompressed
+    24-bit BMP, and 8-bit non-interlaced PNG (stdlib zlib inflate +
+    numpy unfiltering). JPEG falls back to PIL when available; in this
+    container it raises NotImplementedError — the pipeline then uses
     the deterministic fake feature path."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     try:
         import io
 
@@ -162,8 +270,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as e:
         raise NotImplementedError(
-            "compressed-image codecs not installed in this environment; "
-            "PPM/BMP decode natively, others use the fake feature path"
+            "JPEG/video codecs not installed in this environment; "
+            "PPM/BMP/PNG decode natively, others use the fake feature path"
         ) from e
 
 
@@ -278,10 +386,14 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             feats = []
             for p in pdf["payload"]:
                 b = bytes(p)
-                # REAL paths for codec-free formats (PPM/BMP images,
-                # PCM WAV audio); the deterministic fake covers formats
-                # whose codecs are absent from this container
-                if b.startswith(b"P6") or b.startswith(b"BM"):
+                # REAL paths for natively-decodable formats (PPM/BMP/PNG
+                # images, PCM WAV audio); the deterministic fake covers
+                # formats whose codecs are absent from this container
+                if (
+                    b.startswith(b"P6")
+                    or b.startswith(b"BM")
+                    or b.startswith(_PNG_SIG)
+                ):
                     feats.append(image_feature(decode_image(b)).tolist())
                 elif b.startswith(b"RIFF") and b[8:12] == b"WAVE":
                     feats.append(audio_feature(decode_wav(b)[0]).tolist())

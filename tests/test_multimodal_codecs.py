@@ -121,3 +121,133 @@ def test_extract_features_uses_real_path_for_wav(spark):
     )
     feats = {r.media_id: np.array(r.feature) for r in extract_features(df).collect()}
     assert np.allclose(feats[7], audio_feature(decode_wav(encode_wav(s))[0]))
+
+
+def _png_with_filters(pixels: np.ndarray, filters: list[int]) -> bytes:
+    """Forward-filter a known RGB image with a chosen per-row filter
+    sequence and wrap it into a valid PNG — exercises the decoder's
+    Sub/Up/Average/Paeth reconstruction against ground truth."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+    bpp = 3
+    flat = pixels.reshape(h, w * bpp).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        prev = flat[y - 1] if y else np.zeros(w * bpp, np.int32)
+        for x in range(w * bpp):
+            cur = int(flat[y, x])
+            a = int(flat[y, x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = cur - a
+            elif f == 2:
+                enc = cur - b
+            elif f == 3:
+                enc = cur - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc = cur - pred
+            raw.append(enc & 0xFF)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_cross_codec():
+    from hawk_pack_spark.multimodal.ops import (
+        decode_image,
+        decode_png,
+        decode_ppm,
+        encode_png,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+    # the three native codecs agree on the same pixels
+    assert np.array_equal(decode_png(encode_png(px)), decode_ppm(encode_ppm(px)))
+    # dispatcher routes by signature
+    assert np.array_equal(decode_image(encode_png(px)), px)
+
+
+def test_png_all_five_filters_reconstruct():
+    from hawk_pack_spark.multimodal.ops import decode_png
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    # every row exercises a different filter, including y=0 edge cases
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(
+            decode_png(_png_with_filters(px, filters)), px
+        ), f"filter sequence {filters}"
+
+
+def test_png_gray_and_rgba_variants():
+    import struct
+    import zlib
+
+    from hawk_pack_spark.multimodal.ops import decode_png
+
+    def make(color_type: int, channels: int, w=5, h=4):
+        rng = np.random.default_rng(color_type)
+        img = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+        raw = np.concatenate(
+            [np.zeros((h, 1), np.uint8), img.reshape(h, w * channels)], axis=1
+        ).tobytes()
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        return img, png
+
+    gray, png_g = make(0, 1)
+    out = decode_png(png_g)
+    assert out.shape == (4, 5, 3)
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+
+    rgba, png_a = make(6, 4)
+    out = decode_png(png_a)
+    assert np.array_equal(out, rgba[:, :, :3])
+
+
+def test_extract_features_uses_real_path_for_png(spark):
+    from hawk_pack_spark.multimodal.ops import encode_png, image_feature
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [(9, "image", bytearray(encode_png(px)), None)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    feats = {r.media_id: np.array(r.feature) for r in extract_features(df).collect()}
+    assert np.allclose(feats[9], image_feature(px))
