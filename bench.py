@@ -120,7 +120,7 @@ def bench_hnsw_reference_shape(spark) -> None:
             f"hnsw_insert_100_into_{n}",
             lambda: hnsw.insert_batch(
                 index, batch, metric="hamming", params=params,
-                vec_col="code", match_threshold=0.0,
+                vec_col="code", match_threshold=0.0, serving_gate=True,
             ).count(),
         )
 

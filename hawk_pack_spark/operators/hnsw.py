@@ -473,6 +473,7 @@ def insert_batch(
     seed: int = 42,
     match_threshold: float | None = None,
     neighbor_heuristic: bool = False,
+    serving_gate: bool = False,
 ) -> DataFrame:
     """Two-phase batch insert into an existing index (reference insert
     lifecycle, SURVEY.md §3 EP2): phase 1 searches, the caller-side
@@ -483,13 +484,20 @@ def insert_batch(
     are id-hashed, not content-hashed — an exact duplicate usually lives
     in a different shard than the incoming id. Intra-batch near-dups are
     additionally rejected inside each shard kernel, which inserts
-    serially (first id wins, the reference's serial semantics)."""
+    serially (first id wins, the reference's serial semantics).
+
+    ``serving_gate``: run the duplicate gate through `search_serving`
+    (broadcast batch, zero index movement) instead of the cogroup
+    search — the right shape when the batch is small relative to the
+    index (it collects the batch driver-side, so leave it off for
+    bulk loads)."""
     num_shards = 1 + (index_df.agg(F.max("shard")).collect()[0][0] or 0)
     if match_threshold is not None:
         as_queries = batch.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
         )
-        nearest = search(
+        gate = search_serving if serving_gate else search
+        nearest = gate(
             index_df, as_queries, k=1, metric=metric, params=params
         ).where(F.col("dist") <= F.lit(match_threshold))
         batch = batch.join(

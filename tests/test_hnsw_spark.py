@@ -71,6 +71,18 @@ def test_insert_batch_and_dedup(spark, code_index):
         vec_col="code", match_threshold=0.0,
     ).cache()
     assert updated2.count() == 219
+
+    # the serving-shaped gate makes identical accept/reject decisions
+    mixed = dups.unionByName(fresh)
+    via_serving = hnsw.insert_batch(
+        code_index, mixed, metric="hamming", params=PARAMS,
+        vec_col="code", match_threshold=0.0, serving_gate=True,
+    )
+    assert via_serving.count() == 219
+    accepted = {
+        r.vec_id for r in via_serving.where(F.col("vec_id") >= 1000).collect()
+    }
+    assert accepted == {r.vec_id for r in fresh.collect()}
     q = fresh.select(F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec"))
     res = hnsw.search(updated2, q, k=1, metric="hamming", params=PARAMS).collect()
     assert all(r.dist == 0.0 and r.vec_id >= 2000 for r in res)
