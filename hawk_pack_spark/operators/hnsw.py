@@ -474,6 +474,7 @@ def insert_batch(
     match_threshold: float | None = None,
     neighbor_heuristic: bool = False,
     serving_gate: bool = False,
+    centroids: list | None = None,
 ) -> DataFrame:
     """Two-phase batch insert into an existing index (reference insert
     lifecycle, SURVEY.md §3 EP2): phase 1 searches, the caller-side
@@ -490,7 +491,15 @@ def insert_batch(
     (broadcast batch, zero index movement) instead of the cogroup
     search — the right shape when the batch is small relative to the
     index (it collects the batch driver-side, so leave it off for
-    bulk loads)."""
+    bulk loads).
+
+    ``centroids``: REQUIRED for content-sharded (IVF-cell) indexes —
+    the `shard_centroids(...).collect()` build metadata. New vectors
+    are then placed in their NEAREST cell, keeping nprobe routing
+    correct for them; the default id-hash placement is only valid for
+    id-hashed indexes (placing by id into a content-sharded index
+    would strand new vectors in cells that don't match their content,
+    and routed searches would miss them)."""
     num_shards = 1 + (index_df.agg(F.max("shard")).collect()[0][0] or 0)
     if match_threshold is not None:
         as_queries = batch.select(
@@ -503,9 +512,37 @@ def insert_batch(
         batch = batch.join(
             nearest.select(F.col("query_id").alias(id_col)), id_col, "left_anti"
         )
-    prepped = _normalize_vectors(batch, id_col, vec_col, metric).withColumn(
-        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(num_shards)).cast("int")
-    )
+    prepped = _normalize_vectors(batch, id_col, vec_col, metric)
+    if centroids is not None:
+        from hawk_pack_spark.functions.distance import distance_expr
+
+        centroids = sorted(centroids, key=lambda r: r[0])
+        if metric == "hamming":
+            cent_df = index_df.sparkSession.createDataFrame(
+                [(r[0], r[1]) for r in centroids], "c_shard int, c_code long"
+            )
+            cdist = distance_expr(metric, F.col("code"), F.col("c_code"))
+        else:
+            cent_df = index_df.sparkSession.createDataFrame(
+                [(r[0], r[1]) for r in centroids],
+                "c_shard int, c_vec array<double>",
+            )
+            cdist = distance_expr(metric, F.col("vec"), F.col("c_vec"))
+        from hawk_pack_spark.operators.topk import topk_rows
+
+        scored = prepped.crossJoin(F.broadcast(cent_df)).withColumn(
+            "_cdist", cdist
+        )
+        prepped = topk_rows(
+            scored, ["vec_id"], "_cdist", 1, tie_cols=["c_shard"],
+            rank_name="_crank",
+        ).select(
+            "vec_id", "code", "vec", F.col("c_shard").alias("shard")
+        )
+    else:
+        prepped = prepped.withColumn(
+            "shard", F.pmod(F.xxhash64("vec_id"), F.lit(num_shards)).cast("int")
+        )
 
     def insert_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty and right.empty:

@@ -409,3 +409,59 @@ def test_serving_search_from_disk_prunes_partitions(spark, tmp_path):
     for r in got_disk:
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert len(per_q) == 24 and all(v == 3 for v in per_q.values())
+
+
+def test_insert_into_content_sharded_index_routes_by_centroid(spark, sf_dir):
+    """Inserting into a content-sharded (IVF-cell) index must place new
+    vectors in their NEAREST cell — id-hash placement would strand them
+    in cells that don't match their content and routed searches would
+    miss them. Done right, the inserted vectors are findable through
+    nprobe routing at self-recall."""
+    from hawk_pack_spark.operators.similarity import ivf_build
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).cache()
+    params = HawkParams.new(64, 64, 16)
+    assigned, _ = ivf_build(emb, n_clusters=8)
+    index = hnsw.build_index(
+        emb, metric="l2_sq", params=params, num_shards=8,
+        assignments=assigned.select("vec_id", F.col("cluster").alias("shard")),
+    ).localCheckpoint()
+    cents = hnsw.shard_centroids(index, "l2_sq").collect()
+
+    # new vectors = perturbed copies of existing ones (stay inside the
+    # data distribution so their nearest cell is meaningful)
+    base = emb.where(F.col("vec_id") < 20)
+    newv = base.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(1e-4)).alias("embedding"),
+    )
+    updated = hnsw.insert_batch(
+        index, newv, metric="l2_sq", params=params, centroids=cents,
+    ).localCheckpoint()
+    assert updated.count() == emb.count() + 20
+
+    # placement: every inserted vector sits in its nearest centroid's cell
+    placed = {r.vec_id: r.shard for r in updated.where(
+        F.col("vec_id") >= 100_000
+    ).select("vec_id", "shard").collect()}
+    import numpy as np
+    cmat = np.array([np.asarray(r[1]) for r in sorted(cents, key=lambda r: r[0])])
+    cshard = [r[0] for r in sorted(cents, key=lambda r: r[0])]
+    for r in newv.collect():
+        v = np.asarray(r.embedding)
+        want = cshard[int(np.argmin(((cmat - v) ** 2).sum(1)))]
+        assert placed[r.vec_id] == want, (r.vec_id, placed[r.vec_id], want)
+
+    # findable THROUGH ROUTING at k=1 (their cell is their nearest centroid)
+    q = newv.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    new_cents = hnsw.shard_centroids(updated, "l2_sq").collect()
+    got = hnsw.search_serving(
+        updated, q, k=1, metric="l2_sq", params=params,
+        nprobe_shards=2, centroids=new_cents,
+    ).collect()
+    assert len(got) == 20
+    assert all(r.query_id == r.vec_id and r.dist == 0.0 for r in got)
