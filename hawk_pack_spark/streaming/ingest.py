@@ -32,6 +32,10 @@ class StreamingIndex:
     vec_col: str = "code"
     num_shards: int = 4
     index_df: DataFrame | None = None
+    # micro-batches are small relative to the accumulated index by
+    # definition, so the duplicate gate takes the serving shape
+    # (broadcast batch, zero index movement) — see insert_batch
+    serving_gate: bool = True
 
     def ingest_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
         """foreachBatch sink: two-phase insert of one micro-batch."""
@@ -60,6 +64,7 @@ class StreamingIndex:
             id_col=self.id_col,
             vec_col=self.vec_col,
             match_threshold=self.match_threshold,
+            serving_gate=self.serving_gate,
         ).localCheckpoint()
 
     def count(self) -> int:
