@@ -465,3 +465,33 @@ def test_insert_into_content_sharded_index_routes_by_centroid(spark, sf_dir):
     ).collect()
     assert len(got) == 20
     assert all(r.query_id == r.vec_id and r.dist == 0.0 for r in got)
+
+
+def test_search_serving_edges(spark, code_index):
+    """Serving-path edge contracts: empty index → empty result (the
+    search_init empty-DB rule); nprobe ≥ num_shards degenerates to the
+    fan-out result; empty query batch → empty result."""
+    empty = spark.createDataFrame([], hnsw.INDEX_SCHEMA)
+    queries = spark.range(3).select(
+        F.col("id").alias("query_id"), F.col("id").alias("query_vec")
+    )
+    assert hnsw.search_serving(
+        empty, queries, k=5, metric="hamming", params=PARAMS
+    ).count() == 0
+
+    hc = hnsw.shard_centroids(code_index, "hamming").collect()
+    over = hnsw.search_serving(
+        code_index, queries, k=3, metric="hamming", params=PARAMS,
+        nprobe_shards=99, centroids=hc,
+    ).collect()
+    fan = hnsw.search_serving(
+        code_index, queries, k=3, metric="hamming", params=PARAMS
+    ).collect()
+    assert {(r.query_id, r.vec_id) for r in over} == {
+        (r.query_id, r.vec_id) for r in fan
+    }
+
+    none = queries.where(F.col("query_id") < 0)
+    assert hnsw.search_serving(
+        code_index, none, k=3, metric="hamming", params=PARAMS
+    ).count() == 0
