@@ -28,6 +28,11 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# the 1M-vector family checkpoints ~1.5 GB of index+vectors; the default
+# 8g heap GC-thrashes there and adds 2-3x run-to-run variance on the
+# exact-scan rows. The bench box has 128 GiB — give the local JVM room.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
 from hawk_pack_spark.queries.catalog import ALL_SPECS  # noqa: E402
 from hawk_pack_spark.session import get_spark  # noqa: E402
 

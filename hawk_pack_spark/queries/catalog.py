@@ -1605,6 +1605,59 @@ SELECT CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_results,
 """
 
 
+def q_hnsw_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MUTATION surface as one invariant row (reference insert
+    lifecycle, SURVEY §3 EP2): 20 perturbed twins batch-insert into the
+    shared index and must be findable at self-distance 0 afterwards;
+    20 exact duplicates insert under the is_match(0) gate and must ALL
+    be rejected (dedup-on-insert, the LinearDb::exists semantics). The
+    oracle derives every count from the embeddings table."""
+    emb, index = _hnsw_index(spark, sf_dir)
+    twins = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(1e-4)).alias("embedding"),
+    )
+    updated = hnsw.insert_batch(
+        index, twins, metric="l2_sq", params=_HNSW_PARAMS
+    ).localCheckpoint()
+    q = twins.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    found = hnsw.search(
+        updated, q, k=1, metric="l2_sq", params=_HNSW_PARAMS
+    ).where(
+        (F.col("query_id") == F.col("vec_id")) & (F.col("dist") == 0)
+    )
+    dups = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    gated = hnsw.insert_batch(
+        index, dups, metric="l2_sq", params=_HNSW_PARAMS,
+        match_threshold=0.0, serving_gate=True,
+    )
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_before"))
+        .crossJoin(updated.agg(F.count(F.lit(1)).alias("n_after")))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_inserted_found")))
+        .crossJoin(gated.agg(F.count(F.lit(1)).alias("n_after_dup_gate")))
+        .select(
+            "n_before",
+            "n_after",
+            "n_inserted_found",
+            (F.col("n_after_dup_gate") == F.col("n_before")).alias("dups_all_rejected"),
+        )
+    )
+
+
+HNSW_INSERT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(COUNT(*) + 20 AS BIGINT) AS n_after,
+       CAST(20 AS BIGINT) AS n_inserted_found,
+       TRUE AS dups_all_rejected
+FROM embeddings
+"""
+
+
 def q_hnsw_self_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference flagship invariant (hawk_searcher.rs:441-479): every
     indexed vector, searched at k=1, must return itself at distance 0.
@@ -2931,6 +2984,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "hnsw_links_stats": QuerySpec(q_hnsw_links_stats, HNSW_LINKS_STATS_SQL, "HNSW graph degree/membership invariants"),
     "hnsw_search_l2": QuerySpec(q_hnsw_search_l2, HNSW_SEARCH_SUMMARY_SQL, "sharded HNSW ANN search vs exact recall"),
     "hnsw_serving_search_l2": QuerySpec(q_hnsw_serving_search_l2, HNSW_SERVING_SUMMARY_SQL, "serving-path (broadcast-query, zero-shuffle) search ≡ cogroup path + recall gate"),
+    "hnsw_insert_roundtrip": QuerySpec(q_hnsw_insert_roundtrip, HNSW_INSERT_SQL, "two-phase batch insert + is_match dedup gate as one invariant row"),
     "ivf_ann_l2": QuerySpec(q_ivf_ann_l2, IVF_SUMMARY_SQL, "IVF bucketed ANN vs exact recall"),
     "pq_ann_l2": QuerySpec(q_pq_ann_l2, PQ_SUMMARY_SQL, "product-quantized ANN + re-rank vs exact recall"),
     "multimodal_pipeline": QuerySpec(q_multimodal_pipeline, MULTIMODAL_SQL, "binary media -> features -> frames -> ANN loop"),
