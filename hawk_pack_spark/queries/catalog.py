@@ -1658,6 +1658,64 @@ FROM embeddings
 """
 
 
+def q_hnsw_delete_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance as one invariant row: delete every 10th vector
+    WITH bridge repair; deleted ids must vanish from rows AND from every
+    surviving adjacency list (exact, immediate deletion), survivors must
+    keep full self-recall through the repaired graph, and the M_max
+    degree bounds must still hold after the re-trim. Oracle derives
+    counts from the embeddings table."""
+    emb, index = _hnsw_index(spark, sf_dir)
+    dels = emb.where(F.col("vec_id") % 10 == 0).select("vec_id")
+    pruned = hnsw.delete_from_index(
+        index, dels, metric="l2_sq", params=_HNSW_PARAMS
+    ).localCheckpoint()
+    dangling = (
+        pruned.select(F.explode("e_dst").alias("dst"))
+        .join(dels.select(F.col("vec_id").alias("dst")), "dst", "leftsemi")
+    )
+    m_max0 = _HNSW_PARAMS.get_M_max(0)
+    m_max = _HNSW_PARAMS.get_M_max(1)
+    links = hnsw.to_links(pruned)
+    over = links.where(
+        F.size("nbrs")
+        > F.when(F.col("layer") == 0, F.lit(m_max0)).otherwise(F.lit(m_max))
+    )
+    survivors = emb.join(dels, "vec_id", "left_anti")
+    q = survivors.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    self_found = hnsw.search(
+        pruned, q, k=1, metric="l2_sq", params=_HNSW_PARAMS
+    ).where((F.col("query_id") == F.col("vec_id")) & (F.col("dist") == 0))
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_before"))
+        .crossJoin(pruned.agg(F.count(F.lit(1)).alias("n_survivors")))
+        .crossJoin(dangling.agg(F.count(F.lit(1)).alias("_dangle")))
+        .crossJoin(over.agg(F.count(F.lit(1)).alias("_over")))
+        .crossJoin(self_found.agg(F.count(F.lit(1)).alias("n_self_found")))
+        .select(
+            "n_before",
+            "n_survivors",
+            (F.col("_dangle") == 0).alias("no_dangling_edges"),
+            (F.col("_over") == 0).alias("degree_bounds_ok"),
+            "n_self_found",
+        )
+    )
+
+
+HNSW_DELETE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       TRUE AS no_dangling_edges,
+       TRUE AS degree_bounds_ok,
+       CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_self_found
+FROM embeddings
+"""
+
+
 def q_hnsw_self_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference flagship invariant (hawk_searcher.rs:441-479): every
     indexed vector, searched at k=1, must return itself at distance 0.
@@ -2985,6 +3043,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "hnsw_search_l2": QuerySpec(q_hnsw_search_l2, HNSW_SEARCH_SUMMARY_SQL, "sharded HNSW ANN search vs exact recall"),
     "hnsw_serving_search_l2": QuerySpec(q_hnsw_serving_search_l2, HNSW_SERVING_SUMMARY_SQL, "serving-path (broadcast-query, zero-shuffle) search ≡ cogroup path + recall gate"),
     "hnsw_insert_roundtrip": QuerySpec(q_hnsw_insert_roundtrip, HNSW_INSERT_SQL, "two-phase batch insert + is_match dedup gate as one invariant row"),
+    "hnsw_delete_repair": QuerySpec(q_hnsw_delete_repair, HNSW_DELETE_SQL, "exact delete + bridge repair: no dangling edges, degree bounds, survivor self-recall"),
     "ivf_ann_l2": QuerySpec(q_ivf_ann_l2, IVF_SUMMARY_SQL, "IVF bucketed ANN vs exact recall"),
     "pq_ann_l2": QuerySpec(q_pq_ann_l2, PQ_SUMMARY_SQL, "product-quantized ANN + re-rank vs exact recall"),
     "multimodal_pipeline": QuerySpec(q_multimodal_pipeline, MULTIMODAL_SQL, "binary media -> features -> frames -> ANN loop"),
