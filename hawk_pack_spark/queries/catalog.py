@@ -1716,6 +1716,82 @@ FROM embeddings
 """
 
 
+def q_graph_rekey_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphMem::from_another as one invariant row (graph_mem.rs:43-76;
+    queue re-key = FurthestQueue::map, queue.rs:67-85): remap every
+    vector ref through a bijection (and double every distance through
+    the dist-map hook), then remap back through the inverse — the graph
+    must return byte-identical (same layers, same queues in the same
+    order, same distances), and the forward map alone must have applied
+    the distance scale exactly."""
+    emb, index = _hnsw_index(spark, sf_dir)
+    from hawk_pack_spark.operators.rekey import rekey_entry, rekey_links
+
+    links = hnsw.to_links(index)
+    entries = hnsw.entry_points(index)
+    fwd = emb.select(
+        F.col("vec_id").alias("old_id"),
+        (F.col("vec_id") * 2 + 1).alias("new_id"),
+    )
+    inv = fwd.select(
+        F.col("new_id").alias("old_id"), F.col("old_id").alias("new_id")
+    )
+    once = rekey_links(links, fwd, dist_scale=2.0)
+    back = rekey_links(once, inv, dist_scale=0.5)
+    key = ["shard", "layer", "src"]
+    # canonical per-node row: queue rendered as text for exact comparison
+    canon = lambda df: df.select(  # noqa: E731
+        *key,
+        F.to_json(
+            F.transform(
+                "nbrs",
+                lambda x: F.struct(
+                    F.round(x["dist"], 6).alias("d"), x["dst"].alias("t")
+                ),
+            )
+        ).alias("q"),
+    )
+    diff = canon(links).exceptAll(canon(back)).unionByName(
+        canon(back).exceptAll(canon(links))
+    )
+    scaled = (
+        links.select(*key, F.explode("nbrs").alias("n"))
+        .select(*[F.col(c) for c in ["layer"]],
+                (F.col("src") * 2 + 1).alias("src"),
+                (F.col("n.dst") * 2 + 1).alias("dst"),
+                (F.col("n.dist") * 2).alias("want"))
+    )
+    got = once.select(
+        "layer", "src", F.explode("nbrs").alias("n")
+    ).select("layer", "src", F.col("n.dst").alias("dst"), F.col("n.dist").alias("got"))
+    scale_bad = scaled.join(got, ["layer", "src", "dst"]).where(
+        F.abs(F.col("want") - F.col("got")) > 1e-9
+    )
+    e_back = rekey_entry(rekey_entry(entries, fwd), inv)
+    e_diff = entries.exceptAll(e_back).unionByName(e_back.exceptAll(entries))
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(diff.agg(F.count(F.lit(1)).alias("_d")))
+        .crossJoin(scale_bad.agg(F.count(F.lit(1)).alias("_s")))
+        .crossJoin(e_diff.agg(F.count(F.lit(1)).alias("_e")))
+        .select(
+            "n_nodes",
+            (F.col("_d") == 0).alias("links_roundtrip_exact"),
+            (F.col("_s") == 0).alias("dist_scale_exact"),
+            (F.col("_e") == 0).alias("entry_roundtrip_exact"),
+        )
+    )
+
+
+GRAPH_REKEY_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       TRUE AS links_roundtrip_exact,
+       TRUE AS dist_scale_exact,
+       TRUE AS entry_roundtrip_exact
+FROM embeddings
+"""
+
+
 def q_hnsw_self_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference flagship invariant (hawk_searcher.rs:441-479): every
     indexed vector, searched at k=1, must return itself at distance 0.
@@ -3044,6 +3120,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "hnsw_serving_search_l2": QuerySpec(q_hnsw_serving_search_l2, HNSW_SERVING_SUMMARY_SQL, "serving-path (broadcast-query, zero-shuffle) search ≡ cogroup path + recall gate"),
     "hnsw_insert_roundtrip": QuerySpec(q_hnsw_insert_roundtrip, HNSW_INSERT_SQL, "two-phase batch insert + is_match dedup gate as one invariant row"),
     "hnsw_delete_repair": QuerySpec(q_hnsw_delete_repair, HNSW_DELETE_SQL, "exact delete + bridge repair: no dangling edges, degree bounds, survivor self-recall"),
+    "graph_rekey_roundtrip": QuerySpec(q_graph_rekey_roundtrip, GRAPH_REKEY_SQL, "GraphMem::from_another re-key bijection roundtrip + dist-map hook as one invariant row"),
     "ivf_ann_l2": QuerySpec(q_ivf_ann_l2, IVF_SUMMARY_SQL, "IVF bucketed ANN vs exact recall"),
     "pq_ann_l2": QuerySpec(q_pq_ann_l2, PQ_SUMMARY_SQL, "product-quantized ANN + re-rank vs exact recall"),
     "multimodal_pipeline": QuerySpec(q_multimodal_pipeline, MULTIMODAL_SQL, "binary media -> features -> frames -> ANN loop"),
