@@ -94,11 +94,15 @@ def compare(
 def check_catalog(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> list[ParityResult]:
-    from hawk_pack_spark.queries import CATALOG
+    # with no explicit names: sweep the CURRENT driver catalog (the
+    # gate replica). Explicit names resolve from ALL_SPECS, so queries
+    # waiting in the rotation pool can be pre-verified at any SF.
+    from hawk_pack_spark.queries import ALL_SPECS, CATALOG
 
+    specs = {n: ALL_SPECS[n] for n in names} if names else CATALOG
     con = duck_connection(sf_dir)
     results = []
-    for name, spec in CATALOG.items():
+    for name, spec in specs.items():
         if names and name not in names:
             continue
         if spec.oracle is None:
