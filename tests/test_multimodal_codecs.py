@@ -251,3 +251,19 @@ def test_extract_features_uses_real_path_for_png(spark):
     )
     feats = {r.media_id: np.array(r.feature) for r in extract_features(df).collect()}
     assert np.allclose(feats[9], image_feature(px))
+
+
+def test_png_extreme_dimensions():
+    from hawk_pack_spark.multimodal.ops import decode_png, encode_png
+
+    rng = np.random.default_rng(23)
+    for h, w in ((1, 1), (1, 17), (17, 1), (2, 2)):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px), (h, w)
+    # filtered single-column image exercises the x < bpp edges of
+    # Sub/Average/Paeth reconstruction on every row
+    px = rng.integers(0, 256, size=(6, 1, 3), dtype=np.uint8)
+    for filters in ([1], [3], [4]):
+        assert np.array_equal(
+            decode_png(_png_with_filters(px, filters)), px
+        ), filters
