@@ -350,8 +350,19 @@ def index_from_arrays(
     for local in range(len(ids)):
         lays, dsts, dists = e_layers[local], e_dsts[local], e_dists[local]
         for lc, dst, d in zip(lays, dsts, dists):
+            try:
+                dst_local = id_to_local[int(dst)]
+            except KeyError:
+                raise ValueError(
+                    f"edge destination vec_id={int(dst)} is not in this slice "
+                    "of the index: the partition does not contain its whole "
+                    "shard. Index partitions must hold complete shards — after "
+                    "reading a saved index from parquet (file-split "
+                    "partitions), repartition(num_shards, 'shard') before "
+                    "searching."
+                ) from None
             index.adj.setdefault(int(lc), {}).setdefault(local, []).append(
-                (float(d), id_to_local[int(dst)])
+                (float(d), dst_local)
             )
     for lc in index.adj:
         for node in index.adj[lc]:

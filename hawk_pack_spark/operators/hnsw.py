@@ -54,6 +54,36 @@ def _stack_payload(a: np.ndarray, b: np.ndarray, metric: str) -> np.ndarray:
     return np.concatenate([a, b]) if metric == "hamming" else np.vstack([a, b])
 
 
+def _fold_lr(terms: np.ndarray) -> np.ndarray:
+    """Strict left-to-right double accumulation over the last axis — the
+    same associativity as ``F.aggregate``'s sequential fold, so driver-side
+    routing scores agree bit-for-bit with the cogroup router's
+    ``distance_expr`` scores and near-tie centroids route identically."""
+    acc = np.zeros(terms.shape[:-1], dtype=np.float64)
+    for d in range(terms.shape[-1]):
+        acc = acc + terms[..., d]
+    return acc
+
+
+def _route_dists(q_data: np.ndarray, c_mat: np.ndarray, metric: str) -> np.ndarray:
+    """(nq, ncells) centroid routing distances, dispatched on metric to
+    mirror ``functions/distance.py`` expression-for-expression. Supports
+    exactly the metrics the search kernel supports; anything else raises
+    instead of silently routing by the wrong geometry."""
+    if metric == "l2_sq":
+        d = q_data[:, None, :] - c_mat[None, :, :]
+        return _fold_lr(d * d)
+    if metric == "cosine":
+        dots = _fold_lr(q_data[:, None, :] * c_mat[None, :, :])
+        qn = np.sqrt(_fold_lr(q_data * q_data))
+        cn = np.sqrt(_fold_lr(c_mat * c_mat))
+        return 1.0 - dots / (qn[:, None] * cn[None, :])
+    raise NotImplementedError(
+        f"centroid routing for metric {metric!r} is not implemented; "
+        "supported: 'l2_sq', 'cosine', 'hamming'"
+    )
+
+
 def _emit_index(shard: int, ids: np.ndarray, pdf: pd.DataFrame, metric: str,
                 layers: np.ndarray, index: K.LocalHNSW) -> pd.DataFrame:
     e_layer, e_dst, e_dist = K.adjacency_arrays(index, ids)
@@ -296,11 +326,7 @@ def search_serving(
                 ).sum(axis=1)
         else:
             c_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in centroids])
-            cd = (
-                (q_data * q_data).sum(1)[:, None]
-                - 2.0 * (q_data @ c_mat.T)
-                + (c_mat * c_mat).sum(1)[None, :]
-            )
+            cd = _route_dists(q_data, c_mat, metric)
         npb = min(nprobe_shards, len(c_shards))
         order = np.argsort(cd, axis=1, kind="stable")[:, :npb]
         routed: dict[int, list[int]] = {}

@@ -99,7 +99,16 @@ def check_catalog(
     # waiting in the rotation pool can be pre-verified at any SF.
     from hawk_pack_spark.queries import ALL_SPECS, CATALOG
 
-    specs = {n: ALL_SPECS[n] for n in names} if names else CATALOG
+    if names:
+        unknown = sorted(set(names) - set(ALL_SPECS))
+        if unknown:
+            raise ValueError(
+                f"unknown query names {unknown} (not in ALL_SPECS; "
+                "likely stale rotation names or typos) — no checks were run"
+            )
+        specs = {n: ALL_SPECS[n] for n in names}
+    else:
+        specs = CATALOG
     con = duck_connection(sf_dir)
     results = []
     for name, spec in specs.items():

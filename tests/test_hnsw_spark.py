@@ -495,3 +495,65 @@ def test_search_serving_edges(spark, code_index):
     assert hnsw.search_serving(
         code_index, none, k=3, metric="hamming", params=PARAMS
     ).count() == 0
+
+
+def test_search_serving_cosine_routing_matches_cogroup(spark, sf_dir):
+    """ADVICE r4 (medium): serving's driver-side centroid routing must
+    dispatch on metric — cosine-routed serving must agree with the
+    cosine cogroup router at equal nprobe (same fold associativity, so
+    near-tie centroids route identically), and unsupported routing
+    metrics must raise instead of silently routing by L2 geometry."""
+    from hawk_pack_spark.operators.similarity import ivf_build
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).cache()
+    params = HawkParams.new(64, 64, 16)
+    assigned, _ = ivf_build(emb, n_clusters=8)
+    index = hnsw.build_index(
+        emb, metric="cosine", params=params, num_shards=8,
+        assignments=assigned.select("vec_id", F.col("cluster").alias("shard")),
+    ).localCheckpoint()
+    queries = emb.where(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = hnsw.shard_centroids(index, "cosine").collect()
+    a = hnsw.search(
+        index, queries, k=10, metric="cosine", params=params,
+        num_shards=8, nprobe_shards=3,
+    ).collect()
+    b = hnsw.search_serving(
+        index, queries, k=10, metric="cosine", params=params,
+        nprobe_shards=3, centroids=cents,
+    ).collect()
+    assert len(b) == len(a) > 0
+    assert {(r.query_id, r.vec_id, r.rank) for r in a} == {
+        (r.query_id, r.vec_id, r.rank) for r in b
+    }
+    with pytest.raises(NotImplementedError, match="routing"):
+        hnsw.search_serving(
+            index, queries, k=10, metric="dot", params=params,
+            nprobe_shards=3, centroids=cents,
+        )
+
+
+def test_serving_search_split_shard_raises_clear_error(spark):
+    """ADVICE r4: an index whose partitions split shards (e.g. parquet
+    file-split partitions without a repartition) must fail with an
+    actionable error naming the whole-shard requirement, not an opaque
+    KeyError from the kernel."""
+    params = HawkParams.new(32, 16, 8)
+    codes = spark.range(400).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 37).alias("code")
+    )
+    mem = hnsw.build_index(
+        codes, metric="hamming", params=params, num_shards=2, vec_col="code"
+    ).localCheckpoint()
+    broken = mem.repartition(6)  # round-robin: every partition splits shards
+    queries = spark.range(3).select(
+        F.col("id").alias("query_id"), (F.col("id") * 37).alias("query_vec")
+    )
+    with pytest.raises(Exception, match="whole shard"):
+        hnsw.search_serving(
+            broken, queries, k=3, metric="hamming", params=params
+        ).collect()

@@ -29,3 +29,11 @@ def test_rows_only_queries_run(spark, sf_dir):
     for name, spec in CATALOG.items():
         if spec.oracle is None:
             assert spec.fn(spark, sf_dir).count() >= 0, name
+
+
+def test_check_catalog_unknown_names_raise_descriptive_error(spark, sf_dir):
+    """ADVICE r4: a stale rotation name or typo must abort up front with
+    the offending names listed, not crash mid-sweep with a bare KeyError
+    (and not silently skip)."""
+    with pytest.raises(ValueError, match="unknown query names.*no_such_query"):
+        check_catalog(spark, sf_dir, names=["no_such_query"])
