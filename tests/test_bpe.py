@@ -103,3 +103,62 @@ def test_apply_bpe_consistent_with_training(spark):
         for w, got in zip(texts_words, words):
             assert got == want[w], (w, got, want[w])
         assert r["n_subwords"] == len(r["subwords"])
+
+
+def test_distributed_trainer_matches_reference(spark):
+    """VERDICT r4 #1: the no-driver-collect trainer (word table stays a
+    DataFrame, per-merge distributed pair count + 1-row argmax collect +
+    Catalyst fold rewrite) must learn the byte-identical merge sequence
+    and final segmentation as the reference — including across a
+    localCheckpoint boundary (checkpoint_every=3 < n_merges)."""
+    from hawk_pack_spark.operators.bpe import train_bpe_distributed
+
+    rng = random.Random(13)
+    vocab = ["low", "lower", "lowest", "newer", "new", "wider", "widest", "slow"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(30)) for _ in range(40)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, segmented = train_bpe_distributed(docs, n_merges=12, checkpoint_every=3)
+    want = train_bpe_reference(_freqs_from_texts(texts), n_merges=12)
+    assert merges == want and len(merges) == 12
+    for r in segmented.collect():
+        assert "".join(r["syms"]) == r["w"] + END
+
+    # early stop parity when pairs exhaust
+    small = spark.createDataFrame([(0, "ab ab cd")], "doc_id long, text string")
+    m2, _ = train_bpe_distributed(small, n_merges=50, min_pair_freq=2)
+    assert len(m2) == 1 and m2[0][:2] == ("a", "b" + END)
+
+
+def test_distributed_trainer_self_pairs_and_ties(spark):
+    """Adversarial shapes for the fold expression: self-pairs (a==b) in
+    runs ('aaaa' → 'aa'|'aa'), and count ties broken by (a, b) asc —
+    both must match the reference exactly."""
+    from hawk_pack_spark.operators.bpe import train_bpe_distributed
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aa zz zz yy yy")], "doc_id long, text string"
+    )
+    merges, seg = train_bpe_distributed(docs, n_merges=6, min_pair_freq=2)
+    want = train_bpe_reference(
+        {"aaaa": 2, "aa": 1, "zz": 2, "yy": 2}, n_merges=6
+    )
+    assert merges == want
+    got = {r["w"]: list(r["syms"]) for r in seg.collect()}
+    for w, syms in got.items():
+        assert "".join(syms) == w + END
+
+
+def test_train_bpe_dispatches_to_distributed_over_limit(spark):
+    """train_bpe with a word table above max_driver_words must route to
+    the distributed trainer (no O(vocab) driver collect) and still
+    return the identical result."""
+    texts = ["low lower lowest low low", "newer new newest lower low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    via_driver, _ = train_bpe(docs, n_merges=8, max_driver_words=None)
+    via_dispatch, seg = train_bpe(docs, n_merges=8, max_driver_words=2)
+    assert via_dispatch == via_driver and len(via_dispatch) == 8
+    assert {f.name for f in seg.schema.fields} == {"w", "freq", "syms"}
