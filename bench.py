@@ -354,6 +354,24 @@ def bench_ann_1m(spark) -> None:
             nprobe_shards=nprobe, centroids=cents,
         ).count(),
     )
+    # crossover-aware front door (VERDICT r4 #2): the engine picks the
+    # winning path itself — the 50-query case must track the BLAS row
+    # (not the 3.4x-slower serving row), the 500-query case the serving
+    # row (recorded under contrasts: its work duplicates the row above)
+    slim = vecs.select("vec_id", F.col("embedding").alias("vec"))
+    timed(
+        "ann1m_dispatch_50q",
+        lambda: hnsw.ann_search(
+            index, q50, k=10, metric="l2_sq", params=params,
+            nprobe_shards=nprobe, centroids=cents, vectors_df=slim,
+        ).count(),
+    )
+    t0 = time.perf_counter()
+    hnsw.ann_search(
+        index, queries, k=10, metric="l2_sq", params=params,
+        nprobe_shards=nprobe, centroids=cents, vectors_df=slim,
+    ).count()
+    CONTRASTS[f"ann1m_dispatch_{n_queries}q"] = round(time.perf_counter() - t0, 3)
 
     # measured recall@10 of the routed path vs the exact scan (untimed)
     truth: dict[int, set[int]] = {}

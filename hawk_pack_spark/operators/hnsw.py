@@ -84,6 +84,38 @@ def _route_dists(q_data: np.ndarray, c_mat: np.ndarray, metric: str) -> np.ndarr
     )
 
 
+def _route_batch(
+    q_data: np.ndarray, centroids: list, metric: str, nprobe_shards: int
+) -> dict[int, list[int]]:
+    """Driver-side IVF-style routing of a collected query batch against
+    build-time centroids: shard → list of query positions probing it.
+    Shard-ascending order + stable argsort = the cogroup router's
+    tie-break (topk_rows tie_cols=["shard"]) exactly."""
+    centroids = sorted(centroids, key=lambda r: r[0])
+    c_shards = np.array([r[0] for r in centroids], dtype=np.int64)
+    nq = len(q_data)
+    if metric == "hamming":
+        c_codes = np.array([r[1] for r in centroids], dtype=np.int64).view(
+            np.uint64
+        )
+        cd = np.zeros((nq, len(c_shards)), dtype=np.float64)
+        for j, c in enumerate(c_codes):
+            x = q_data ^ c
+            cd[:, j] = np.unpackbits(
+                x.view(np.uint8).reshape(nq, 8), axis=1
+            ).sum(axis=1)
+    else:
+        c_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in centroids])
+        cd = _route_dists(q_data, c_mat, metric)
+    npb = min(nprobe_shards, len(c_shards))
+    order = np.argsort(cd, axis=1, kind="stable")[:, :npb]
+    routed: dict[int, list[int]] = {}
+    for qi in range(nq):
+        for c in order[qi]:
+            routed.setdefault(int(c_shards[c]), []).append(qi)
+    return routed
+
+
 def _emit_index(shard: int, ids: np.ndarray, pdf: pd.DataFrame, metric: str,
                 layers: np.ndarray, index: K.LocalHNSW) -> pd.DataFrame:
     e_layer, e_dst, e_dist = K.adjacency_arrays(index, ids)
@@ -310,29 +342,7 @@ def search_serving(
     if nprobe_shards is not None:
         if centroids is None:
             centroids = shard_centroids(index_df, metric).collect()
-        # shard-ascending order + stable argsort = the cogroup router's
-        # tie-break (topk_rows tie_cols=["shard"]) exactly
-        centroids = sorted(centroids, key=lambda r: r[0])
-        c_shards = np.array([r[0] for r in centroids], dtype=np.int64)
-        if metric == "hamming":
-            c_codes = np.array([r[1] for r in centroids], dtype=np.int64).view(
-                np.uint64
-            )
-            cd = np.zeros((len(q_ids), len(c_shards)), dtype=np.float64)
-            for j, c in enumerate(c_codes):
-                x = q_data ^ c
-                cd[:, j] = np.unpackbits(
-                    x.view(np.uint8).reshape(len(q_ids), 8), axis=1
-                ).sum(axis=1)
-        else:
-            c_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in centroids])
-            cd = _route_dists(q_data, c_mat, metric)
-        npb = min(nprobe_shards, len(c_shards))
-        order = np.argsort(cd, axis=1, kind="stable")[:, :npb]
-        routed: dict[int, list[int]] = {}
-        for qi in range(len(q_ids)):
-            for c in order[qi]:
-                routed.setdefault(int(c_shards[c]), []).append(qi)
+        routed = _route_batch(q_data, centroids, metric, nprobe_shards)
         scan = index_df.where(
             F.col("shard").isin([int(s) for s in routed])
         )
@@ -486,6 +496,120 @@ def search(
         per_shard.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "dist", "rank")
+    )
+
+
+def choose_ann_path(
+    n_queries: int,
+    probed_fraction: float,
+    crossover_batch: int = 220,
+    selective_fraction: float = 0.35,
+) -> str:
+    """Pure dispatch rule for `ann_search`, fit to the measured 1M-vector
+    crossover (BENCH_r04 / NOTES r4):
+
+    - 500-query batch: serving 4.17s vs exact-BLAS 8.13s (serving wins);
+    - 50-query batch, probed union ≈ whole index: BLAS 0.97s vs serving
+      3.31s (the serving floor is the Arrow scan of probed shards);
+    - selective probes (partition-pruned disk serving): I/O tracks the
+      probed union, so serving wins regardless of batch size.
+
+    Hence: a batch whose probed union is a small fraction of the index
+    always serves; otherwise the batch must be large enough (≥
+    ``crossover_batch``, measured midpoint of the flip between 50 and
+    500 queries) to amortize the probed-shard scan that both paths pay.
+    """
+    if probed_fraction <= selective_fraction:
+        return "serving"
+    return "serving" if n_queries >= crossover_batch else "blas"
+
+
+def ann_search(
+    index_df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2_sq",
+    params: HawkParams = DEFAULT_PARAMS,
+    ef_search: int | None = None,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    nprobe_shards: int | None = None,
+    centroids: list | None = None,
+    crossover_batch: int = 220,
+    selective_fraction: float = 0.35,
+    force: str | None = None,
+    decision_out: dict | None = None,
+    vectors_df: DataFrame | None = None,
+) -> DataFrame:
+    """Crossover-aware ANN front door (VERDICT r4 #2): the engine, not
+    the caller, picks the winning physical plan for a query batch.
+
+    ``vectors_df`` (columns ``vec_id, vec``) is the slim payload side
+    the BLAS path scans. Default = a projection of ``index_df`` — free
+    when the index is parquet-backed (column pruning reaches the scan),
+    but a CHECKPOINTED index deserializes its adjacency arrays anyway;
+    a serving deployment should hold and pass the slim projection it
+    already keeps for re-ranking.
+
+    Routes the (bounded) batch driver-side against build-time centroids,
+    estimates the probed-union fraction, and dispatches via
+    `choose_ann_path`: **serving-HNSW** (`search_serving` — zero index
+    shuffle, partition-prunable) or **exact BLAS scan** over the same
+    index rows (`l2_topk_numpy` on the ``vec`` payload — column-pruned,
+    so the adjacency arrays never move). Both paths return
+    (query_id, vec_id, dist, rank) with squared-L2 distances; the BLAS
+    path is additionally exact, so dispatching can only raise recall.
+
+    The BLAS contrast only exists for ``l2_sq``; other metrics always
+    serve. ``force`` ∈ {"serving", "blas"} pins a path (tests/bench);
+    ``decision_out`` (a dict) receives {path, n_queries,
+    probed_fraction} for observability."""
+    from hawk_pack_spark.operators.similarity import l2_topk_numpy
+
+    spark = queries.sparkSession
+    qn = _normalize_vectors(queries, query_id, query_col, metric, out_id="query_id")
+    payload = "code" if metric == "hamming" else "vec"
+    q_rows = qn.select("query_id", payload).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, dist double, rank int"
+        )
+    n_queries = len(q_rows)
+    if nprobe_shards is None:
+        probed_fraction = 1.0
+    else:
+        if centroids is None:
+            centroids = shard_centroids(index_df, metric).collect()
+        if metric == "hamming":
+            q_data = np.array([r[1] for r in q_rows], dtype=np.int64).view(np.uint64)
+        else:
+            q_data = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+        routed = _route_batch(q_data, centroids, metric, nprobe_shards)
+        probed_fraction = len(routed) / max(len(centroids), 1)
+
+    if force is not None:
+        path = force
+    elif metric != "l2_sq":
+        path = "serving"  # no BLAS contrast for this metric
+    else:
+        path = choose_ann_path(
+            n_queries, probed_fraction, crossover_batch, selective_fraction
+        )
+    if decision_out is not None:
+        decision_out.update(
+            path=path, n_queries=n_queries, probed_fraction=probed_fraction
+        )
+
+    if path == "blas":
+        return l2_topk_numpy(
+            vectors_df if vectors_df is not None else index_df,
+            queries, k=k, vec_col="vec",
+            query_id=query_id, query_col=query_col,
+        )
+    return search_serving(
+        index_df, queries, k=k, metric=metric, params=params,
+        ef_search=ef_search, query_id=query_id, query_col=query_col,
+        nprobe_shards=nprobe_shards, centroids=centroids,
     )
 
 

@@ -557,3 +557,93 @@ def test_serving_search_split_shard_raises_clear_error(spark):
         hnsw.search_serving(
             broken, queries, k=3, metric="hamming", params=params
         ).collect()
+
+
+def test_choose_ann_path_pins_measured_crossover():
+    """The dispatch rule must reproduce every measured point of the 1M
+    crossover (BENCH_r04): large batches serve, small full-fan batches
+    scan, selective probes always serve."""
+    assert hnsw.choose_ann_path(500, 1.0) == "serving"
+    assert hnsw.choose_ann_path(50, 1.0) == "blas"     # the 3.4x loss case
+    assert hnsw.choose_ann_path(220, 1.0) == "serving"  # measured midpoint
+    assert hnsw.choose_ann_path(219, 1.0) == "blas"
+    assert hnsw.choose_ann_path(50, 0.1) == "serving"   # partition-pruned I/O
+    assert hnsw.choose_ann_path(1, 0.35) == "serving"
+
+
+def test_ann_search_front_door_dispatches_and_matches(spark, sf_dir):
+    """ann_search must (a) pick BLAS for a small full-fan batch and
+    return the exact scan's rows, (b) pick serving for a selective probe
+    and return the serving path's rows, (c) honor force, (d) always
+    serve non-l2 metrics."""
+    from hawk_pack_spark.operators.similarity import ivf_build, l2_topk_numpy
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).cache()
+    params = HawkParams.new(64, 64, 16)
+    assigned, _ = ivf_build(emb, n_clusters=8)
+    index = hnsw.build_index(
+        emb, metric="l2_sq", params=params, num_shards=8,
+        assignments=assigned.select("vec_id", F.col("cluster").alias("shard")),
+    ).localCheckpoint()
+    cents = hnsw.shard_centroids(index, "l2_sq").collect()
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    # (a) small batch, no routing -> blas, exact rows
+    dec: dict = {}
+    got = hnsw.ann_search(
+        index, queries, k=10, metric="l2_sq", params=params, decision_out=dec
+    )
+    assert dec["path"] == "blas" and dec["probed_fraction"] == 1.0
+    want = l2_topk_numpy(emb, queries, k=10)
+    assert {(r.query_id, r.vec_id, r.rank) for r in got.collect()} == {
+        (r.query_id, r.vec_id, r.rank) for r in want.collect()
+    }
+
+    # (b) selective probe: clone queries all route to the same 2 of 8
+    # shards (probed fraction 0.25 <= 0.35) -> serving, same rows
+    v0 = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    clones = spark.createDataFrame(
+        [(i, v0) for i in range(5)], "query_id long, query_vec array<double>"
+    )
+    dec = {}
+    got_s = hnsw.ann_search(
+        index, clones, k=10, metric="l2_sq", params=params,
+        nprobe_shards=2, centroids=cents, decision_out=dec,
+    )
+    assert dec["path"] == "serving" and dec["probed_fraction"] == 0.25
+    want_s = hnsw.search_serving(
+        index, clones, k=10, metric="l2_sq", params=params,
+        nprobe_shards=2, centroids=cents,
+    )
+    assert {(r.query_id, r.vec_id, r.rank) for r in got_s.collect()} == {
+        (r.query_id, r.vec_id, r.rank) for r in want_s.collect()
+    }
+
+    # (c) force pins the losing path
+    dec = {}
+    hnsw.ann_search(
+        index, queries, k=10, metric="l2_sq", params=params,
+        force="serving", decision_out=dec,
+    )
+    assert dec["path"] == "serving"
+
+    # (d) non-l2 metrics have no BLAS contrast -> serving even at batch 1
+    cos_index = hnsw.build_index(
+        emb, metric="cosine", params=params, num_shards=8,
+        assignments=assigned.select("vec_id", F.col("cluster").alias("shard")),
+    ).localCheckpoint()
+    dec = {}
+    hnsw.ann_search(
+        cos_index, queries.limit(1), k=5, metric="cosine", params=params,
+        decision_out=dec,
+    )
+    assert dec["path"] == "serving"
+
+    # empty batch -> empty result, stable schema
+    none = queries.where(F.col("query_id") < 0)
+    out = hnsw.ann_search(index, none, k=5, metric="l2_sq", params=params)
+    assert out.count() == 0 and out.columns == ["query_id", "vec_id", "dist", "rank"]
