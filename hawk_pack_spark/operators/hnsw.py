@@ -663,6 +663,25 @@ def insert_batch(
             nearest.select(F.col("query_id").alias(id_col)), id_col, "left_anti"
         )
     prepped = _normalize_vectors(batch, id_col, vec_col, metric)
+    if match_threshold is not None:
+        # cross-shard intra-batch EXACT-dup gate: the shard kernels reject
+        # intra-batch dups serially, but only within their own shard —
+        # with id-hashed (or content-routed near-tie) placement an exact
+        # dup of another batch row can land in a different shard and slip
+        # the gate. dist 0 is transitive, so first-id-wins per identical
+        # payload IS the reference's serial outcome (min id inserts first,
+        # every later identical row is_match-rejects) regardless of how
+        # the batch was split into micro-batches. Near-dups (0 < dist <=
+        # threshold) across shards remain the same race the reference's
+        # concurrent insert tasks admit (hawk_searcher.rs tokio tasks).
+        wdup = Window.partitionBy(
+            "code" if metric == "hamming" else "vec"
+        ).orderBy(F.col("vec_id").asc())
+        prepped = (
+            prepped.withColumn("_dup_rn", F.row_number().over(wdup))
+            .where(F.col("_dup_rn") == 1)
+            .drop("_dup_rn")
+        )
     if centroids is not None:
         from hawk_pack_spark.functions.distance import distance_expr
 

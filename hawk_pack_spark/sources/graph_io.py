@@ -181,6 +181,186 @@ def export_graph_jdbc(
     return True
 
 
+# ---------------------------------------------------------------------------
+# upsert transport — the reference's write path is row-level UPSERT, not
+# table replace: graph_pg.rs:111-115 `INSERT ... ON CONFLICT (source_ref,
+# layer) DO UPDATE SET links = EXCLUDED.links` (and :69-80 the same for
+# the entry row). `export_graph_jdbc` above replaces whole tables (bulk
+# snapshot); `upsert_graph_jdbc` merges a DELTA of rows into live tables,
+# so incremental insert/delete/repair can persist without rewriting the
+# graph. Spark's JDBC writer has no upsert mode, so the delta stages
+# through Spark JDBC and one driver-side MERGE/ON CONFLICT statement —
+# executed over the same JVM DriverManager the JDBC source uses — moves
+# it into the target atomically per statement.
+
+_PG_LINK_TYPES = "source_ref VARCHAR(64), layer INTEGER, links TEXT"
+_DERBY_LINK_TYPES = "source_ref VARCHAR(64), layer INTEGER, links VARCHAR(32000)"
+_PG_ENTRY_TYPES = "entry_point TEXT, id INTEGER"
+_DERBY_ENTRY_TYPES = "entry_point VARCHAR(1000), id INTEGER"
+
+
+def _dialect(url: str) -> str:
+    return "postgresql" if url.startswith("jdbc:postgresql") else "standard"
+
+
+def _exec_updates(spark: SparkSession, url: str, driver: str | None,
+                  statements: list[str], ignore_existing: bool = False) -> None:
+    """Run DDL/DML on the driver through java.sql.DriverManager — the
+    same JVM + driver classpath Spark's JDBC source uses, so reachability
+    is identical."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            for sql in statements:
+                try:
+                    st.executeUpdate(sql)
+                except Exception:
+                    if not ignore_existing:
+                        raise
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def ensure_graph_schema_jdbc(
+    spark: SparkSession,
+    url: str | None = None,
+    driver: str | None = None,
+    links_table: str = "hawk_graph_links",
+    entry_table: str = "hawk_graph_entry",
+) -> bool:
+    """Create the reference's two tables WITH their primary keys
+    (migrations/20240909105321_init.up.sql: PRIMARY KEY (source_ref,
+    layer) / PRIMARY KEY (id)) if absent — the PKs are what make the
+    upsert's conflict target real. Idempotent: existing tables are left
+    untouched (Derby has no IF NOT EXISTS, so the CREATE error for an
+    existing table is swallowed)."""
+    url = url or os.environ.get("HAWK_PACK_JDBC_URL")
+    if not url:
+        return False
+    pg = _dialect(url) == "postgresql"
+    link_cols = _PG_LINK_TYPES if pg else _DERBY_LINK_TYPES
+    entry_cols = _PG_ENTRY_TYPES if pg else _DERBY_ENTRY_TYPES
+    prefix = "CREATE TABLE IF NOT EXISTS" if pg else "CREATE TABLE"
+    _exec_updates(
+        spark, url, driver,
+        [
+            f"{prefix} {links_table} ({link_cols}, "
+            f"PRIMARY KEY (source_ref, layer))",
+            f"{prefix} {entry_table} ({entry_cols}, PRIMARY KEY (id))",
+        ],
+        ignore_existing=not pg,
+    )
+    return True
+
+
+def _upsert_sql(url: str, target: str, stage: str, key_cols: list[str],
+                val_cols: list[str], jsonb: bool = False) -> str:
+    # Spark's JDBC writer creates the staging table with QUOTED column
+    # names (case-sensitive lowercase); the target tables use the
+    # database's unquoted normalization — so staging references are
+    # quoted, target references are not.
+    def q(c: str) -> str:
+        return f'"{c}"'
+
+    keys = ", ".join(key_cols)
+    cols = ", ".join(key_cols + val_cols)
+    if _dialect(url) == "postgresql":
+        # jsonb=True targets a reference-migrated schema (init.up.sql
+        # declares links/entry_point as jsonb): the staged TEXT needs an
+        # explicit cast in both the SELECT and the conflict update.
+        sel = ", ".join(
+            [q(c) for c in key_cols]
+            + [f"CAST({q(c)} AS jsonb)" if jsonb else q(c) for c in val_cols]
+        )
+        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in val_cols)
+        return (
+            f"INSERT INTO {target} ({cols}) SELECT {sel} FROM {stage} "
+            f"ON CONFLICT ({keys}) DO UPDATE SET {sets}"
+        )
+    on = " AND ".join(f"t.{c} = s.{q(c)}" for c in key_cols)
+    sets = ", ".join(f"t.{c} = s.{q(c)}" for c in val_cols)
+    vals = ", ".join(f"s.{q(c)}" for c in key_cols + val_cols)
+    return (
+        f"MERGE INTO {target} t USING {stage} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def upsert_graph_jdbc(
+    links: DataFrame,
+    entries: DataFrame,
+    url: str | None = None,
+    driver: str | None = None,
+    links_table: str = "hawk_graph_links",
+    entry_table: str = "hawk_graph_entry",
+    jsonb: bool = False,
+) -> bool:
+    """Merge a DELTA of graph rows into the live tables with the
+    reference's upsert semantics (graph_pg.rs:111-115 `ON CONFLICT
+    (source_ref, layer) DO UPDATE SET links = EXCLUDED.links`; :69-80
+    for the entry row): rows already present are UPDATED in place, new
+    rows INSERT, rows absent from the delta are left untouched — the
+    incremental persistence shape for insert/delete/repair cycles.
+
+    ``links``/``entries`` are the normalized views (`hnsw.to_links` /
+    `hnsw.entry_points`), possibly filtered to touched rows only. The
+    delta stages through Spark's JDBC writer (distributed), then one
+    driver-side dialect statement (Postgres `ON CONFLICT`, standard-SQL
+    `MERGE` elsewhere — Derby in tests) moves stage → target. Links JSON
+    above ~32 KB needs the Postgres dialect (Derby staging uses
+    VARCHAR(32000) so the MERGE join can compare keys; CLOBs can't).
+    Returns False (no-op) when no JDBC URL is configured."""
+    url = url or os.environ.get("HAWK_PACK_JDBC_URL")
+    if not url:
+        return False
+    spark = links.sparkSession
+    ensure_graph_schema_jdbc(spark, url, driver, links_table, entry_table)
+    links_rows, entry_rows = to_pg_rows(links, entries)
+    pg = _dialect(url) == "postgresql"
+    stage_l, stage_e = f"{links_table}_stage", f"{entry_table}_stage"
+    w = (
+        links_rows.write.format("jdbc").option("url", url)
+        .option("dbtable", stage_l)
+        .option(
+            "createTableColumnTypes",
+            _PG_LINK_TYPES if pg else _DERBY_LINK_TYPES,
+        )
+    )
+    if driver:
+        w = w.option("driver", driver)
+    w.mode("overwrite").save()
+    w = (
+        entry_rows.write.format("jdbc").option("url", url)
+        .option("dbtable", stage_e)
+        .option(
+            "createTableColumnTypes",
+            _PG_ENTRY_TYPES if pg else _DERBY_ENTRY_TYPES,
+        )
+    )
+    if driver:
+        w = w.option("driver", driver)
+    w.mode("overwrite").save()
+    _exec_updates(
+        spark, url, driver,
+        [
+            _upsert_sql(url, links_table, stage_l,
+                        ["source_ref", "layer"], ["links"], jsonb=jsonb),
+            _upsert_sql(url, entry_table, stage_e, ["id"], ["entry_point"],
+                        jsonb=jsonb),
+            f"DROP TABLE {stage_l}",
+            f"DROP TABLE {stage_e}",
+        ],
+    )
+    return True
+
+
 def import_graph_jdbc(
     spark: SparkSession,
     url: str | None = None,
