@@ -373,6 +373,33 @@ def bench_ann_1m(spark) -> None:
     ).count()
     CONTRASTS[f"ann1m_dispatch_{n_queries}q"] = round(time.perf_counter() - t0, 3)
 
+    # maintenance at the measured-crossover scale (VERDICT r4 #8): the
+    # serving-shaped dup gate + centroid-routed placement + touched-shard
+    # split must keep insert cost tracking the BATCH, and delete+repair
+    # cost tracking the TOUCHED shards, at 1M — not just the 100k ladder
+    fresh = (
+        spark.range(100)
+        .select(
+            (F.col("id") + 10_000_000).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.cos(F.col("id") * i * 1.9 + i * 0.31),
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    fresh.count()
+    t0 = time.perf_counter()
+    hnsw.insert_batch(
+        index, fresh, metric="l2_sq", params=params,
+        match_threshold=0.0, serving_gate=True, centroids=cents,
+    ).count()
+    record("ann1m_insert_100", time.perf_counter() - t0)
+    del_ids = vecs.where(F.col("vec_id") % (n // 100) == 3).select("vec_id")
+    t0 = time.perf_counter()
+    hnsw.delete_from_index(index, del_ids, metric="l2_sq", params=params).count()
+    record("ann1m_delete_repair_100", time.perf_counter() - t0)
+
     # measured recall@10 of the routed path vs the exact scan (untimed)
     truth: dict[int, set[int]] = {}
     for r in l2_topk_numpy(vecs, queries, k=10).collect():
@@ -460,9 +487,11 @@ def main() -> None:
     if not FAST:
         bench_ann_1m(spark)
 
-    queries = {k: round(statistics.median(v), 3) for k, v in SAMPLES.items()}
+    queries = {k: round(statistics.median(v), 2) for k, v in SAMPLES.items()}
     spread = {
-        k: [min(v), max(v), len(v)] for k, v in SAMPLES.items() if len(v) > 1
+        k: [round(min(v), 3), round(max(v), 3), len(v)]
+        for k, v in SAMPLES.items()
+        if len(v) > 1
     }
     # the r01 headline intersection: queries benched identically in both
     # rounds, so the judge can compare round-over-round without the
@@ -486,22 +515,39 @@ def main() -> None:
         sum(v for k, v in queries.items() if k in r01_names), 3
     )
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "spread": spread,
-                "repeats": REPEATS,
-                "contrasts": CONTRASTS,
-                "recalls": RECALLS,
-                "r01_comparable_total": r01_comparable,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    record_full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "spread": spread,
+        "repeats": REPEATS,
+        "contrasts": CONTRASTS,
+        "recalls": RECALLS,
+        "r01_comparable_total": r01_comparable,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full record (with per-row spreads) goes to a repo file; the printed
+    # line must stay parseable by the round driver, which keeps only the
+    # LAST 2000 characters of output (BENCH_r04.json came back
+    # parsed=null because the r4 line with spreads outgrew that). Shed
+    # detail keys in order until the line fits.
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_FULL.json"),
+                  "w") as fh:
+            json.dump(record_full, fh, indent=1)
+    except OSError:
+        pass
+    compact = dict(record_full)
+    for drop in ("spread", "contrasts", "repeats"):
+        if len(json.dumps(compact)) <= 1900:
+            break
+        compact.pop(drop, None)
+    line = json.dumps(compact)
+    if len(line) > 1900:  # last resort: 1-decimal medians
+        compact["queries"] = {k: round(v, 1) for k, v in queries.items()}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

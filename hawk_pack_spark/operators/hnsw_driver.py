@@ -19,6 +19,16 @@ Semantics: batch beam search expands the whole frontier per iteration —
 a superset of the serial engine's one-candidate-at-a-time expansion, so
 recall is ≥ the serial kernel's at equal ef. Layers descend top→0 with
 greedy ef=1 above layer 0, exactly the reference's schedule.
+
+NOT A SERVING PATH. This module is (1) the executable rendering of the
+reference's coroutine protocol (the op-stream tests pin the op
+sequence) and (2) the last-resort fallback for a graph whose single
+shard exceeds one worker. Its cost is ~4 shuffle stages per hop × ~15
+hops per search — per-hop cost is batch-invariant (NOTES r4: 500
+queries cost 1.18× of 12), but the per-op floor makes it orders of
+magnitude slower than the kernel paths at serving scale. Nothing in
+the serving API (`ann_search` / `search_serving` / `search`) can reach
+it; callers must opt in by importing this module directly.
 """
 
 from __future__ import annotations

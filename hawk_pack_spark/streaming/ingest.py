@@ -36,6 +36,32 @@ class StreamingIndex:
     # definition, so the duplicate gate takes the serving shape
     # (broadcast batch, zero index movement) — see insert_batch
     serving_gate: bool = True
+    # optional durable store: after each micro-batch, the TOUCHED shards'
+    # graph rows are row-level-upserted into the reference's two-table
+    # Postgres layout (graph_pg.rs:111-115 ON CONFLICT semantics via
+    # upsert_graph_jdbc) — the stream's write amplification tracks the
+    # batch, not the index
+    jdbc_url: str | None = None
+    jdbc_driver: str | None = None
+
+    def _persist_delta(self, shards: list[int] | None) -> None:
+        if self.jdbc_url is None or self.index_df is None:
+            return
+        from pyspark.sql import functions as F
+
+        from hawk_pack_spark.sources.graph_io import upsert_graph_jdbc
+
+        delta = (
+            self.index_df
+            if shards is None
+            else self.index_df.where(F.col("shard").isin(shards))
+        )
+        upsert_graph_jdbc(
+            hnsw.to_links(delta),
+            hnsw.entry_points(delta),
+            url=self.jdbc_url,
+            driver=self.jdbc_driver,
+        )
 
     def ingest_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
         """foreachBatch sink: two-phase insert of one micro-batch."""
@@ -55,7 +81,9 @@ class StreamingIndex:
                 id_col=self.id_col,
                 vec_col=self.vec_col,
             ).localCheckpoint()
+            self._persist_delta(None)  # bootstrap: every shard is new
             return
+        touched: dict = {}
         self.index_df = hnsw.insert_batch(
             self.index_df,
             batch,
@@ -65,7 +93,9 @@ class StreamingIndex:
             vec_col=self.vec_col,
             match_threshold=self.match_threshold,
             serving_gate=self.serving_gate,
+            touched_out=touched,
         ).localCheckpoint()
+        self._persist_delta(touched.get("shards", []))
 
     def count(self) -> int:
         return 0 if self.index_df is None else self.index_df.count()

@@ -228,3 +228,65 @@ def test_streaming_near_dup_gate(spark):
         )
     )
     assert {r.doc_id for r in gate2.accepted_ids.collect()} == {5}
+
+
+def test_streaming_ingest_persists_delta_to_jdbc(spark):
+    """Stream → index → durable store: with a JDBC URL configured, every
+    micro-batch row-level-upserts the TOUCHED shards' graph rows
+    (reference ON CONFLICT semantics, graph_pg.rs:111-115) — after the
+    stream drains, the database holds exactly the final graph."""
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import hnsw
+    from hawk_pack_spark.sources.graph_io import import_graph_jdbc
+    from hawk_pack_spark.streaming.ingest import StreamingIndex, start_parquet_ingest
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    try:
+        spark._jvm.java.lang.Class.forName(driver)
+    except Exception:
+        pytest.skip("embedded Derby driver not on the classpath")
+
+    tmp = tempfile.mkdtemp(prefix="hps_stream_jdbc_")
+    url = f"jdbc:derby:{tmp}/derby_stream;create=true"
+    try:
+        spark.range(80).select(
+            F.col("id").alias("vec_id"), (F.col("id") * 7).alias("code")
+        ).coalesce(1).write.parquet(f"{tmp}/src/b1")
+        spark.range(40).select(
+            (F.col("id") + 1000).alias("vec_id"),
+            ((F.col("id") + 80) * 7).alias("code"),
+        ).coalesce(1).write.parquet(f"{tmp}/src/b2")
+
+        sink = StreamingIndex(
+            metric="hamming",
+            params=HawkParams.new(32, 16, 8),
+            match_threshold=0.0,
+            num_shards=3,
+            jdbc_url=url,
+            jdbc_driver=driver,
+        )
+        q = start_parquet_ingest(
+            spark, f"{tmp}/src/*", "vec_id long, code long", sink,
+            checkpoint_dir=f"{tmp}/ckpt",
+        )
+        q.awaitTermination(120)
+        assert sink.count() == 120
+
+        got = import_graph_jdbc(spark, url=url, driver=driver)
+        assert got is not None
+        links_db, entries_db = got
+        want_links = {
+            (r.layer, r.src): [(n.dist, n.dst) for n in r.nbrs]
+            for r in hnsw.to_links(sink.index_df).collect()
+        }
+        have_links = {
+            (r.layer, r.src): [(n.dist, n.dst) for n in r.nbrs]
+            for r in links_db.collect()
+        }
+        assert have_links == want_links
+        assert {tuple(r) for r in entries_db.collect()} == {
+            (r.shard, r.point, r.layer)
+            for r in hnsw.entry_points(sink.index_df).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
