@@ -257,6 +257,84 @@ def build_index(
     return prepped.groupBy("shard").applyInPandas(build_shard, INDEX_SCHEMA)
 
 
+def fragmented_shards(
+    index_df: DataFrame,
+    params: HawkParams = DEFAULT_PARAMS,
+    degree_band: tuple[float, float] = (0.5, 0.95),
+) -> list[int]:
+    """Shards whose mean layer-0 out-degree has left the fresh-build
+    band ``[lo, hi] × M_max0`` — the degree signature of heavy delete
+    churn, in either direction (measured, not assumed — see the rebuild
+    test): repair-less deletes (`delete_from_index(metric=None)`) only
+    prune edges, so the mean DECAYS below the band; bridge-repair
+    deletes densify survivors toward the M_max ceiling (every bridge
+    re-trim fills slots to the cap), so the mean SATURATES above it. A
+    fresh build settles around 0.8 × M_max0 on this kernel. Either
+    departure means the graph has diverged from build quality and the
+    shard belongs in `rebuild_shards`. Bounded collect: one row per
+    shard."""
+    lo, hi = degree_band
+    m_max0 = params.get_M_max(0)
+    deg = (
+        index_df.select(
+            "shard",
+            F.size(F.filter("e_layer", lambda layer: layer == 0)).alias("_d"),
+        )
+        .groupBy("shard")
+        .agg(F.avg("_d").alias("_mean"))
+        .where(
+            (F.col("_mean") < m_max0 * lo) | (F.col("_mean") > m_max0 * hi)
+        )
+    )
+    return sorted(r["shard"] for r in deg.collect())
+
+
+def rebuild_shards(
+    index_df: DataFrame,
+    shards: list[int],
+    metric: str = "l2_sq",
+    params: HawkParams = DEFAULT_PARAMS,
+    seed: int = 42,
+    neighbor_heuristic: bool = False,
+) -> DataFrame:
+    """Rebuild the named shards' graphs FROM THEIR PAYLOADS, leaving
+    every other shard untouched — the periodic maintenance step that
+    `delete_from_index`'s local bridge-repair defers (its docstring:
+    heavy churn still warrants a shard rebuild; same split as
+    FreshDiskANN's delete consolidation vs background rebuild).
+
+    Layer assignment is splitmix64(vec_id) (build determinism), so a
+    rebuilt shard is bit-identical to what `build_index` would produce
+    over the same member set: rebuild ≡ fresh build, per shard. Only
+    the named shards move through the kernel; the rest pass through
+    JVM-side, so maintenance cost tracks the CHURNED region, not the
+    index. Returns the updated index DataFrame."""
+    if not shards:
+        return index_df
+    todo = index_df.where(F.col("shard").isin(list(shards))).select(
+        "shard", "vec_id", "code", "vec"
+    )
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        data = _payload(pdf, metric)
+        layers = K.assign_layer(K.uniform_from_ids(ids, seed), params.m_L)
+        index = K.build_local(ids, data, metric, params, layers=layers,
+                              neighbor_heuristic=neighbor_heuristic)
+        return _emit_index(shard, ids, pdf, metric, layers, index)
+
+    rebuilt = (
+        todo.repartition(len(shards), "shard")
+        .groupBy("shard")
+        .applyInPandas(build_shard, INDEX_SCHEMA)
+    )
+    return index_df.where(~F.col("shard").isin(list(shards))).unionByName(
+        rebuilt
+    )
+
+
 def shard_centroids(index_df: DataFrame, metric: str = "l2_sq") -> DataFrame:
     """Per-shard centroid for query routing: element-wise mean of the
     float payloads, or the bit-majority code for hamming. num_shards

@@ -3354,9 +3354,76 @@ FROM embeddings WHERE vec_id < 60
 """
 
 
+def q_hnsw_rebuild_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn maintenance (r5): delete every 7th vector WITH bridge
+    repair, detect the churned shards via the degree band (bridge
+    re-trims saturate survivors toward M_max — measured signature, see
+    hnsw.fragmented_shards), then rebuild_shards must restore EXACTLY
+    the graph a fresh build over the survivor set produces (layer rule
+    is splitmix64(vec_id), so rebuild ≡ fresh build is bit-exact, not
+    just equivalent) with full self-recall. Counts table-derived."""
+    emb, index = _hnsw_index(spark, sf_dir)
+    dels = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    churned = hnsw.delete_from_index(
+        index, dels, metric="l2_sq", params=_HNSW_PARAMS
+    ).localCheckpoint()
+    frag = hnsw.fragmented_shards(churned, _HNSW_PARAMS)
+    rebuilt = hnsw.rebuild_shards(
+        churned, list(range(8)), metric="l2_sq", params=_HNSW_PARAMS
+    ).localCheckpoint()
+    survivors = emb.join(dels, "vec_id", "left_anti")
+    fresh = hnsw.build_index(
+        survivors, metric="l2_sq", params=_HNSW_PARAMS, num_shards=8
+    )
+    canon = lambda df: df.select(  # noqa: E731
+        "shard", "vec_id", "layer",
+        F.to_json(
+            F.struct(
+                F.col("e_layer").alias("l"), F.col("e_dst").alias("d"),
+                F.transform("e_dist", lambda x: F.round(x, 6)).alias("w"),
+            )
+        ).alias("adj"),
+    )
+    diff = canon(rebuilt).exceptAll(canon(fresh)).unionByName(
+        canon(fresh).exceptAll(canon(rebuilt))
+    )
+    q = survivors.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    self_found = hnsw.search(
+        rebuilt, q, k=1, metric="l2_sq", params=_HNSW_PARAMS
+    ).where((F.col("query_id") == F.col("vec_id")) & (F.col("dist") == 0))
+    return (
+        emb.agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+        .crossJoin(rebuilt.agg(F.count(F.lit(1)).cast("long").alias("n_survivors")))
+        .crossJoin(diff.agg(F.count(F.lit(1)).alias("_d")))
+        .crossJoin(self_found.agg(F.count(F.lit(1)).cast("long").alias("n_self_found")))
+        .select(
+            "n_before",
+            "n_survivors",
+            F.lit(len(frag) > 0).alias("churn_detected"),
+            (F.col("_d") == 0).alias("rebuild_matches_fresh"),
+            "n_self_found",
+        )
+    )
+
+
+HNSW_REBUILD_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       TRUE AS churn_detected,
+       TRUE AS rebuild_matches_fresh,
+       CAST(SUM(CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_self_found
+FROM embeddings
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
+    "hnsw_rebuild_churned": QuerySpec(q_hnsw_rebuild_churned, HNSW_REBUILD_SQL, "churn detect (degree band) + shard rebuild ≡ fresh build, full self-recall"),
     "bpe_vocab": QuerySpec(q_bpe_vocab, BPE_VOCAB_SQL, "BPE training: driver-loop ≡ distributed no-collect trainer + segmentation identity"),
     "op_stream_digest": QuerySpec(q_op_stream_digest, OP_STREAM_SQL, "coroutine op-stream protocol digest (GetEntryPoint → triads → SearchResult)"),
     "streaming_ingest_counts": QuerySpec(q_streaming_ingest_counts, STREAMING_INGEST_SQL, "Structured-Streaming micro-batch ingest through the is_match dedup gate"),
@@ -3500,6 +3567,10 @@ _PINNED_NAMES = [
         # top_supplier) — they keep earning rows via rotation.
         "events_json", "session_window_stats", "cube_order_stats",
         "q06_revenue_forecast", "top_supplier_per_nation",
+        # r5 debut: enters via the pool — never-recorded names rotate in
+        # first, so it earns its driver row this round without shrinking
+        # the rotating-slot count for everyone else.
+        "hnsw_rebuild_churned",
     }
 ]
 

@@ -730,3 +730,66 @@ def test_staged_vs_unioned_insert_equivalent(spark):
         res = hnsw.search(idx, q, k=1, metric="hamming", params=params).collect()
         assert len(res) == 40
         assert all(r.query_id == r.vec_id and r.dist == 0.0 for r in res)
+
+
+def test_rebuild_shards_restores_churned_graph(spark):
+    """Churn maintenance: bridge-repair deletes densify survivors to
+    the M_max ceiling (the measured churn signature — fresh builds sit
+    ~0.8 x M_max0), so fragmented_shards flags them via the degree
+    band; rebuild_shards must then (a) restore each named shard to
+    EXACTLY the graph a fresh build over its member set produces,
+    (b) leave every other shard byte-identical, and (c) recover full
+    self-recall."""
+    params = HawkParams.new(32, 16, 8)
+    codes = spark.range(400).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 11).alias("code")
+    )
+    index = hnsw.build_index(
+        codes, metric="hamming", params=params, num_shards=4, vec_col="code"
+    ).localCheckpoint()
+
+    # churn: three delete+repair waves over the same index
+    churned = index
+    for lo in (0, 1, 2):
+        dels = spark.range(lo, 400, 4).limit(60).select(
+            F.col("id").alias("vec_id")
+        )
+        churned = hnsw.delete_from_index(
+            churned, dels, metric="hamming", params=params
+        ).localCheckpoint()
+    n_left = churned.count()
+    assert n_left == 400 - 180
+
+    frag = hnsw.fragmented_shards(churned, params)
+    assert frag, "churn should have pushed some shard out of the degree band"
+    assert hnsw.fragmented_shards(index, params) == [], "fresh build must not flag"
+
+    rebuilt = hnsw.rebuild_shards(
+        churned, frag, metric="hamming", params=params
+    ).localCheckpoint()
+    assert rebuilt.count() == n_left
+
+    # (a) rebuilt shard == fresh build over the same survivors (the
+    # splitmix64 layer rule makes this exact, not just equivalent)
+    survivors = churned.select("vec_id", "code")
+    fresh = hnsw.build_index(
+        survivors, metric="hamming", params=params, num_shards=4,
+        vec_col="code",
+    )
+    def snap(df, shards):
+        return {
+            r.vec_id: (r.layer, tuple(r.e_layer), tuple(r.e_dst))
+            for r in df.where(F.col("shard").isin(shards)).collect()
+        }
+    assert snap(rebuilt, frag) == snap(fresh, frag)
+    # (b) untouched shards pass through byte-identical
+    other = [s for s in range(4) if s not in frag]
+    if other:
+        assert snap(rebuilt, other) == snap(churned, other)
+    # (c) the rebuilt index has full self-recall again
+    q = survivors.select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec")
+    )
+    res = hnsw.search(rebuilt, q, k=1, metric="hamming", params=params).collect()
+    assert len(res) == n_left
+    assert all(r.query_id == r.vec_id and r.dist == 0.0 for r in res)
