@@ -142,6 +142,23 @@ def bench_hnsw_reference_shape(spark) -> None:
                 metric="hamming",
             ).count(),
         )
+        # r5: the vectorized LinearDb (XOR+popcount LUT scan) — the exact
+        # hamming path ann_search dispatches small batches to
+        if n == sizes[-1]:
+            from hawk_pack_spark.operators.similarity import hamming_topk_numpy
+
+            t0 = time.perf_counter()
+            hamming_topk_numpy(
+                codes,
+                batch.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("code").alias("query_vec"),
+                ),
+                k=1,
+            ).count()
+            CONTRASTS[f"linear_numpy_100_in_{n}"] = round(
+                time.perf_counter() - t0, 3
+            )
 
     # float-vector scale shape: 20k synthetic 64-d vectors (the fixture
     # embeddings table is only 2k rows at sf0.1)

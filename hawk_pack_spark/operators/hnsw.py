@@ -643,8 +643,11 @@ def ann_search(
     (query_id, vec_id, dist, rank) with squared-L2 distances; the BLAS
     path is additionally exact, so dispatching can only raise recall.
 
-    The BLAS contrast only exists for ``l2_sq``; other metrics always
-    serve. ``force`` ∈ {"serving", "blas"} pins a path (tests/bench);
+    The exact-scan contrast exists for ``l2_sq`` (BLAS matmul) and
+    ``hamming`` (XOR+popcount LUT scan, `hamming_topk_numpy` — the
+    vectorized LinearDb of the reference's iris-code domain); other
+    metrics always serve. ``force`` ∈ {"serving", "blas"} pins a path
+    (tests/bench);
     ``decision_out`` (a dict) receives {path, n_queries,
     probed_fraction} for observability."""
     from hawk_pack_spark.operators.similarity import l2_topk_numpy
@@ -672,8 +675,8 @@ def ann_search(
 
     if force is not None:
         path = force
-    elif metric != "l2_sq":
-        path = "serving"  # no BLAS contrast for this metric
+    elif metric not in ("l2_sq", "hamming"):
+        path = "serving"  # no exact-scan contrast for this metric
     else:
         path = choose_ann_path(
             n_queries, probed_fraction, crossover_batch, selective_fraction
@@ -684,9 +687,16 @@ def ann_search(
         )
 
     if path == "blas":
+        side = vectors_df if vectors_df is not None else index_df
+        if metric == "hamming":
+            from hawk_pack_spark.operators.similarity import hamming_topk_numpy
+
+            return hamming_topk_numpy(
+                side, queries, k=k, vec_col="code",
+                query_id=query_id, query_col=query_col,
+            )
         return l2_topk_numpy(
-            vectors_df if vectors_df is not None else index_df,
-            queries, k=k, vec_col="vec",
+            side, queries, k=k, vec_col="vec",
             query_id=query_id, query_col=query_col,
         )
     return search_serving(

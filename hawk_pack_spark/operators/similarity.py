@@ -334,6 +334,73 @@ def l2_topk_numpy(
     return topk_rows(local, ["query_id"], "dist", k, ascending=True, tie_cols=["vec_id"])
 
 
+def hamming_topk_numpy(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_id: str = "vec_id",
+    vec_col: str = "code",
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+) -> DataFrame:
+    """Exact Hamming top-k over 64-bit codes — the vectorized LinearDb
+    scan for the reference's own domain (linear_db.rs: exact
+    eval_distance over every stored iris code). Queries broadcast;
+    each partition XORs its code block against all queries at once and
+    popcounts via the byte LUT (numpy<2 has no bitwise_count), emits a
+    local top-k, and a Window merges. Same plan shape as
+    `l2_topk_numpy`, so `ann_search` can dispatch hamming batches to
+    an exact scan below the serving crossover."""
+    import pandas as pd
+
+    from hawk_pack_spark.operators._hnsw_kernel import _POPCOUNT_LUT
+
+    q_rows = queries.select(query_id, query_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_codes = np.array([r[1] for r in q_rows], dtype=np.int64).view(np.uint64)
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_codes))
+
+    def part(it):
+        q_ids_, q_codes_ = bc.value
+        nq = len(q_ids_)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[vec_id].to_numpy(dtype=np.int64)
+            codes = pdf[vec_col].to_numpy(dtype=np.int64).view(np.uint64)
+            x = q_codes_[:, None] ^ codes[None, :]
+            d = (
+                _POPCOUNT_LUT[x.view(np.uint8).reshape(nq, -1, 8)]
+                .sum(axis=2)
+                .astype(np.float64)
+            )
+            kk = min(k, d.shape[1])
+            rows = []
+            for qi in range(nq):
+                row = d[qi]
+                # integer distances tie constantly: the local top-k must
+                # break boundary ties by vec_id or the Window merge sees
+                # the wrong candidates and exactness is lost
+                idx = np.argpartition(row, kk - 1)[:kk]
+                m = row[idx].max()
+                below = np.flatnonzero(row < m)
+                ties = np.flatnonzero(row == m)
+                need = kk - below.size
+                if ties.size > need:
+                    ties = ties[np.argsort(ids[ties], kind="stable")[:need]]
+                for vi in np.concatenate([below, ties]):
+                    rows.append((int(q_ids_[qi]), int(ids[vi]), float(d[qi, vi])))
+            yield pd.DataFrame(rows, columns=["query_id", "vec_id", "dist"])
+
+    local = vectors.select(vec_id, vec_col).mapInPandas(
+        part, "query_id long, vec_id long, dist double"
+    )
+    return topk_rows(
+        local, ["query_id"], "dist", k, ascending=True, tie_cols=["vec_id"]
+    )
+
+
 def cosine_topk_numpy(
     vectors: DataFrame,
     queries: DataFrame,

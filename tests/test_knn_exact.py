@@ -100,3 +100,74 @@ def test_knn_self_duplicate_ties(spark):
     # a duplicate's top-k is the other k duplicates at distance 0
     for qid in range(5):
         assert all(r.dist == 0.0 and r.vec_id < 5 for r in by_q[qid])
+
+
+def test_hamming_topk_numpy_matches_exact(spark):
+    """The XOR+popcount LUT scan must agree with the expression-based
+    exact kNN (bit_count(a XOR b)) on codes with adversarial bit
+    patterns: sign bit set, all-ones, zero."""
+    from pyspark.sql import functions as F
+
+    from hawk_pack_spark.operators.knn_exact import knn_exact
+    from hawk_pack_spark.operators.similarity import hamming_topk_numpy
+
+    codes = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") == 0, F.lit(0))
+        .when(F.col("id") == 1, F.lit(-1))  # all 64 bits set
+        .when(F.col("id") == 2, F.lit(-(2 ** 63)))  # sign bit only
+        .otherwise(F.xxhash64(F.col("id")))
+        .alias("code"),
+    )
+    queries = codes.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec")
+    )
+    got = hamming_topk_numpy(codes, queries, k=7)
+    want = knn_exact(codes, queries, k=7, metric="hamming", vec_col="code")
+    assert {(r.query_id, r.vec_id, r.dist) for r in got.collect()} == {
+        (r.query_id, r.vec_id, r.dist) for r in want.collect()
+    }
+
+
+def test_ann_search_dispatches_hamming(spark):
+    """The front door's exact-scan path now covers hamming: a small
+    full-fan batch takes the scan (and matches the expression oracle);
+    a large batch serves; both return the same schema."""
+    from pyspark.sql import functions as F
+
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import hnsw
+    from hawk_pack_spark.operators.knn_exact import knn_exact
+
+    params = HawkParams.new(32, 16, 8)
+    codes = spark.range(800).select(
+        F.col("id").alias("vec_id"), F.xxhash64(F.col("id")).alias("code")
+    )
+    index = hnsw.build_index(
+        codes, metric="hamming", params=params, num_shards=4, vec_col="code"
+    ).localCheckpoint()
+
+    q_small = codes.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec")
+    )
+    dec = {}
+    got = hnsw.ann_search(
+        index, q_small, k=5, metric="hamming", params=params,
+        decision_out=dec,
+    )
+    assert dec["path"] == "blas"
+    want = knn_exact(codes, q_small, k=5, metric="hamming", vec_col="code")
+    assert {(r.query_id, r.vec_id, r.dist) for r in got.collect()} == {
+        (r.query_id, r.vec_id, r.dist) for r in want.collect()
+    }
+
+    q_big = codes.where(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec")
+    )
+    dec = {}
+    out = hnsw.ann_search(
+        index, q_big, k=5, metric="hamming", params=params, decision_out=dec,
+    )
+    assert dec["path"] == "serving"
+    assert out.columns == ["query_id", "vec_id", "dist", "rank"]
+    assert out.count() == 300 * 5
