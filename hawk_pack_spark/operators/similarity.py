@@ -324,8 +324,17 @@ def l2_topk_numpy(
             top = np.argpartition(d, kk - 1, axis=1)[:, :kk]
             rows = []
             for qi in range(d.shape[0]):
-                for vi in top[qi]:
-                    rows.append((int(q_ids_[qi]), int(ids[vi]), float(d[qi, vi])))
+                # the expanded form selects candidates fast but rounds
+                # differently than sum((q-v)^2): identical vectors can
+                # come back ~1e-16 POSITIVE, which breaks exact dup
+                # gates (dist <= 0). Recompute the kk selected
+                # distances with the difference form — exact zeros for
+                # exact dups, and the same associativity as the SQL
+                # expression path, at O(k·dim) per query.
+                diff = q_mat_[qi][None, :] - mat[top[qi]]
+                exact = (diff * diff).sum(1)
+                for j, vi in enumerate(top[qi]):
+                    rows.append((int(q_ids_[qi]), int(ids[vi]), float(exact[j])))
             yield pd.DataFrame(rows, columns=["query_id", "vec_id", "dist"])
 
     local = vectors.select(vec_id, vec_col).mapInPandas(

@@ -3354,6 +3354,86 @@ FROM embeddings WHERE vec_id < 60
 """
 
 
+def q_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level JDBC upsert (graph_pg.rs:111-115 ON CONFLICT DO UPDATE;
+    standard-SQL MERGE on Derby, the in-container database) as one
+    invariant row: snapshot-upsert a fixture-derived graph into freshly
+    created PK'd tables, mutate it (delete+repair), upsert ONLY the
+    changed-row delta, re-import — changed rows must carry the NEW
+    queues, unchanged and deleted-vector rows must retain their prior
+    values (upsert never deletes), and entry rows update in place."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.sources.graph_io import (
+        ensure_graph_schema_jdbc,
+        import_graph_jdbc,
+        upsert_graph_jdbc,
+    )
+
+    emb = _embeddings_vectors(spark, sf_dir).where(F.col("vec_id") < 60)
+    codes = emb.select("vec_id", D.simhash_code(F.col("embedding")).alias("code"))
+    params = HawkParams.new(32, 16, 8)
+    index = hnsw.build_index(
+        codes, metric="hamming", params=params, num_shards=2, vec_col="code"
+    ).localCheckpoint()
+    links, entries = hnsw.to_links(index), hnsw.entry_points(index)
+
+    tmp = tempfile.mkdtemp(prefix="hps_q_upsert_")
+    try:
+        url = f"jdbc:derby:{tmp}/hawk_derby;create=true"
+        drv = "org.apache.derby.jdbc.EmbeddedDriver"
+        ensure_graph_schema_jdbc(spark, url=url, driver=drv)
+        ok1 = upsert_graph_jdbc(links, entries, url=url, driver=drv)
+
+        dels = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+        repaired = hnsw.delete_from_index(
+            index, dels, metric="hamming", params=params
+        ).localCheckpoint()
+        new_links = hnsw.to_links(repaired)
+        old_map = {(r.layer, r.src): [(n.dist, n.dst) for n in r.nbrs]
+                   for r in links.collect()}
+        new_map = {(r.layer, r.src): [(n.dist, n.dst) for n in r.nbrs]
+                   for r in new_links.collect()}
+        changed = [k for k in new_map if old_map.get(k) != new_map[k]]
+        delta = new_links.join(
+            spark.createDataFrame(changed or [(-1, -1)], "layer int, src long"),
+            ["layer", "src"], "left_semi",
+        )
+        ok2 = upsert_graph_jdbc(
+            delta, hnsw.entry_points(repaired), url=url, driver=drv
+        )
+        links_db, entries_db = import_graph_jdbc(spark, url=url, driver=drv)
+        got = {(r.layer, r.src): [(n.dist, n.dst) for n in r.nbrs]
+               for r in links_db.collect()}
+        updated_ok = all(got.get(k) == new_map[k] for k in changed)
+        retained_ok = all(
+            got.get(k) == old_map[k] for k in old_map if k not in set(changed)
+        )
+        keys_ok = set(got) == set(old_map)
+        entries_ok = {tuple(r) for r in entries_db.collect()} == {
+            (r.shard, r.point, r.layer)
+            for r in hnsw.entry_points(repaired).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return emb.agg(F.count(F.lit(1)).cast("long").alias("n_index")).select(
+        "n_index",
+        F.lit(bool(ok1) and bool(ok2)).alias("upserted"),
+        F.lit(len(changed) > 0 and updated_ok).alias("changed_rows_updated"),
+        F.lit(retained_ok and keys_ok).alias("untouched_rows_retained"),
+        F.lit(entries_ok).alias("entries_updated_in_place"),
+    )
+
+
+JDBC_UPSERT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_index, TRUE AS upserted,
+       TRUE AS changed_rows_updated, TRUE AS untouched_rows_retained,
+       TRUE AS entries_updated_in_place
+FROM embeddings WHERE vec_id < 60
+"""
+
+
 def q_hnsw_rebuild_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Churn maintenance (r5): delete every 7th vector WITH bridge
     repair, detect the churned shards via the degree band (bridge
@@ -3424,6 +3504,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
     "hnsw_rebuild_churned": QuerySpec(q_hnsw_rebuild_churned, HNSW_REBUILD_SQL, "churn detect (degree band) + shard rebuild ≡ fresh build, full self-recall"),
+    "jdbc_upsert": QuerySpec(q_jdbc_upsert, JDBC_UPSERT_SQL, "row-level JDBC upsert (ON CONFLICT/MERGE): delta updates in place, untouched rows retained"),
     "bpe_vocab": QuerySpec(q_bpe_vocab, BPE_VOCAB_SQL, "BPE training: driver-loop ≡ distributed no-collect trainer + segmentation identity"),
     "op_stream_digest": QuerySpec(q_op_stream_digest, OP_STREAM_SQL, "coroutine op-stream protocol digest (GetEntryPoint → triads → SearchResult)"),
     "streaming_ingest_counts": QuerySpec(q_streaming_ingest_counts, STREAMING_INGEST_SQL, "Structured-Streaming micro-batch ingest through the is_match dedup gate"),
@@ -3567,10 +3648,10 @@ _PINNED_NAMES = [
         # top_supplier) — they keep earning rows via rotation.
         "events_json", "session_window_stats", "cube_order_stats",
         "q06_revenue_forecast", "top_supplier_per_nation",
-        # r5 debut: enters via the pool — never-recorded names rotate in
-        # first, so it earns its driver row this round without shrinking
-        # the rotating-slot count for everyone else.
-        "hnsw_rebuild_churned",
+        # r5 debuts: enter via the pool — never-recorded names rotate in
+        # first, so they earn their driver rows this round without
+        # shrinking the rotating-slot count for everyone else.
+        "hnsw_rebuild_churned", "jdbc_upsert",
     }
 ]
 

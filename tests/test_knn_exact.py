@@ -171,3 +171,28 @@ def test_ann_search_dispatches_hamming(spark):
     assert dec["path"] == "serving"
     assert out.columns == ["query_id", "vec_id", "dist", "rank"]
     assert out.count() == 300 * 5
+
+
+def test_l2_topk_numpy_exact_zero_for_identical_vectors(spark):
+    """The BLAS scan's expanded form q²-2q·v+v² rounds identical vectors
+    to ~1e-16 POSITIVE, which broke exact dup gates (dist <= 0) — one of
+    101 staged dups slipped a 1M gate before the top-k re-computation
+    with the difference form. Self-queries must come back dist == 0.0
+    exactly, every time."""
+    from pyspark.sql import functions as F
+
+    from hawk_pack_spark.operators.similarity import l2_topk_numpy
+
+    vecs = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.sin(F.col("id") * i * 0.7 + i * i * 1.3),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    q = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = l2_topk_numpy(vecs, q, k=1).collect()
+    assert len(got) == 2000
+    assert all(r.query_id == r.vec_id and r.dist == 0.0 for r in got)
