@@ -104,6 +104,42 @@ METRICS = {
 }
 
 
+def register_metric(name, expr_fn, batch_fn=None):
+    """Plug a USER-SUPPLIED distance into the engine — the `VectorStore`
+    trait made concrete (src/traits.rs:34-52: the reference's only UDF
+    surface is a store implementing eval_distance/is_match/less_than;
+    everything else is the fixed engine).
+
+    - ``expr_fn(a: Column, b: Column) -> Column`` is ``eval_distance``
+      as a JVM-side expression: it powers `distance_expr` everywhere —
+      exact kNN, the insert dup gate, delete bridge scoring, centroid
+      placement. ``is_match`` (dist <= threshold) and ``less_than``
+      (native ``<``) come for free, exactly as in SURVEY §2.1.
+    - ``batch_fn(data: np.ndarray (n, dim) float64, q_idx: int,
+      cand: sequence[int]) -> list[float]`` is ``eval_distance_batch``
+      for the partition-local HNSW kernel's beam search; required to
+      `build_index`/`search` with the custom metric, optional if only
+      the expression surfaces are needed.
+
+    Custom metrics ride the FLOAT payload (``vec``); the 64-bit code
+    payload stays reserved for hamming. Centroid ROUTING
+    (`nprobe_shards`) stays unavailable for custom metrics — geometry
+    is metric-specific (`_route_dists` raises a clear error) — so
+    searches fan out to every shard, which is always correct. The two
+    halves must agree numerically: the contract tests compare the
+    kernel path against the expression path.
+
+    ``batch_fn`` ships to Python workers inside the kernel closures
+    (cloudpickle): define it in a module importable on the executors
+    (--py-files / the deployed package) or as a lambda/inner function,
+    which pickles by value."""
+    METRICS[name] = expr_fn
+    if batch_fn is not None:
+        from hawk_pack_spark.operators import _hnsw_kernel as K
+
+        K.CUSTOM_BATCH[name] = batch_fn
+
+
 def distance_expr(metric: str, a: Column | str, b: Column | str) -> Column:
     """``eval_distance`` as an expression: store-defined metric, real column.
 

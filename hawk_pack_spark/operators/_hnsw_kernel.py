@@ -23,6 +23,11 @@ from hawk_pack_spark.config import HawkParams
 
 _POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 
+# user-registered eval_distance_batch kernels (functions/distance.py::
+# register_metric — the VectorStore-trait plug-in point). Keyed by metric
+# name; signature (data (n, dim) float64, q_idx, cand) -> list[float].
+CUSTOM_BATCH: dict = {}
+
 
 def popcount64(arr: np.ndarray) -> np.ndarray:
     """Vectorized popcount for uint64 arrays (numpy<2 has no bitwise_count)."""
@@ -59,6 +64,8 @@ class Metric:
             return np.einsum("ij,ij->i", diff, diff).tolist()
         if self.name == "cosine":
             return (1.0 - self._unit[cand] @ self._unit[q_idx]).tolist()
+        if self.name in CUSTOM_BATCH:
+            return CUSTOM_BATCH[self.name](self.data, q_idx, list(cand))
         raise KeyError(f"unknown metric {self.name!r}")
 
 

@@ -243,8 +243,12 @@ def build_index(
     # bytes and would merge the CPU-heavy kernel groups into few tasks,
     # serializing the build; user-specified partition counts are exempt
     prepped = prepped.repartition(num_shards, "shard")
+    # user-registered metrics live in driver module state; the kernel
+    # runs in worker processes, so the registry rides the closure
+    _custom = dict(K.CUSTOM_BATCH)
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        K.CUSTOM_BATCH.update(_custom)
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         shard = int(pdf["shard"].iloc[0])
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -314,8 +318,10 @@ def rebuild_shards(
     todo = index_df.where(F.col("shard").isin(list(shards))).select(
         "shard", "vec_id", "code", "vec"
     )
+    _custom = dict(K.CUSTOM_BATCH)
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        K.CUSTOM_BATCH.update(_custom)
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         shard = int(pdf["shard"].iloc[0])
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -434,8 +440,10 @@ def search_serving(
         scan = index_df
 
     bc = spark.sparkContext.broadcast((q_ids, q_data, routed))
+    _custom = dict(K.CUSTOM_BATCH)
 
     def run(batches):
+        K.CUSTOM_BATCH.update(_custom)
         q_ids_, q_data_, routed_ = bc.value
         # Arrow batches can split a shard: accumulate the partition
         # (bounded — a partition holds whole shards) before grouping.
@@ -544,7 +552,10 @@ def search(
         )
         qrep = qn.crossJoin(F.broadcast(shards))  # replicate queries to every shard
 
+    _custom = dict(K.CUSTOM_BATCH)
+
     def search_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        K.CUSTOM_BATCH.update(_custom)
         if left.empty or right.empty:
             return pd.DataFrame(columns=["shard", "query_id", "vec_id", "dist"])
         left = left.sort_values("vec_id").reset_index(drop=True)
@@ -820,7 +831,10 @@ def insert_batch(
             "shard", F.pmod(F.xxhash64("vec_id"), F.lit(num_shards)).cast("int")
         )
 
+    _custom = dict(K.CUSTOM_BATCH)
+
     def insert_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        K.CUSTOM_BATCH.update(_custom)
         if left.empty and right.empty:
             return pd.DataFrame(
                 columns=[f.split()[0] for f in INDEX_SCHEMA.split(", ")]
