@@ -64,6 +64,10 @@ class Metric:
             return np.einsum("ij,ij->i", diff, diff).tolist()
         if self.name == "cosine":
             return (1.0 - self._unit[cand] @ self._unit[q_idx]).tolist()
+        if self.name == "dot":
+            # distance = negative inner product (functions/distance.py
+            # METRICS["dot"]) so less_than stays the native <
+            return (-(self.data[cand] @ self.data[q_idx])).tolist()
         if self.name in CUSTOM_BATCH:
             return CUSTOM_BATCH[self.name](self.data, q_idx, list(cand))
         raise KeyError(f"unknown metric {self.name!r}")

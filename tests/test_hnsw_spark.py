@@ -793,3 +793,22 @@ def test_rebuild_shards_restores_churned_graph(spark):
     res = hnsw.search(rebuilt, q, k=1, metric="hamming", params=params).collect()
     assert len(res) == n_left
     assert all(r.query_id == r.vec_id and r.dist == 0.0 for r in res)
+
+
+def test_dot_metric_index_end_to_end(spark, sf_dir):
+    """metric='dot' (max inner product; distance = -dot so less_than is
+    the native <) now has a kernel batch path, not just the exact
+    expression: build + search must agree with the exact kNN."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint()
+    params = HawkParams.new(64, 48, 16)
+    index = hnsw.build_index(emb, metric="dot", params=params, num_shards=4)
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = hnsw.search(index, queries, k=10, metric="dot", params=params)
+    exact = knn_exact(emb, queries, k=10, metric="dot")
+    a = {(r.query_id, r.vec_id) for r in ann.collect()}
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.9, f"dot recall {len(a & e) / len(e)}"
