@@ -1064,7 +1064,20 @@ def delete_from_index(index_df: DataFrame, delete_ids: DataFrame,
 def to_links(index_df: DataFrame) -> DataFrame:
     """Normalized links table (layer, src, nbrs ARRAY<STRUCT<dist,dst>>),
     the schema mirroring the reference's one-row-per-(vector, layer)
-    Postgres layout (migrations/..init.up.sql)."""
+    Postgres layout (migrations/..init.up.sql).
+
+    A row exists for EVERY layer a node occupies (0..node.layer), with
+    an EMPTY queue when the node has no edges there — the reference's
+    set_links writes empty queues too (insert calls it per layer), and
+    dropping them loses information: an entry point alone on the top
+    layer would round-trip with a lower layer through
+    `from_links`/GraphPg import (caught by the graph_bulk_import
+    oracle's snapshot check)."""
+    occupancy = index_df.select(
+        "shard",
+        F.col("vec_id").alias("src"),
+        F.explode(F.sequence(F.lit(0), F.col("layer"))).alias("layer"),
+    )
     edges = (
         index_df.select(
             "shard",
@@ -1080,8 +1093,15 @@ def to_links(index_df: DataFrame) -> DataFrame:
         )
     )
     nbr = F.struct(F.col("dist"), F.col("dst"))
-    return edges.groupBy("shard", "layer", "src").agg(
+    filled = edges.groupBy("shard", "layer", "src").agg(
         F.array_sort(F.collect_list(nbr)).alias("nbrs")
+    )
+    empty = F.array().cast("array<struct<dist: double, dst: bigint>>")
+    return (
+        occupancy.join(filled, ["shard", "layer", "src"], "left")
+        .select(
+            "shard", "layer", "src", F.coalesce("nbrs", empty).alias("nbrs")
+        )
     )
 
 
@@ -1094,17 +1114,24 @@ def from_links(
 ) -> DataFrame:
     """Bulk index import from a normalized links table + vector payloads —
     the ``GraphMem::from_precomputed`` port (graph_mem.rs:25-37): construct
-    the operational index from externally built layers."""
+    the operational index from externally built layers.
+
+    A node's layer comes from its link ROWS (one per occupied layer,
+    empty queues included — see `to_links`), not from its edges: an
+    entry point alone on the top layer has an empty queue there, and
+    deriving the layer from max(edge.layer) would demote it."""
     edges = links.select(
         "shard", "layer", "src", F.explode("nbrs").alias("nbr")
     ).select(
         "shard", "layer", "src",
         F.col("nbr.dst").alias("dst"), F.col("nbr.dist").alias("dist"),
     )
+    node_layers = links.groupBy("shard", F.col("src").alias("vec_id")).agg(
+        F.max("layer").cast("int").alias("layer")
+    )
     per_node = (
         edges.groupBy("shard", F.col("src").alias("vec_id"))
         .agg(
-            F.max("layer").cast("int").alias("layer"),
             F.collect_list(
                 F.struct(F.col("layer").alias("l"), F.col("dist").alias("d"),
                          F.col("dst").alias("t"))
@@ -1112,14 +1139,23 @@ def from_links(
         )
         .withColumn("es", F.array_sort("es"))
         .select(
-            "shard", "vec_id", "layer",
+            "shard", "vec_id",
             F.transform("es", lambda e: e["l"]).cast("array<int>").alias("e_layer"),
             F.transform("es", lambda e: e["t"]).alias("e_dst"),
             F.transform("es", lambda e: e["d"]).alias("e_dist"),
         )
     )
+    empty_i = F.array().cast("array<int>")
+    empty_l = F.array().cast("array<bigint>")
+    empty_d = F.array().cast("array<double>")
+    assembled = node_layers.join(per_node, ["shard", "vec_id"], "left").select(
+        "shard", "vec_id", "layer",
+        F.coalesce("e_layer", empty_i).alias("e_layer"),
+        F.coalesce("e_dst", empty_l).alias("e_dst"),
+        F.coalesce("e_dist", empty_d).alias("e_dist"),
+    )
     payload = _normalize_vectors(vectors, id_col, vec_col, metric)
-    return per_node.join(payload, "vec_id").select(
+    return assembled.join(payload, "vec_id").select(
         "shard", "vec_id", "layer", "code", "vec", "e_layer", "e_dst", "e_dist"
     )
 

@@ -28,7 +28,14 @@ def rekey_links(
     """Remap (layer, src, nbrs[dist,dst]) through an id bijection.
 
     ``dist_scale`` mirrors the distance-map hook of from_another (the
-    metric itself must not change, only its representation)."""
+    metric itself must not change, only its representation).
+
+    Empty queues are rows too (a node's occupied-but-edgeless layers —
+    see `hnsw.to_links`): from_another maps every queue including
+    empties, so they remap src-only and rejoin rather than vanishing
+    through the explode."""
+    empties = links.where(F.size("nbrs") == 0)
+    links = links.where(F.size("nbrs") > 0)
     exploded = links.select(
         "shard", "layer", "src", F.explode("nbrs").alias("nbr")
     ).select(
@@ -52,7 +59,11 @@ def rekey_links(
             "dist",
         )
     )
-    return collect_sorted_neighbors(remapped, ["shard", "layer", "src"])
+    out = collect_sorted_neighbors(remapped, ["shard", "layer", "src"])
+    re_empty = empties.join(m_src, "src").select(
+        "shard", "layer", F.col("new_src").alias("src"), "nbrs"
+    )
+    return out.unionByName(re_empty)
 
 
 def rekey_entry(

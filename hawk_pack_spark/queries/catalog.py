@@ -3434,6 +3434,107 @@ FROM embeddings WHERE vec_id < 60
 """
 
 
+def q_graph_bulk_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphMem::from_precomputed (graph_mem.rs:25-37 — construct the
+    operational index from externally built layers) as one invariant
+    row: export the links view, bulk-import it with `from_links`, and
+    require (a) row-for-row snapshot equality with the original index
+    (layers, adjacency arrays, payloads) and (b) identical search
+    results through both. Counts table-derived."""
+    emb = _embeddings_vectors(spark, sf_dir).where(F.col("vec_id") < 120)
+    codes = emb.select("vec_id", D.simhash_code(F.col("embedding")).alias("code"))
+    params = HawkParams.new(32, 16, 8)
+    index = hnsw.build_index(
+        codes, metric="hamming", params=params, num_shards=2, vec_col="code"
+    ).localCheckpoint()
+    links = hnsw.to_links(index)
+    imported = hnsw.from_links(links, codes, metric="hamming", vec_col="code")
+    # adjacency is a SET per node: the kernel emits insertion order,
+    # from_links emits (layer, dist, dst)-sorted — canonicalize by
+    # sorting the zipped triples before comparing
+    canon = lambda df: df.select(  # noqa: E731
+        "shard", "vec_id", "layer",
+        F.to_json(
+            F.array_sort(
+                F.transform(
+                    F.arrays_zip("e_layer", "e_dst", "e_dist"),
+                    lambda e: F.struct(
+                        e["e_layer"].alias("l"),
+                        F.round(e["e_dist"], 6).alias("w"),
+                        e["e_dst"].alias("t"),
+                    ),
+                )
+            )
+        ).alias("adj"),
+    )
+    diff = canon(index).exceptAll(canon(imported)).unionByName(
+        canon(imported).exceptAll(canon(index))
+    )
+    q = codes.select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec")
+    )
+    a = hnsw.search(index, q, k=3, metric="hamming", params=params)
+    b = hnsw.search(imported, q, k=3, metric="hamming", params=params)
+    sd = a.exceptAll(b).unionByName(b.exceptAll(a))
+    return (
+        emb.agg(F.count(F.lit(1)).cast("long").alias("n_index"))
+        .crossJoin(diff.agg(F.count(F.lit(1)).alias("_g")))
+        .crossJoin(sd.agg(F.count(F.lit(1)).alias("_s")))
+        .select(
+            "n_index",
+            (F.col("_g") == 0).alias("import_snapshot_exact"),
+            (F.col("_s") == 0).alias("search_results_identical"),
+        )
+    )
+
+
+GRAPH_BULK_IMPORT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_index,
+       TRUE AS import_snapshot_exact, TRUE AS search_results_identical
+FROM embeddings WHERE vec_id < 120
+"""
+
+
+def q_nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization with a DATA-LEVEL oracle (DuckDB ships
+    nfc_normalize): plant a decomposed suffix (e + COMBINING ACUTE,
+    U+0301) on every document, normalize, and hash-compare the full
+    normalized text — composed vs decomposed codepoints are exactly the
+    byte-identity hazard that breaks exact dedup across sources
+    (functions/curation.py::nfc_normalize). char length drops by one
+    per row as the combining pair composes."""
+    from hawk_pack_spark.functions.curation import nfc_normalize
+
+    docs = load_table(spark, "documents", sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" Cafe\u0301")).alias("text"),
+    )
+    normed = nfc_normalize(planted, "text")
+    return (
+        planted.select("doc_id", F.length("text").alias("len_before"))
+        .join(
+            normed.select(
+                "doc_id", F.col("text").alias("norm_text"),
+                F.length("text").alias("len_after"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "norm_text", "len_before", "len_after")
+        .orderBy("doc_id")
+    )
+
+
+NFC_NORMALIZE_SQL = """
+SELECT doc_id,
+       nfc_normalize(text || ' Cafe' || chr(769)) AS norm_text,
+       length(text || ' Cafe' || chr(769)) AS len_before,
+       length(nfc_normalize(text || ' Cafe' || chr(769))) AS len_after
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_hnsw_rebuild_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Churn maintenance (r5): delete every 7th vector WITH bridge
     repair, detect the churned shards via the degree band (bridge
@@ -3505,6 +3606,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     # pytest-only through r4 earn their driver rows this round.
     "hnsw_rebuild_churned": QuerySpec(q_hnsw_rebuild_churned, HNSW_REBUILD_SQL, "churn detect (degree band) + shard rebuild ≡ fresh build, full self-recall"),
     "jdbc_upsert": QuerySpec(q_jdbc_upsert, JDBC_UPSERT_SQL, "row-level JDBC upsert (ON CONFLICT/MERGE): delta updates in place, untouched rows retained"),
+    "graph_bulk_import": QuerySpec(q_graph_bulk_import, GRAPH_BULK_IMPORT_SQL, "GraphMem::from_precomputed: bulk links import, snapshot + search identity"),
+    "nfc_normalize_docs": QuerySpec(q_nfc_normalize_docs, NFC_NORMALIZE_SQL, "Unicode NFC normalization, data-level parity vs DuckDB nfc_normalize"),
     "bpe_vocab": QuerySpec(q_bpe_vocab, BPE_VOCAB_SQL, "BPE training: driver-loop ≡ distributed no-collect trainer + segmentation identity"),
     "op_stream_digest": QuerySpec(q_op_stream_digest, OP_STREAM_SQL, "coroutine op-stream protocol digest (GetEntryPoint → triads → SearchResult)"),
     "streaming_ingest_counts": QuerySpec(q_streaming_ingest_counts, STREAMING_INGEST_SQL, "Structured-Streaming micro-batch ingest through the is_match dedup gate"),
@@ -3651,7 +3754,8 @@ _PINNED_NAMES = [
         # r5 debuts: enter via the pool — never-recorded names rotate in
         # first, so they earn their driver rows this round without
         # shrinking the rotating-slot count for everyone else.
-        "hnsw_rebuild_churned", "jdbc_upsert",
+        "hnsw_rebuild_churned", "jdbc_upsert", "graph_bulk_import",
+        "nfc_normalize_docs",
     }
 ]
 
