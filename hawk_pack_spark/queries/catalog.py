@@ -3535,6 +3535,76 @@ ORDER BY doc_id
 """
 
 
+def q_alg4_clustered_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algorithm 4 neighbor selection on clustered data (the NOTES r4
+    multimodal lesson + the r5 1M ladder): plant 5 tight perturbed
+    copies of each base embedding (pairwise-near clusters, the shape
+    where the reference's plain M-nearest trim lets clusters capture
+    every edge slot and strand the graph), build with
+    ``neighbor_heuristic=True`` through the real Spark path, and
+    require degree bounds AND complete self-recall — every vector finds
+    itself at rank 1 / dist 0, i.e. no unreachable islands. Counts
+    table-derived (5 copies per base vector)."""
+    emb = _embeddings_vectors(spark, sf_dir).where(F.col("vec_id") < 150)
+    copies = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("_c"),
+        "embedding",
+    ).select(
+        (F.col("vec_id") * 8 + F.col("_c")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            # direction-varied perturbation: an equal shift on every dim
+            # is a degenerate (collinear) cluster direction
+            lambda x, i: x
+            + F.sin(i.cast("double") * 1.7 + F.col("_c")) * F.lit(1e-4),
+        ).alias("embedding"),
+    )
+    params = HawkParams.new(32, 8, 8)  # small M: the capture-prone regime
+    index = hnsw.build_index(
+        copies, metric="l2_sq", params=params, num_shards=2,
+        neighbor_heuristic=True,
+    ).localCheckpoint()
+    m_max0, m_max = params.get_M_max(0), params.get_M_max(1)
+    deg = (
+        index.select(
+            "vec_id", F.explode(F.arrays_zip("e_layer", "e_dst")).alias("e")
+        )
+        .groupBy("vec_id", F.col("e.e_layer").alias("layer"))
+        .count()
+        .where(
+            F.col("count")
+            > F.when(F.col("layer") == 0, F.lit(m_max0)).otherwise(F.lit(m_max))
+        )
+    )
+    q = copies.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    found = hnsw.search(
+        index, q, k=1, metric="l2_sq", params=params, ef_search=48
+    ).where((F.col("query_id") == F.col("vec_id")) & (F.col("dist") == 0))
+    return (
+        emb.agg((F.count(F.lit(1)) * 5).cast("long").alias("n_vectors"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("_over")))
+        .crossJoin(found.agg(F.count(F.lit(1)).cast("long").alias("n_self_found")))
+        .select(
+            "n_vectors",
+            (F.col("_over") == 0).alias("degree_bounds_ok"),
+            "n_self_found",
+            (F.col("n_self_found") == F.col("n_vectors")).alias("no_islands"),
+        )
+    )
+
+
+ALG4_CLUSTERED_SQL = """
+SELECT CAST(COUNT(*) * 5 AS BIGINT) AS n_vectors,
+       TRUE AS degree_bounds_ok,
+       CAST(COUNT(*) * 5 AS BIGINT) AS n_self_found,
+       TRUE AS no_islands
+FROM embeddings WHERE vec_id < 150
+"""
+
+
 def q_hnsw_rebuild_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Churn maintenance (r5): delete every 7th vector WITH bridge
     repair, detect the churned shards via the degree band (bridge
@@ -3608,6 +3678,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "jdbc_upsert": QuerySpec(q_jdbc_upsert, JDBC_UPSERT_SQL, "row-level JDBC upsert (ON CONFLICT/MERGE): delta updates in place, untouched rows retained"),
     "graph_bulk_import": QuerySpec(q_graph_bulk_import, GRAPH_BULK_IMPORT_SQL, "GraphMem::from_precomputed: bulk links import, snapshot + search identity"),
     "nfc_normalize_docs": QuerySpec(q_nfc_normalize_docs, NFC_NORMALIZE_SQL, "Unicode NFC normalization, data-level parity vs DuckDB nfc_normalize"),
+    "alg4_clustered_connectivity": QuerySpec(q_alg4_clustered_connectivity, ALG4_CLUSTERED_SQL, "Algorithm 4 on clustered near-dups: degree bounds + zero unreachable islands"),
     "bpe_vocab": QuerySpec(q_bpe_vocab, BPE_VOCAB_SQL, "BPE training: driver-loop ≡ distributed no-collect trainer + segmentation identity"),
     "op_stream_digest": QuerySpec(q_op_stream_digest, OP_STREAM_SQL, "coroutine op-stream protocol digest (GetEntryPoint → triads → SearchResult)"),
     "streaming_ingest_counts": QuerySpec(q_streaming_ingest_counts, STREAMING_INGEST_SQL, "Structured-Streaming micro-batch ingest through the is_match dedup gate"),
@@ -3755,7 +3826,7 @@ _PINNED_NAMES = [
         # first, so they earn their driver rows this round without
         # shrinking the rotating-slot count for everyone else.
         "hnsw_rebuild_churned", "jdbc_upsert", "graph_bulk_import",
-        "nfc_normalize_docs",
+        "nfc_normalize_docs", "alg4_clustered_connectivity",
     }
 ]
 
