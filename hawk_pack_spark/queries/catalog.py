@@ -3671,6 +3671,85 @@ FROM embeddings
 """
 
 
+def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch layer collapsed to one checkable row (functions/sketches.py
+    — the sub-linear aggregates a 100 TB deployment runs instead of exact
+    shuffles). Estimates themselves are engine-specific, so the row emits
+    exact table-derived counts plus error-bound booleans the oracle can
+    assert: HLL++ and the mergeable Datasketches pre-sketch→union path
+    within rsd bounds of the exact distinct count, merged-KLL median
+    within ±2% rank error, and the frequent-items top-k exactly equal to
+    the true frequency table (key cardinality ≪ max_tracked ⇒ the sketch
+    guarantees exactness). A bound violation flips a boolean and fails
+    the hash — same gate design as the ANN invariant rows."""
+    from hawk_pack_spark.functions import sketches as S
+
+    ev = load_table(spark, "events", sf_dir)
+    exact_users = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct_users")
+    )
+    hll = ev.agg(S.hll_count(F.col("user_id"), rsd=0.02).alias("_hll"))
+    per_day = S.hll_presketch(
+        ev.withColumn("day", F.to_date("ts")), "user_id", ["day", "event_type"]
+    )
+    merged = S.hll_merge_count(per_day).withColumnRenamed(
+        "distinct_estimate", "_merged"
+    )
+    med = S.kll_merge_quantile(S.kll_presketch(
+        ev.withColumn("day", F.to_date("ts")), "value", ["day"]
+    ), 0.5).withColumnRenamed("quantile", "_med")
+    # rank of the sketch median in the true value distribution
+    rank = (
+        ev.crossJoin(F.broadcast(med))
+        .agg(
+            (F.sum((F.col("value") <= F.col("_med")).cast("long"))
+             / F.count(F.lit(1))).alias("_rank")
+        )
+    )
+    hh = S.heavy_hitters(ev, "event_type", k=8)
+    exact_freq = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    hh_diff = (
+        hh.join(exact_freq, "event_type", "full_outer")
+        .where(
+            F.col("est_count").isNull()
+            | F.col("exact_count").isNull()
+            | (F.col("est_count") != F.col("exact_count"))
+        )
+    )
+    bound = F.greatest(F.lit(3.0), F.lit(0.06) * F.col("exact_distinct_users"))
+    return (
+        ev.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .crossJoin(exact_users)
+        .crossJoin(hll)
+        .crossJoin(merged)
+        .crossJoin(rank)
+        .crossJoin(hh_diff.agg(F.count(F.lit(1)).alias("_hhbad")))
+        .select(
+            "n_events",
+            "exact_distinct_users",
+            (F.abs(F.col("_hll") - F.col("exact_distinct_users")) <= bound
+             ).alias("hll_within_bound"),
+            (F.abs(F.col("_merged") - F.col("exact_distinct_users")) <= bound
+             ).alias("presketch_merge_within_bound"),
+            (F.abs(F.col("_rank") - 0.5) <= 0.02).alias("kll_median_rank_ok"),
+            (F.col("_hhbad") == 0).alias("heavy_hitters_exact"),
+        )
+    )
+
+
+SKETCH_SUMMARY_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+       TRUE AS hll_within_bound,
+       TRUE AS presketch_merge_within_bound,
+       TRUE AS kll_median_rank_ok,
+       TRUE AS heavy_hitters_exact
+FROM events
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -3684,6 +3763,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "streaming_ingest_counts": QuerySpec(q_streaming_ingest_counts, STREAMING_INGEST_SQL, "Structured-Streaming micro-batch ingest through the is_match dedup gate"),
     "jdbc_roundtrip": QuerySpec(q_jdbc_roundtrip, JDBC_ROUNDTRIP_SQL, "GraphPg two-table layout over live JDBC (Derby): exact links+entries roundtrip"),
     "bm25_topk": QuerySpec(q_bm25_topk, BM25_SQL, "BM25 retrieval (postings + broadcast query join)"),
+    "sketch_summary": QuerySpec(q_sketch_summary, SKETCH_SUMMARY_SQL, "mergeable sketches (HLL presketch-union, KLL merged median, frequent-items) within published error bounds"),
     # -- round-2 front block: entries that were unchecked (or whose
     # implementation changed) go FIRST so the driver's 50-entry
     # correctness window records them; every entry is oracle-backed.
@@ -3827,6 +3907,8 @@ _PINNED_NAMES = [
         # shrinking the rotating-slot count for everyone else.
         "hnsw_rebuild_churned", "jdbc_upsert", "graph_bulk_import",
         "nfc_normalize_docs", "alg4_clustered_connectivity",
+        # late-r5 debut: rotates in via never-recorded-first ordering.
+        "sketch_summary",
     }
 ]
 
