@@ -382,3 +382,119 @@ def import_graph_jdbc(
         return r.load()
 
     return from_pg_rows(read(links_table), read(entry_table))
+
+
+# ---------------------------------------------------------------------------
+# Serving manifest: the restartable deployment unit.
+#
+# `save_index` persists only the graph rows; a serving process restarted
+# from it must recompute routing centroids with an O(n) scan and must be
+# told the build params out-of-band. The manifest closes both gaps — one
+# directory carries everything `search_serving`/`ann_search` needs:
+#
+#   <path>/graph/      shard-partitioned parquet (partition pruning on
+#                      `shard IN (probed…)` — per-query I/O tracks nprobe)
+#   <path>/centroids/  num_shards rows of build-time routing metadata
+#   <path>/meta/       1 row: metric + HawkParams as JSON
+#
+# Reference analog: GraphPg persists the graph but HawkerParams travel in
+# code (hawk_searcher.rs:34-76); at cluster scale the params ARE state —
+# a mismatched ef/M schedule silently degrades recall, so they ship with
+# the index.
+
+
+class ServingIndex:
+    """What `load_serving_index` returns — the bundle a serving process
+    holds: the (optionally materialized) index DataFrame, collected
+    centroid rows, and the build-time params/metric."""
+
+    __slots__ = ("index", "centroids", "params", "metric", "num_shards")
+
+    def __init__(self, index, centroids, params, metric, num_shards):
+        self.index = index
+        self.centroids = centroids
+        self.params = params
+        self.metric = metric
+        self.num_shards = num_shards
+
+
+def save_serving_index(
+    index_df: DataFrame,
+    path: str,
+    centroids: list | None = None,
+    params=None,
+    metric: str = "l2_sq",
+) -> None:
+    """Persist graph + routing centroids + params as one serving unit.
+
+    `centroids` defaults to one `shard_centroids` scan — at save time the
+    index is in memory and the scan is amortized over every future
+    restart (a reload never pays it again)."""
+    import dataclasses
+    import json
+
+    from hawk_pack_spark.operators.hnsw import shard_centroids
+
+    spark = index_df.sparkSession
+    save_index(index_df, os.path.join(path, "graph"))
+    payload = "c_code" if metric == "hamming" else "c_vec"
+    if centroids is None:
+        cent_df = shard_centroids(index_df, metric)
+    else:
+        schema = (
+            "shard int, c_code long" if metric == "hamming"
+            else "shard int, c_vec array<double>"
+        )
+        cent_df = spark.createDataFrame(
+            [(int(r[0]), r[1]) for r in centroids], schema
+        )
+    cent_df.select("shard", payload).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "centroids"))
+    meta = {
+        "metric": metric,
+        "params": dataclasses.asdict(params) if params is not None else None,
+    }
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def load_serving_index(
+    spark: SparkSession, path: str, materialize: bool = False
+) -> ServingIndex:
+    """Reload a serving unit saved by `save_serving_index`.
+
+    materialize=False (default) keeps the index lazy on disk — the
+    serving path's `shard IN (probed…)` filter reaches the scan as a
+    PartitionFilter, so per-query I/O tracks nprobe, not index size.
+    materialize=True repartitions whole-shards-per-partition and pins the
+    index in cluster memory (localCheckpoint) — the long-lived serving
+    process shape, paying one load-time shuffle for zero per-query I/O."""
+    import json
+
+    from hawk_pack_spark.config import HawkParams
+
+    index = load_index(spark, os.path.join(path, "graph"))
+    cent_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("shard")
+        .collect()
+    )
+    meta = json.loads(
+        spark.read.parquet(os.path.join(path, "meta")).collect()[0][0]
+    )
+    pd_ = meta.get("params")
+    params = None
+    if pd_ is not None:
+        params = HawkParams(
+            **{
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in pd_.items()
+            }
+        )
+    num_shards = len(cent_rows)
+    if materialize:
+        index = index.repartition(max(num_shards, 1), "shard").localCheckpoint()
+        index.count()
+    return ServingIndex(index, cent_rows, params, meta["metric"], num_shards)

@@ -297,3 +297,128 @@ def test_jdbc_upsert_live_postgres(spark):
     if not url or not url.startswith("jdbc:postgresql"):
         pytest.skip("HAWK_PACK_JDBC_URL not set to a Postgres URL")
     _assert_upsert_semantics(spark, url, driver=None)
+
+
+def test_serving_manifest_roundtrip(spark, tmp_path):
+    """save_serving_index/load_serving_index: one directory restarts a
+    serving process — graph, routing centroids, and params all reload;
+    search results through the reloaded bundle (lazy AND materialized)
+    equal the in-memory serving search exactly, with no O(n) centroid
+    rescan at load."""
+    import pyspark.sql.functions as F
+
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import hnsw
+    from hawk_pack_spark.sources.graph_io import (
+        load_serving_index,
+        save_serving_index,
+    )
+
+    params = HawkParams.new(32, 16, 8)
+    vecs = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.sin(F.col("id") * i * 0.61 + i),
+        ).alias("embedding"),
+    )
+    index = hnsw.build_index(
+        vecs, metric="l2_sq", params=params, num_shards=6
+    ).localCheckpoint()
+    cents = hnsw.shard_centroids(index, "l2_sq").collect()
+
+    path = str(tmp_path / "serving")
+    save_serving_index(index, path, centroids=cents, params=params)
+    bundle = load_serving_index(spark, path)
+
+    assert bundle.metric == "l2_sq"
+    assert bundle.params == params  # tuples survive the JSON roundtrip
+    assert bundle.num_shards == 6
+    got = {int(r[0]): r[1] for r in bundle.centroids}
+    want = {int(r[0]): r[1] for r in cents}
+    assert got.keys() == want.keys()
+    for s in want:
+        assert got[s] == pytest.approx(want[s])
+
+    queries = spark.range(0, 600, 37).select(
+        F.col("id").alias("query_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.sin(F.col("id") * i * 0.61 + i),
+        ).alias("query_vec"),
+    )
+
+    def rows(ix, cl, pr):
+        return sorted(
+            (r.query_id, r.rank, r.vec_id, round(r.dist, 9))
+            for r in hnsw.search_serving(
+                ix, queries, k=3, metric="l2_sq", params=pr,
+                nprobe_shards=3, centroids=cl,
+            ).collect()
+        )
+
+    want_rows = rows(index, cents, params)
+    assert rows(bundle.index, bundle.centroids, bundle.params) == want_rows
+
+    mat = load_serving_index(spark, path, materialize=True)
+    assert rows(mat.index, mat.centroids, mat.params) == want_rows
+
+    # the default-centroid save path (one scan at save time) reloads the
+    # same routing metadata
+    path2 = str(tmp_path / "serving2")
+    save_serving_index(index, path2, params=params)
+    b2 = load_serving_index(spark, path2)
+    got2 = {int(r[0]): r[1] for r in b2.centroids}
+    for s in want:
+        assert got2[s] == pytest.approx(want[s])
+
+
+def test_serving_manifest_hamming(spark, tmp_path):
+    """Manifest roundtrip for the hamming (iris-code) domain: c_code
+    centroids and integer payloads survive save/load."""
+    import pyspark.sql.functions as F
+
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import hnsw
+    from hawk_pack_spark.sources.graph_io import (
+        load_serving_index,
+        save_serving_index,
+    )
+
+    params = HawkParams.new(32, 16, 8)
+    codes = spark.range(400).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 2654435761).alias("code")
+    )
+    index = hnsw.build_index(
+        codes, metric="hamming", params=params, num_shards=4, vec_col="code"
+    ).localCheckpoint()
+    path = str(tmp_path / "hserving")
+    save_serving_index(index, path, params=params, metric="hamming")
+    bundle = load_serving_index(spark, path)
+    assert bundle.metric == "hamming"
+    queries = spark.range(0, 400, 29).select(
+        F.col("id").alias("query_id"), (F.col("id") * 2654435761).alias("query_vec")
+    )
+    cents = hnsw.shard_centroids(index, "hamming").collect()
+
+    def rows(ix, cl):
+        return sorted(
+            (r.query_id, r.rank, r.vec_id, r.dist)
+            for r in hnsw.search_serving(
+                ix, queries, k=1, metric="hamming", params=params,
+                nprobe_shards=2, centroids=cl,
+            ).collect()
+        )
+
+    # reloaded bundle must search identically to the in-memory index
+    # (absolute recall at nprobe 2/4 is a routing property of the code
+    # distribution, not what the manifest guarantees)
+    assert rows(bundle.index, bundle.centroids) == rows(index, cents)
+    # full fan-out (no routing) through the reloaded graph: exact self-find
+    got = hnsw.search_serving(
+        bundle.index, queries, k=1, metric="hamming", params=bundle.params,
+    )
+    ok = got.where(
+        (F.col("query_id") == F.col("vec_id")) & (F.col("dist") == 0)
+    ).count()
+    assert ok == queries.count()
