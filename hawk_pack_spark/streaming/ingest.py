@@ -148,8 +148,15 @@ class StreamingNearDup:
       3. survivors' bands join the store.
 
     Everything is equi-joins on (band, band_key) — no per-row Python,
-    no growing driver state; at scale the store is a Delta/parquet
-    table and step 3 an append."""
+    no growing driver state.
+
+    Durability: with ``store_path`` set, the band-bucket store and the
+    accepted-id log are parquet tables — each batch APPENDS its new
+    buckets/ids (step 3 is an append, never a rewrite), and a fresh gate
+    constructed on the same path resumes exactly where the last process
+    stopped (restart ≡ continuation; test-pinned). The in-memory
+    localCheckpoint copy remains the join side, so the per-batch reject
+    joins never re-read the parquet history."""
 
     num_hashes: int = 8
     bands: int = 4
@@ -157,6 +164,23 @@ class StreamingNearDup:
     text_col: str = "text"
     store: DataFrame | None = None
     accepted_ids: DataFrame | None = None
+    store_path: str | None = None
+
+    def _resume_from_path(self, spark: SparkSession) -> None:
+        """Load the persisted store once, lazily, on the first batch of
+        a resumed process (missing path = fresh store)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            self.store = spark.read.parquet(
+                f"{self.store_path}/buckets"
+            ).localCheckpoint()
+            self.accepted_ids = spark.read.parquet(
+                f"{self.store_path}/accepted"
+            ).localCheckpoint()
+        except AnalysisException:
+            self.store = None
+            self.accepted_ids = None
 
     def ingest_batch(self, docs: DataFrame, epoch_id: int | None = None) -> None:
         from pyspark.sql import functions as F
@@ -165,6 +189,8 @@ class StreamingNearDup:
 
         if docs.isEmpty():
             return
+        if self.store is None and self.store_path is not None:
+            self._resume_from_path(docs.sparkSession)
         b = minhash_bands(
             minhash_signature(docs, self.id_col, self.text_col, self.num_hashes),
             self.id_col,
@@ -191,6 +217,13 @@ class StreamingNearDup:
         b = b.join(losers, self.id_col, "left_anti")
         new_buckets = b.select("band", "band_key").distinct()
         new_ids = b.select(self.id_col).distinct()
+        if self.store_path is not None:
+            # durable form: history is append-only parquet; only THIS
+            # batch's rows are written (write cost tracks the batch)
+            new_buckets = new_buckets.localCheckpoint()
+            new_ids = new_ids.localCheckpoint()
+            new_buckets.write.mode("append").parquet(f"{self.store_path}/buckets")
+            new_ids.write.mode("append").parquet(f"{self.store_path}/accepted")
         self.store = (
             new_buckets
             if self.store is None

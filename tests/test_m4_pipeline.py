@@ -290,3 +290,43 @@ def test_streaming_ingest_persists_delta_to_jdbc(spark):
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_near_dup_durable_store_resumes(spark, tmp_path):
+    """Durable band store: gate writes append-only parquet per batch; a
+    FRESH gate on the same path resumes the history — near-dups of docs
+    accepted by the dead process are still rejected, and the accepted
+    log accumulates across processes (restart ≡ continuation)."""
+    from hawk_pack_spark.streaming.ingest import StreamingNearDup
+
+    path = str(tmp_path / "neardup_store")
+    b1 = [
+        (0, "the quick brown fox jumps over the lazy dog every single day"),
+        (1, "spark engines shuffle data between executors during wide stages"),
+    ]
+    g1 = StreamingNearDup(num_hashes=8, bands=4, store_path=path)
+    g1.ingest_batch(spark.createDataFrame(b1, "doc_id long, text string"))
+    assert g1.n_accepted() == 2
+
+    # process dies; a new gate resumes from the parquet history
+    b2 = [
+        (10, "the quick brown fox jumps over the lazy cat every single day"),
+        (11, "spark engines shuffle data between executors during wide stages"),
+        (12, "a totally novel sentence mentioning product quantization codes"),
+    ]
+    g2 = StreamingNearDup(num_hashes=8, bands=4, store_path=path)
+    g2.ingest_batch(spark.createDataFrame(b2, "doc_id long, text string"))
+    accepted = {r.doc_id for r in g2.accepted_ids.collect()}
+    assert accepted == {0, 1, 12}, accepted
+
+    # third process sees the union of both epochs
+    g3 = StreamingNearDup(num_hashes=8, bands=4, store_path=path)
+    g3.ingest_batch(
+        spark.createDataFrame(
+            [(20, "a totally novel sentence mentioning product quantization codes"),
+             (21, "fresh words praising partition pruning and broadcast joins")],
+            "doc_id long, text string",
+        )
+    )
+    accepted = {r.doc_id for r in g3.accepted_ids.collect()}
+    assert 20 not in accepted and 21 in accepted, accepted
