@@ -660,8 +660,23 @@ def ann_search(
     metrics always serve. ``force`` ∈ {"serving", "blas"} pins a path
     (tests/bench);
     ``decision_out`` (a dict) receives {path, n_queries,
-    probed_fraction} for observability."""
+    probed_fraction} for observability.
+
+    ``index_df`` may also be a ``ServingIndex`` bundle
+    (sources/graph_io.py `load_serving_index`) — its index, centroids,
+    params, and metric are unpacked, so a restarted serving process is
+    ``ann_search(load_serving_index(spark, path), queries, k)``.
+    Explicit ``metric``/``params``/``centroids`` arguments are then
+    ignored in favor of the bundle's build-time values."""
     from hawk_pack_spark.operators.similarity import l2_topk_numpy
+
+    if hasattr(index_df, "index") and hasattr(index_df, "centroids"):
+        bundle = index_df
+        index_df = bundle.index
+        centroids = bundle.centroids
+        metric = bundle.metric
+        if bundle.params is not None:
+            params = bundle.params
 
     spark = queries.sparkSession
     qn = _normalize_vectors(queries, query_id, query_col, metric, out_id="query_id")

@@ -422,3 +422,59 @@ def test_serving_manifest_hamming(spark, tmp_path):
         (F.col("query_id") == F.col("vec_id")) & (F.col("dist") == 0)
     ).count()
     assert ok == queries.count()
+
+
+def test_ann_search_accepts_serving_bundle(spark, tmp_path):
+    """The restart story end-to-end: ann_search(load_serving_index(...))
+    — bundle unpacking gives the same rows as passing index/centroids/
+    params explicitly, on both dispatch paths."""
+    import pyspark.sql.functions as F
+
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import hnsw
+    from hawk_pack_spark.sources.graph_io import (
+        load_serving_index,
+        save_serving_index,
+    )
+
+    params = HawkParams.new(32, 16, 8)
+    vecs = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.sin(F.col("id") * i * 0.77 + i),
+        ).alias("embedding"),
+    )
+    index = hnsw.build_index(
+        vecs, metric="l2_sq", params=params, num_shards=5
+    ).localCheckpoint()
+    path = str(tmp_path / "bundle")
+    save_serving_index(index, path, params=params)
+    bundle = load_serving_index(spark, path)
+
+    queries = spark.range(0, 500, 41).select(
+        F.col("id").alias("query_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.sin(F.col("id") * i * 0.77 + i),
+        ).alias("query_vec"),
+    )
+
+    for force in ("serving", "blas"):
+        dec = {}
+        got = sorted(
+            (r.query_id, r.rank, r.vec_id, round(r.dist, 9))
+            for r in hnsw.ann_search(
+                bundle, queries, k=3, nprobe_shards=2, force=force,
+                decision_out=dec,
+            ).collect()
+        )
+        want = sorted(
+            (r.query_id, r.rank, r.vec_id, round(r.dist, 9))
+            for r in hnsw.ann_search(
+                bundle.index, queries, k=3, metric="l2_sq", params=params,
+                nprobe_shards=2, centroids=bundle.centroids, force=force,
+            ).collect()
+        )
+        assert got == want, force
+        assert dec["path"] == force
