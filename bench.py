@@ -278,6 +278,33 @@ def bench_ann_crossover(spark) -> None:
         ).count(),
     )
 
+    # serving restart: manifest reload (graph + centroids + params from
+    # disk, whole-shard repartition, pinned) + a routed search through
+    # the bundle — the cost a deployment pays per process restart,
+    # vs ann_build_content_sharded_{n} for building from scratch.
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.sources.graph_io import (
+        load_serving_index,
+        save_serving_index,
+    )
+
+    mdir = tempfile.mkdtemp(prefix="hawk_manifest_")
+    try:
+        save_serving_index(index, mdir, centroids=cents, params=params)
+        t0 = time.perf_counter()
+        bundle = load_serving_index(spark, mdir, materialize=True)
+        record(f"ann_serving_restart_load_{n}", time.perf_counter() - t0)
+        timed(
+            f"ann_serving_restart_search_{n_queries}q_{n}",
+            lambda: hnsw.ann_search(
+                bundle, queries, k=10, nprobe_shards=6, force="serving"
+            ).count(),
+        )
+    finally:
+        shutil.rmtree(mdir, ignore_errors=True)
+
 
 def bench_ann_1m(spark) -> None:
     """The 1M-vector ladder (VERDICT r02 item 1): content-sharded HNSW
