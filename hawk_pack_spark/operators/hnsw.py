@@ -598,23 +598,32 @@ def choose_ann_path(
     probed_fraction: float,
     crossover_batch: int = 220,
     selective_fraction: float = 0.35,
+    queries_per_probed_shard: float | None = None,
+    amortize_threshold: float = 8.0,
 ) -> str:
-    """Pure dispatch rule for `ann_search`, fit to the measured 1M-vector
-    crossover (BENCH_r04 / NOTES r4):
+    """Pure dispatch rule for `ann_search`, fit to the measured 1M/2M/
+    10M-vector ladder (NOTES r4/r5):
 
-    - 500-query batch: serving 4.17s vs exact-BLAS 8.13s (serving wins);
-    - 50-query batch, probed union ≈ whole index: BLAS 0.97s vs serving
-      3.31s (the serving floor is the Arrow scan of probed shards);
-    - selective probes (partition-pruned disk serving): I/O tracks the
-      probed union, so serving wins regardless of batch size.
+    - selective probes (probed union a small fraction of the index):
+      serving always wins — partition-pruned I/O tracks the union while
+      the exact scan must read everything;
+    - full-union batches flip on **routed queries per probed shard** —
+      the quantity that amortizes the per-shard fixed costs (Arrow
+      transfer of vec+links, graph reconstruction) both paths do NOT
+      share. Measured at 500 queries: 1M/266 shards → 30 q/shard,
+      serving 4.2s vs BLAS 8.1s (win); 2M/520 → 15.4, 7.5s vs 10.4s
+      (win); 10M/2730 → 5.9, 44.6s vs 22.3s (LOSE); and 50 queries at
+      1M → 3.0, 3.3s vs 0.97s (lose). Threshold 8 splits the measured
+      win/lose sets with margin on both sides.
 
-    Hence: a batch whose probed union is a small fraction of the index
-    always serves; otherwise the batch must be large enough (≥
-    ``crossover_batch``, measured midpoint of the flip between 50 and
-    500 queries) to amortize the probed-shard scan that both paths pay.
-    """
+    ``queries_per_probed_shard=None`` (unrouted callers) falls back to
+    the batch-size rule fit at 1M: full-fan batches ≥ ``crossover_batch``
+    amortize per-shard costs across every shard (n_queries IS the
+    per-shard count when every query hits every shard)."""
     if probed_fraction <= selective_fraction:
         return "serving"
+    if queries_per_probed_shard is not None:
+        return "serving" if queries_per_probed_shard >= amortize_threshold else "blas"
     return "serving" if n_queries >= crossover_batch else "blas"
 
 
@@ -689,6 +698,7 @@ def ann_search(
     n_queries = len(q_rows)
     if nprobe_shards is None:
         probed_fraction = 1.0
+        q_per_shard = None
     else:
         if centroids is None:
             centroids = shard_centroids(index_df, metric).collect()
@@ -698,6 +708,7 @@ def ann_search(
             q_data = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
         routed = _route_batch(q_data, centroids, metric, nprobe_shards)
         probed_fraction = len(routed) / max(len(centroids), 1)
+        q_per_shard = sum(len(v) for v in routed.values()) / max(len(routed), 1)
 
     if force is not None:
         path = force
@@ -705,11 +716,13 @@ def ann_search(
         path = "serving"  # no exact-scan contrast for this metric
     else:
         path = choose_ann_path(
-            n_queries, probed_fraction, crossover_batch, selective_fraction
+            n_queries, probed_fraction, crossover_batch, selective_fraction,
+            queries_per_probed_shard=q_per_shard,
         )
     if decision_out is not None:
         decision_out.update(
-            path=path, n_queries=n_queries, probed_fraction=probed_fraction
+            path=path, n_queries=n_queries, probed_fraction=probed_fraction,
+            queries_per_probed_shard=q_per_shard,
         )
 
     if path == "blas":

@@ -560,15 +560,36 @@ def test_serving_search_split_shard_raises_clear_error(spark):
 
 
 def test_choose_ann_path_pins_measured_crossover():
-    """The dispatch rule must reproduce every measured point of the 1M
-    crossover (BENCH_r04): large batches serve, small full-fan batches
-    scan, selective probes always serve."""
+    """The dispatch rule must reproduce every measured point of the
+    1M/2M/10M ladder (NOTES r4/r5): full-union batches flip on routed
+    queries per probed shard, selective probes always serve, and
+    unrouted callers keep the 1M batch-size rule."""
+    # unrouted (full fan-out) callers: the 1M-fit batch-size rule
     assert hnsw.choose_ann_path(500, 1.0) == "serving"
     assert hnsw.choose_ann_path(50, 1.0) == "blas"     # the 3.4x loss case
     assert hnsw.choose_ann_path(220, 1.0) == "serving"  # measured midpoint
     assert hnsw.choose_ann_path(219, 1.0) == "blas"
     assert hnsw.choose_ann_path(50, 0.1) == "serving"   # partition-pruned I/O
     assert hnsw.choose_ann_path(1, 0.35) == "serving"
+    # routed, full-union: every measured ladder point
+    q = dict(probed_fraction=1.0)
+    # 1M/266 shards, 500q, nprobe 16 → 30 q/shard; serving 4.2s vs 8.1s
+    assert hnsw.choose_ann_path(500, queries_per_probed_shard=30.0, **q) == "serving"
+    # 2M/520, 500q, nprobe 16 → 15.4; serving 7.5s vs 10.4s
+    assert hnsw.choose_ann_path(500, queries_per_probed_shard=15.4, **q) == "serving"
+    # 10M/2730, 500q, nprobe 32 → 5.9; serving 44.6s vs BLAS 22.3s
+    assert hnsw.choose_ann_path(500, queries_per_probed_shard=5.9, **q) == "blas"
+    # 1M/266, 50q, nprobe 16 → 3.0; serving 3.3s vs BLAS 0.97s
+    assert hnsw.choose_ann_path(50, queries_per_probed_shard=3.0, **q) == "blas"
+    # 10M/2730, 50q, nprobe 32 → 0.59 BUT probed fraction 0.59 > 0.35:
+    # still the amortization rule → blas (measured 32.7s vs 3.7s)
+    assert hnsw.choose_ann_path(
+        50, probed_fraction=0.59, queries_per_probed_shard=0.99
+    ) == "blas"
+    # selective probes dominate everything — serving even at 1 q/shard
+    assert hnsw.choose_ann_path(
+        10, probed_fraction=0.05, queries_per_probed_shard=1.0
+    ) == "serving"
 
 
 def test_ann_search_front_door_dispatches_and_matches(spark, sf_dir):

@@ -142,6 +142,24 @@ def main() -> None:
     ).count()
     out["serving_50q_sec"] = round(time.perf_counter() - t0, 3)
 
+    # the front door: does the dispatcher pick the measured winner at
+    # this n for both batch shapes? (vectors_df = the slim payload side)
+    slim = vecs.selectExpr("vec_id", "embedding as vec").localCheckpoint()
+    slim.count()
+    for label, qdf in (("500q", queries), ("50q", q50)):
+        dec: dict = {}
+        t0 = time.perf_counter()
+        hnsw.ann_search(
+            index, qdf, k=10, metric="l2_sq", params=params,
+            nprobe_shards=nprobes[0], centroids=cents,
+            decision_out=dec, vectors_df=slim,
+        ).count()
+        out[f"dispatch_{label}_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"dispatch_{label}_path"] = dec.get("path")
+        out[f"dispatch_{label}_qps"] = round(
+            dec.get("queries_per_probed_shard") or -1, 2
+        )
+
     print(json.dumps(out))
     spark.stop()
 
