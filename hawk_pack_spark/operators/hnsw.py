@@ -470,6 +470,7 @@ def search_serving(
                 pdf["e_layer"].tolist(), pdf["e_dst"].tolist(),
                 pdf["e_dist"].tolist(),
                 layers=pdf["layer"].to_numpy(dtype=np.int32),
+                frozen=True,  # search-only: CSR rehydration, no tuple lists
             )
             n = len(ids)
             for j, qi in enumerate(sel):
@@ -570,6 +571,7 @@ def search(
             ids, full, metric, params,
             left["e_layer"].tolist(), left["e_dst"].tolist(), left["e_dist"].tolist(),
             layers=left["layer"].to_numpy(dtype=np.int32),
+            frozen=True,  # search-only: CSR rehydration, no tuple lists
         )
         n = len(ids)
         rows = []

@@ -178,3 +178,54 @@ def test_neighbor_heuristic_keeps_clustered_graph_connected():
     for lc, nodes in index.adj.items():
         for node, nbrs in nodes.items():
             assert len(nbrs) <= params.get_M_max(lc)
+
+
+def test_frozen_rehydration_searches_identically():
+    """frozen=True (CSR, search-only) must return byte-identical search
+    results to the dict-form rehydration at every k/ef — the serving
+    paths run frozen, the mutation paths run dict, and they must agree."""
+    import numpy as np
+
+    from hawk_pack_spark.config import HawkParams
+    from hawk_pack_spark.operators import _hnsw_kernel as K
+
+    params = HawkParams.new(32, 16, 8)
+    n, dim = 700, 24
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((n, dim))
+    ids = np.arange(n, dtype=np.int64) * 3 + 11
+    built = K.build_local(ids, data, "l2_sq", params)
+    la, ds, di = K.adjacency_arrays(built, ids)
+    node_layers = np.array(
+        [max([lc for lc in built.adj if loc in built.adj[lc]], default=0)
+         for loc in range(n)],
+        dtype=np.int32,
+    )
+    q = rng.standard_normal((40, dim))
+    full = np.vstack([data, q])
+    slow = K.index_from_arrays(
+        ids, full, "l2_sq", params, la, ds, di, layers=node_layers
+    )
+    fast = K.index_from_arrays(
+        ids, full, "l2_sq", params, la, ds, di, layers=node_layers, frozen=True
+    )
+    assert fast.entry == slow.entry and fast.entry_layer == slow.entry_layer
+    for j in range(40):
+        for k in (1, 5, 10):
+            assert fast.search(n + j, k, None) == slow.search(n + j, k, None)
+    # frozen requires layers (entry cannot be derived from CSR presence)
+    import pytest
+
+    with pytest.raises(ValueError, match="layers"):
+        K.index_from_arrays(ids, full, "l2_sq", params, la, ds, di, frozen=True)
+    # the whole-shard error contract survives the vectorized path
+    bad_ds = [list(x) for x in ds]
+    for x in bad_ds:
+        if x:
+            x[0] = 10**9  # id not in this slice
+            break
+    with pytest.raises(ValueError, match="whole\\s+shard|whole shard"):
+        K.index_from_arrays(
+            ids, full, "l2_sq", params, la, bad_ds, di, layers=node_layers,
+            frozen=True,
+        )
