@@ -364,6 +364,13 @@ def hamming_topk_numpy(
 
     from hawk_pack_spark.operators._hnsw_kernel import _POPCOUNT_LUT
 
+    # 16-bit popcount LUT: 4 gathers per u64 from a 64 KB (L1-resident)
+    # table — measured 4× the byte-LUT's throughput on this scan shape
+    lut16 = (
+        _POPCOUNT_LUT[np.arange(65536, dtype=np.uint32) & 0xFF]
+        + _POPCOUNT_LUT[np.arange(65536, dtype=np.uint32) >> 8]
+    )
+
     q_rows = queries.select(query_id, query_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_codes = np.array([r[1] for r in q_rows], dtype=np.int64).view(np.uint64)
@@ -371,36 +378,69 @@ def hamming_topk_numpy(
     bc = sc.broadcast((q_ids, q_codes))
 
     def part(it):
+        # Accumulate the partition's code block (8 bytes/code — tiny even
+        # at millions of rows/partition), sort by vec_id so tie positions
+        # ARE id order, then scan in (query-chunk × code-block) tiles:
+        # one vectorized XOR + LUT-popcount + axis-1 argpartition per
+        # tile instead of a Python loop per (query, Arrow batch) — the
+        # shape that holds at 100M codes (see tools/bench_hamming_scale).
         q_ids_, q_codes_ = bc.value
         nq = len(q_ids_)
+        parts_ids, parts_codes = [], []
         for pdf in it:
-            if pdf.empty:
-                continue
-            ids = pdf[vec_id].to_numpy(dtype=np.int64)
-            codes = pdf[vec_col].to_numpy(dtype=np.int64).view(np.uint64)
-            x = q_codes_[:, None] ^ codes[None, :]
-            d = (
-                _POPCOUNT_LUT[x.view(np.uint8).reshape(nq, -1, 8)]
-                .sum(axis=2)
-                .astype(np.float64)
-            )
-            kk = min(k, d.shape[1])
-            rows = []
-            for qi in range(nq):
-                row = d[qi]
-                # integer distances tie constantly: the local top-k must
-                # break boundary ties by vec_id or the Window merge sees
-                # the wrong candidates and exactness is lost
-                idx = np.argpartition(row, kk - 1)[:kk]
-                m = row[idx].max()
-                below = np.flatnonzero(row < m)
-                ties = np.flatnonzero(row == m)
-                need = kk - below.size
-                if ties.size > need:
-                    ties = ties[np.argsort(ids[ties], kind="stable")[:need]]
-                for vi in np.concatenate([below, ties]):
-                    rows.append((int(q_ids_[qi]), int(ids[vi]), float(d[qi, vi])))
-            yield pd.DataFrame(rows, columns=["query_id", "vec_id", "dist"])
+            if not pdf.empty:
+                parts_ids.append(pdf[vec_id].to_numpy(dtype=np.int64))
+                parts_codes.append(
+                    pdf[vec_col].to_numpy(dtype=np.int64).view(np.uint64)
+                )
+        if not parts_ids:
+            return
+        ids = np.concatenate(parts_ids)
+        codes = np.concatenate(parts_codes)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        codes = codes[order]
+        n_codes = len(ids)
+        kk = min(k, n_codes)
+        Q_CHUNK, C_BLOCK = 128, 1 << 18
+        rows = []
+        for q0 in range(0, nq, Q_CHUNK):
+            q1 = min(q0 + Q_CHUNK, nq)
+            qc = q_codes_[q0:q1]
+            # per-query running candidates across blocks (≤ kk per block)
+            cand_pos: list[list] = [[] for _ in range(q1 - q0)]
+            cand_d: list[list] = [[] for _ in range(q1 - q0)]
+            for c0 in range(0, n_codes, C_BLOCK):
+                c1 = min(c0 + C_BLOCK, n_codes)
+                x = qc[:, None] ^ codes[None, c0:c1]
+                d = lut16[
+                    x.view(np.uint16).reshape(q1 - q0, -1, 4)
+                ].sum(axis=2, dtype=np.uint16)
+                bk = min(kk, c1 - c0)
+                idx = np.argpartition(d, bk - 1, axis=1)[:, :bk]
+                vals = np.take_along_axis(d, idx, axis=1)
+                m = vals.max(axis=1)
+                for qi in range(q1 - q0):
+                    # integer distances tie constantly: the local top-k
+                    # must break boundary ties by vec_id (ids ascending ⇒
+                    # flatnonzero positions already id-ordered)
+                    below = idx[qi][vals[qi] < m[qi]]
+                    need = bk - below.size
+                    ties = np.flatnonzero(d[qi] == m[qi])[:need]
+                    sel = np.concatenate([below, ties])
+                    cand_pos[qi].append(sel + c0)
+                    cand_d[qi].append(d[qi][sel])
+            for qi in range(q1 - q0):
+                pos = np.concatenate(cand_pos[qi])
+                dd = np.concatenate(cand_d[qi]).astype(np.float64)
+                # final per-partition top-k over ≤ kk·n_blocks candidates,
+                # ties by vec_id (pos ascending within equal dist after
+                # stable lexsort on (dist, pos))
+                sel = np.lexsort((pos, dd))[:kk]
+                qid = int(q_ids_[q0 + qi])
+                for j in sel:
+                    rows.append((qid, int(ids[pos[j]]), float(dd[j])))
+        yield pd.DataFrame(rows, columns=["query_id", "vec_id", "dist"])
 
     local = vectors.select(vec_id, vec_col).mapInPandas(
         part, "query_id long, vec_id long, dist double"
