@@ -142,6 +142,22 @@ def main() -> None:
     ).count()
     out["serving_50q_sec"] = round(time.perf_counter() - t0, 3)
 
+    # the SELECTIVE regime: a small batch probing a small union — the
+    # third dispatch branch, where partition-pruned serving I/O beats
+    # any full scan regardless of batch size
+    q10 = queries.limit(10).localCheckpoint()
+    q10.count()
+    sel_nprobe = max(1, nprobes[0] // 4)
+    t0 = time.perf_counter()
+    hnsw.search_serving(
+        index, q10, k=10, metric="l2_sq", params=params,
+        nprobe_shards=sel_nprobe, centroids=cents,
+    ).count()
+    out["serving_10q_selective_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    l2_topk_numpy(vecs, q10, k=10).count()
+    out["exact_blas_10q_sec"] = round(time.perf_counter() - t0, 3)
+
     # the front door: does the dispatcher pick the measured winner at
     # this n for both batch shapes? (vectors_df = the slim payload side)
     slim = vecs.selectExpr("vec_id", "embedding as vec").localCheckpoint()
