@@ -602,6 +602,7 @@ def choose_ann_path(
     selective_fraction: float = 0.35,
     queries_per_probed_shard: float | None = None,
     amortize_threshold: float = 8.0,
+    pruned_scan: bool = True,
 ) -> str:
     """Pure dispatch rule for `ann_search`, fit to the measured 1M/2M/
     10M-vector ladder (NOTES r4/r5):
@@ -621,8 +622,17 @@ def choose_ann_path(
     ``queries_per_probed_shard=None`` (unrouted callers) falls back to
     the batch-size rule fit at 1M: full-fan batches ≥ ``crossover_batch``
     amortize per-shard costs across every shard (n_queries IS the
-    per-shard count when every query hits every shard)."""
-    if probed_fraction <= selective_fraction:
+    per-shard count when every query hits every shard).
+
+    ``pruned_scan``: the selective shortcut assumes the probed-shard
+    filter prunes I/O — true for a shard-partitioned parquet index
+    (PartitionFilters) or per-shard resident handles, FALSE for a
+    monolithic in-memory frame where `shard IN (…)` still scans every
+    row (measured at 10M: selective 10-query serving 26.8s vs BLAS
+    3.4s over a localCheckpointed index). When the caller knows the
+    scan cannot prune, the selective branch is skipped and the
+    amortization rule decides."""
+    if probed_fraction <= selective_fraction and pruned_scan:
         return "serving"
     if queries_per_probed_shard is not None:
         return "serving" if queries_per_probed_shard >= amortize_threshold else "blas"
@@ -717,9 +727,17 @@ def ann_search(
     elif metric not in ("l2_sq", "hamming"):
         path = "serving"  # no exact-scan contrast for this metric
     else:
+        # the selective shortcut only pays off when the probed-shard
+        # filter can prune the scan: file-backed (PartitionFilters) yes;
+        # a monolithic checkpointed/in-memory frame scans everything
+        # regardless of the filter (measured at 10M, NOTES r5 tail)
+        try:
+            pruned = "FileScan" in index_df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            pruned = False
         path = choose_ann_path(
             n_queries, probed_fraction, crossover_batch, selective_fraction,
-            queries_per_probed_shard=q_per_shard,
+            queries_per_probed_shard=q_per_shard, pruned_scan=pruned,
         )
     if decision_out is not None:
         decision_out.update(

@@ -586,17 +586,27 @@ def test_choose_ann_path_pins_measured_crossover():
     assert hnsw.choose_ann_path(
         50, probed_fraction=0.59, queries_per_probed_shard=0.99
     ) == "blas"
-    # selective probes dominate everything — serving even at 1 q/shard
+    # selective probes dominate — serving even at 1 q/shard — but ONLY
+    # when the scan can prune (file-backed index); a monolithic
+    # in-memory frame pays the full scan regardless (measured at 10M:
+    # selective 10q serving 26.8s vs BLAS 3.4s) → amortization rule
     assert hnsw.choose_ann_path(
         10, probed_fraction=0.05, queries_per_probed_shard=1.0
     ) == "serving"
+    assert hnsw.choose_ann_path(
+        10, probed_fraction=0.05, queries_per_probed_shard=1.0,
+        pruned_scan=False,
+    ) == "blas"
 
 
-def test_ann_search_front_door_dispatches_and_matches(spark, sf_dir):
+def test_ann_search_front_door_dispatches_and_matches(spark, sf_dir, tmp_path):
     """ann_search must (a) pick BLAS for a small full-fan batch and
     return the exact scan's rows, (b) pick serving for a selective probe
-    and return the serving path's rows, (c) honor force, (d) always
-    serve non-l2 metrics."""
+    over a FILE-BACKED (prunable) index and return the serving path's
+    rows — while the same selective probe over a monolithic in-memory
+    index falls through to the amortization rule (→ blas; the measured
+    10M physics: `shard IN` cannot prune an in-memory scan), (c) honor
+    force, (d) always serve non-l2 metrics."""
     from hawk_pack_spark.operators.similarity import ivf_build, l2_topk_numpy
 
     emb = load_table(spark, "embeddings", sf_dir).select(
@@ -625,14 +635,20 @@ def test_ann_search_front_door_dispatches_and_matches(spark, sf_dir):
     }
 
     # (b) selective probe: clone queries all route to the same 2 of 8
-    # shards (probed fraction 0.25 <= 0.35) -> serving, same rows
+    # shards (probed fraction 0.25 <= 0.35). Over the file-backed index
+    # the filter prunes partitions -> serving, same rows; over the
+    # in-memory monolith the shortcut is off -> amortization rule (blas)
+    from hawk_pack_spark.sources.graph_io import load_index, save_index
+
+    save_index(index, str(tmp_path / "front_door_idx"))
+    disk = load_index(spark, str(tmp_path / "front_door_idx"))
     v0 = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     clones = spark.createDataFrame(
         [(i, v0) for i in range(5)], "query_id long, query_vec array<double>"
     )
     dec = {}
     got_s = hnsw.ann_search(
-        index, clones, k=10, metric="l2_sq", params=params,
+        disk, clones, k=10, metric="l2_sq", params=params,
         nprobe_shards=2, centroids=cents, decision_out=dec,
     )
     assert dec["path"] == "serving" and dec["probed_fraction"] == 0.25
@@ -642,6 +658,16 @@ def test_ann_search_front_door_dispatches_and_matches(spark, sf_dir):
     )
     assert {(r.query_id, r.vec_id, r.rank) for r in got_s.collect()} == {
         (r.query_id, r.vec_id, r.rank) for r in want_s.collect()
+    }
+    dec = {}
+    got_m = hnsw.ann_search(
+        index, clones, k=10, metric="l2_sq", params=params,
+        nprobe_shards=2, centroids=cents, decision_out=dec,
+    )
+    assert dec["path"] == "blas"  # in-memory: q/shard 5 < 8, no pruning
+    want_m = l2_topk_numpy(emb, clones, k=10)
+    assert {(r.query_id, r.vec_id, r.rank) for r in got_m.collect()} == {
+        (r.query_id, r.vec_id, r.rank) for r in want_m.collect()
     }
 
     # (c) force pins the losing path
