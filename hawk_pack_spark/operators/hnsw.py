@@ -378,6 +378,32 @@ def shard_centroids(index_df: DataFrame, metric: str = "l2_sq") -> DataFrame:
     )
 
 
+def _df_cache(df: DataFrame) -> dict:
+    """Per-DataFrame memo for serving metadata (centroids, prunability).
+    Lives on the Python DataFrame object, so it dies with the handle a
+    serving process holds — no global registry to leak across indexes."""
+    cache = getattr(df, "_hps_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            df._hps_cache = cache
+        except Exception:  # pragma: no cover - exotic DataFrame proxies
+            pass
+    return cache
+
+
+def cached_centroids(index_df: DataFrame, metric: str) -> list:
+    """`shard_centroids(...).collect()` memoized on the DataFrame handle:
+    the front door must not pay an O(n) routing-metadata scan per call
+    (VERDICT r5 #1 — it was 1.4s of the 2.6s dispatch overhead at 1M)."""
+    cache = _df_cache(index_df)
+    cents = cache.get(("centroids", metric))
+    if cents is None:
+        cents = shard_centroids(index_df, metric).collect()
+        cache[("centroids", metric)] = cents
+    return cents
+
+
 def search_serving(
     index_df: DataFrame,
     queries: DataFrame,
@@ -389,6 +415,7 @@ def search_serving(
     query_col: str = "query_vec",
     nprobe_shards: int | None = None,
     centroids: list | None = None,
+    _pre: tuple | None = None,
 ) -> DataFrame:
     """Serving-path search: queries move to the data, the index never
     moves.
@@ -409,34 +436,49 @@ def search_serving(
     ``build_index`` output and anything ``repartition(n, "shard")``-ed
     before checkpointing — applyInPandas output keeps its grouping
     physically). ``centroids`` is ``shard_centroids(index).collect()``
-    — num_shards rows of build-time serving metadata; computed on the
-    fly if omitted (one O(n) scan — hoist it out of any loop).
+    — num_shards rows of build-time serving metadata; memoized on the
+    index DataFrame handle if omitted (one O(n) scan on first use).
+
+    ``_pre``: (q_ids, q_data, routed) already collected/routed by
+    `ann_search` — the front door must not collect or route the batch
+    twice (VERDICT r5 #1).
     """
     spark = queries.sparkSession
-    qn = _normalize_vectors(queries, query_id, query_col, metric, out_id="query_id")
-    payload = "code" if metric == "hamming" else "vec"
-    q_rows = qn.select("query_id", payload).collect()
-    if not q_rows:
-        return spark.createDataFrame(
-            [], "query_id long, vec_id long, dist double, rank int"
-        )
-    if metric == "hamming":
-        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-        q_data = np.array([r[1] for r in q_rows], dtype=np.int64).view(np.uint64)
+    if _pre is not None:
+        q_ids, q_data, routed = _pre
+        if len(q_ids) == 0:
+            return spark.createDataFrame(
+                [], "query_id long, vec_id long, dist double, rank int"
+            )
     else:
-        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-        q_data = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+        qn = _normalize_vectors(
+            queries, query_id, query_col, metric, out_id="query_id"
+        )
+        payload = "code" if metric == "hamming" else "vec"
+        q_rows = qn.select("query_id", payload).collect()
+        if not q_rows:
+            return spark.createDataFrame(
+                [], "query_id long, vec_id long, dist double, rank int"
+            )
+        if metric == "hamming":
+            q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+            q_data = np.array([r[1] for r in q_rows], dtype=np.int64).view(np.uint64)
+        else:
+            q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+            q_data = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
 
-    # driver-side routing against build-time centroids (tiny matrices)
-    if nprobe_shards is not None:
-        if centroids is None:
-            centroids = shard_centroids(index_df, metric).collect()
-        routed = _route_batch(q_data, centroids, metric, nprobe_shards)
+        # driver-side routing against build-time centroids (tiny matrices)
+        if nprobe_shards is not None:
+            if centroids is None:
+                centroids = cached_centroids(index_df, metric)
+            routed = _route_batch(q_data, centroids, metric, nprobe_shards)
+        else:
+            routed = None
+    if routed is not None:
         scan = index_df.where(
             F.col("shard").isin([int(s) for s in routed])
         )
     else:
-        routed = None
         scan = index_df
 
     bc = spark.sparkContext.broadcast((q_ids, q_data, routed))
@@ -655,6 +697,7 @@ def ann_search(
     force: str | None = None,
     decision_out: dict | None = None,
     vectors_df: DataFrame | None = None,
+    max_driver_queries: int = 100_000,
 ) -> DataFrame:
     """Crossover-aware ANN front door (VERDICT r4 #2): the engine, not
     the caller, picks the winning physical plan for a query batch.
@@ -702,22 +745,40 @@ def ann_search(
     spark = queries.sparkSession
     qn = _normalize_vectors(queries, query_id, query_col, metric, out_id="query_id")
     payload = "code" if metric == "hamming" else "vec"
-    q_rows = qn.select("query_id", payload).collect()
+    # bounded collect: the front door is a serving surface, not a bulk
+    # analytics path — a caller feeding a huge query DataFrame must not
+    # materialize it on the driver (VERDICT r5 #7). limit(max+1) keeps
+    # the probe itself bounded; overflow falls back to the cogroup
+    # `search` (fully distributed, zero driver materialization).
+    q_rows = qn.select("query_id", payload).limit(max_driver_queries + 1).collect()
     if not q_rows:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, dist double, rank int"
         )
+    if len(q_rows) > max_driver_queries:
+        if decision_out is not None:
+            decision_out.update(
+                path="cogroup", n_queries=None, probed_fraction=None,
+                queries_per_probed_shard=None,
+            )
+        return search(
+            index_df, queries, k=k, metric=metric, params=params,
+            ef_search=ef_search, query_id=query_id, query_col=query_col,
+            nprobe_shards=nprobe_shards,
+        )
     n_queries = len(q_rows)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    if metric == "hamming":
+        q_data = np.array([r[1] for r in q_rows], dtype=np.int64).view(np.uint64)
+    else:
+        q_data = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     if nprobe_shards is None:
+        routed = None
         probed_fraction = 1.0
         q_per_shard = None
     else:
         if centroids is None:
-            centroids = shard_centroids(index_df, metric).collect()
-        if metric == "hamming":
-            q_data = np.array([r[1] for r in q_rows], dtype=np.int64).view(np.uint64)
-        else:
-            q_data = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+            centroids = cached_centroids(index_df, metric)
         routed = _route_batch(q_data, centroids, metric, nprobe_shards)
         probed_fraction = len(routed) / max(len(centroids), 1)
         q_per_shard = sum(len(v) for v in routed.values()) / max(len(routed), 1)
@@ -728,13 +789,20 @@ def ann_search(
         path = "serving"  # no exact-scan contrast for this metric
     else:
         # the selective shortcut only pays off when the probed-shard
-        # filter can prune the scan: file-backed (PartitionFilters) yes;
-        # a monolithic checkpointed/in-memory frame scans everything
-        # regardless of the filter (measured at 10M, NOTES r5 tail)
-        try:
-            pruned = "FileScan" in index_df._jdf.queryExecution().executedPlan().toString()
-        except Exception:
-            pruned = False
+        # filter can prune the scan: file-backed (PartitionFilters /
+        # DSv2 BatchScan) yes; a monolithic checkpointed/in-memory frame
+        # scans everything regardless of the filter (measured at 10M,
+        # NOTES r5 tail). The probe re-runs query planning — memoized
+        # per index handle (ADVICE r5).
+        cache = _df_cache(index_df)
+        pruned = cache.get("pruned_scan")
+        if pruned is None:
+            try:
+                plan = index_df._jdf.queryExecution().executedPlan().toString()
+                pruned = ("FileScan" in plan) or ("BatchScan" in plan)
+            except Exception:
+                pruned = False
+            cache["pruned_scan"] = pruned
         path = choose_ann_path(
             n_queries, probed_fraction, crossover_batch, selective_fraction,
             queries_per_probed_shard=q_per_shard, pruned_scan=pruned,
@@ -753,15 +821,18 @@ def ann_search(
             return hamming_topk_numpy(
                 side, queries, k=k, vec_col="code",
                 query_id=query_id, query_col=query_col,
+                _pre=(q_ids, q_data),
             )
         return l2_topk_numpy(
             side, queries, k=k, vec_col="vec",
             query_id=query_id, query_col=query_col,
+            _pre=(q_ids, q_data),
         )
     return search_serving(
         index_df, queries, k=k, metric=metric, params=params,
         ef_search=ef_search, query_id=query_id, query_col=query_col,
         nprobe_shards=nprobe_shards, centroids=centroids,
+        _pre=(q_ids, q_data, routed),
     )
 
 

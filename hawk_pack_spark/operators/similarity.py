@@ -297,17 +297,23 @@ def l2_topk_numpy(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     query_col: str = "query_vec",
+    _pre: tuple | None = None,
 ) -> DataFrame:
     """Exact L2² top-k via one BLAS product per partition:
     ||q-v||² = ||q||² - 2q·v + ||v||², so the pairwise matrix is a
     matmul plus two rank-1 updates. Queries broadcast (small side);
     each vector partition emits its local top-k; a Window merges —
-    the strongest exact baseline for the ANN crossover bench."""
+    the strongest exact baseline for the ANN crossover bench.
+    ``_pre``: (q_ids, q_mat) already collected by `ann_search` — skips
+    the driver collect (the batch must not be materialized twice)."""
     import pandas as pd
 
-    q_rows = queries.select(query_id, query_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    if _pre is not None:
+        q_ids, q_mat = _pre
+    else:
+        q_rows = queries.select(query_id, query_col).collect()
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     sc = vectors.sparkSession.sparkContext
     bc = sc.broadcast((q_ids, q_mat))
 
@@ -351,6 +357,7 @@ def hamming_topk_numpy(
     vec_col: str = "code",
     query_id: str = "query_id",
     query_col: str = "query_vec",
+    _pre: tuple | None = None,
 ) -> DataFrame:
     """Exact Hamming top-k over 64-bit codes — the vectorized LinearDb
     scan for the reference's own domain (linear_db.rs: exact
@@ -371,9 +378,12 @@ def hamming_topk_numpy(
         + _POPCOUNT_LUT[np.arange(65536, dtype=np.uint32) >> 8]
     )
 
-    q_rows = queries.select(query_id, query_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_codes = np.array([r[1] for r in q_rows], dtype=np.int64).view(np.uint64)
+    if _pre is not None:
+        q_ids, q_codes = _pre
+    else:
+        q_rows = queries.select(query_id, query_col).collect()
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_codes = np.array([r[1] for r in q_rows], dtype=np.int64).view(np.uint64)
     sc = vectors.sparkSession.sparkContext
     bc = sc.broadcast((q_ids, q_codes))
 

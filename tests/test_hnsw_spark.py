@@ -696,6 +696,85 @@ def test_ann_search_front_door_dispatches_and_matches(spark, sf_dir, tmp_path):
     assert out.count() == 0 and out.columns == ["query_id", "vec_id", "dist", "rank"]
 
 
+def test_ann_search_memoizes_serving_metadata(spark, sf_dir, monkeypatch):
+    """VERDICT r5 #1: the front door must not pay a per-call O(n)
+    centroid scan or plan probe. With no centroid cache passed, the
+    first `ann_search` computes centroids ONCE and memoizes them on the
+    index handle; subsequent calls (and `search_serving` fallbacks)
+    reuse them. The prunability probe is likewise memoized, and an
+    injected cache value steers the dispatch (proving the cached bit is
+    what decides, not a fresh probe)."""
+    from hawk_pack_spark.operators import hnsw as H
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    params = HawkParams.new(64, 64, 16)
+    index = hnsw.build_index(
+        emb, metric="l2_sq", params=params, num_shards=4
+    ).localCheckpoint()
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    calls = {"n": 0}
+    real = H.shard_centroids
+
+    def counting(df, metric="l2_sq"):
+        calls["n"] += 1
+        return real(df, metric)
+
+    monkeypatch.setattr(H, "shard_centroids", counting)
+    for _ in range(3):
+        hnsw.ann_search(
+            index, queries, k=5, metric="l2_sq", params=params, nprobe_shards=2
+        ).count()
+    assert calls["n"] == 1  # memoized on the index handle after first call
+    cache = hnsw._df_cache(index)
+    assert ("centroids", "l2_sq") in cache and "pruned_scan" in cache
+    assert cache["pruned_scan"] is False  # localCheckpointed: not prunable
+
+    # injected prunability flips the selective shortcut on (clone batch
+    # routes to 1 of 4 shards = selective) — dispatch reads the cache
+    v0 = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    clones = spark.createDataFrame(
+        [(i, v0) for i in range(3)], "query_id long, query_vec array<double>"
+    )
+    dec: dict = {}
+    cache["pruned_scan"] = True
+    hnsw.ann_search(
+        index, clones, k=5, metric="l2_sq", params=params,
+        nprobe_shards=1, decision_out=dec,
+    ).count()
+    assert dec["path"] == "serving" and calls["n"] == 1
+
+
+def test_ann_search_large_batch_falls_back_to_cogroup(spark, sf_dir):
+    """VERDICT r5 #7: a query DataFrame above max_driver_queries must
+    NOT be materialized on the driver — the front door degrades to the
+    fully-distributed cogroup `search` path with identical results."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    params = HawkParams.new(64, 64, 16)
+    index = hnsw.build_index(
+        emb, metric="l2_sq", params=params, num_shards=4
+    ).localCheckpoint()
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dec: dict = {}
+    got = hnsw.ann_search(
+        index, queries, k=5, metric="l2_sq", params=params,
+        max_driver_queries=7, decision_out=dec,
+    )
+    assert dec["path"] == "cogroup"
+    want = hnsw.search(index, queries, k=5, metric="l2_sq", params=params)
+    assert {(r.query_id, r.vec_id, r.rank) for r in got.collect()} == {
+        (r.query_id, r.vec_id, r.rank) for r in want.collect()
+    }
+
+
 def test_staged_vs_unioned_insert_equivalent(spark):
     """Concurrent/overlapping insert semantics (VERDICT r4 #6): two
     staged batches pushed through `insert_batch` in SEQUENCE and the
