@@ -169,15 +169,19 @@ def export_graph_jdbc(
     links_table: str = "hawk_graph_links",
     entry_table: str = "hawk_graph_entry",
     mode: str = "overwrite",
+    schema: str | None = None,
 ) -> bool:
     """Export the full GraphStore state (links + entry points) in the
-    reference's two-table Postgres layout (init.up.sql:1-12)."""
+    reference's two-table Postgres layout (init.up.sql:1-12). This is
+    the bulk-snapshot path (table replace, Spark-created column types);
+    `upsert_graph_jdbc` is the row-level delta path against a
+    migration-typed schema."""
     url = url or os.environ.get("HAWK_PACK_JDBC_URL")
     if not url:
         return False
     links_rows, entry_rows = to_pg_rows(links, entries)
-    _jdbc_writer(links_rows, url, links_table, mode, driver)
-    _jdbc_writer(entry_rows, url, entry_table, mode, driver)
+    _jdbc_writer(links_rows, url, _qualified(schema, links_table), mode, driver)
+    _jdbc_writer(entry_rows, url, _qualified(schema, entry_table), mode, driver)
     return True
 
 
@@ -193,21 +197,40 @@ def export_graph_jdbc(
 # executed over the same JVM DriverManager the JDBC source uses — moves
 # it into the target atomically per statement.
 
-_PG_LINK_TYPES = "source_ref VARCHAR(64), layer INTEGER, links TEXT"
+# PG target tables are jsonb, matching the reference migration exactly
+# (20240909105321_init.up.sql declares links/entry_point jsonb) — a
+# reference GraphPg process can decode helper-created tables (ADVICE r5).
+# Staging always goes through TEXT (Spark's JDBC writer cannot emit
+# jsonb); the upsert statement casts stage TEXT → target jsonb.
+_PG_LINK_TYPES = "source_ref VARCHAR(64), layer INTEGER, links jsonb"
+_PG_LINK_STAGE_TYPES = "source_ref VARCHAR(64), layer INTEGER, links TEXT"
 _DERBY_LINK_TYPES = "source_ref VARCHAR(64), layer INTEGER, links VARCHAR(32000)"
-_PG_ENTRY_TYPES = "entry_point TEXT, id INTEGER"
+_PG_ENTRY_TYPES = "entry_point jsonb, id INTEGER"
+_PG_ENTRY_STAGE_TYPES = "entry_point TEXT, id INTEGER"
 _DERBY_ENTRY_TYPES = "entry_point VARCHAR(1000), id INTEGER"
+
+# Derby SQLStates that make a CREATE idempotent-safe to swallow:
+# X0Y32 = schema object (table/index) already exists, X0Y68 = schema
+# already exists. EVERYTHING else (bad URL grammar, permissions, disk)
+# re-raises — a swallowed real failure resurfaces later as a confusing
+# MERGE error (ADVICE r5).
+_EXISTS_STATES = ("X0Y32", "X0Y68", "already exists")
 
 
 def _dialect(url: str) -> str:
     return "postgresql" if url.startswith("jdbc:postgresql") else "standard"
 
 
+def _qualified(schema: str | None, table: str) -> str:
+    return f"{schema}.{table}" if schema else table
+
+
 def _exec_updates(spark: SparkSession, url: str, driver: str | None,
                   statements: list[str], ignore_existing: bool = False) -> None:
     """Run DDL/DML on the driver through java.sql.DriverManager — the
     same JVM + driver classpath Spark's JDBC source uses, so reachability
-    is identical."""
+    is identical. ``ignore_existing`` swallows ONLY the already-exists
+    errors (Derby X0Y32/X0Y68, or an 'already exists' message)."""
     jvm = spark._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
@@ -218,13 +241,48 @@ def _exec_updates(spark: SparkSession, url: str, driver: str | None,
             for sql in statements:
                 try:
                     st.executeUpdate(sql)
-                except Exception:
-                    if not ignore_existing:
-                        raise
+                except Exception as e:
+                    msg = str(e)
+                    if ignore_existing and any(s in msg for s in _EXISTS_STATES):
+                        continue
+                    raise
         finally:
             st.close()
     finally:
         conn.close()
+
+
+def graph_schema_ddl(
+    url: str,
+    links_table: str = "hawk_graph_links",
+    entry_table: str = "hawk_graph_entry",
+    schema: str | None = None,
+) -> list[str]:
+    """The DDL `ensure_graph_schema_jdbc` executes, as statement text —
+    separated out so the Postgres dialect can be executed/pinned against
+    a real server without a JDBC driver jar (tests/test_pg_dialect_live).
+
+    Postgres columns are jsonb (the reference migration's types);
+    ``schema`` prefixes a namespace, mirroring graph_pg.rs's
+    per-connection `SET search_path` schema switch (:130-139) — two
+    graphs under different schemas share a database without collision."""
+    pg = _dialect(url) == "postgresql"
+    link_cols = _PG_LINK_TYPES if pg else _DERBY_LINK_TYPES
+    entry_cols = _PG_ENTRY_TYPES if pg else _DERBY_ENTRY_TYPES
+    prefix = "CREATE TABLE IF NOT EXISTS" if pg else "CREATE TABLE"
+    stmts = []
+    if schema:
+        stmts.append(
+            f"CREATE SCHEMA IF NOT EXISTS {schema}" if pg
+            else f"CREATE SCHEMA {schema}"
+        )
+    stmts += [
+        f"{prefix} {_qualified(schema, links_table)} ({link_cols}, "
+        f"PRIMARY KEY (source_ref, layer))",
+        f"{prefix} {_qualified(schema, entry_table)} ({entry_cols}, "
+        f"PRIMARY KEY (id))",
+    ]
+    return stmts
 
 
 def ensure_graph_schema_jdbc(
@@ -233,28 +291,23 @@ def ensure_graph_schema_jdbc(
     driver: str | None = None,
     links_table: str = "hawk_graph_links",
     entry_table: str = "hawk_graph_entry",
+    schema: str | None = None,
 ) -> bool:
     """Create the reference's two tables WITH their primary keys
     (migrations/20240909105321_init.up.sql: PRIMARY KEY (source_ref,
     layer) / PRIMARY KEY (id)) if absent — the PKs are what make the
     upsert's conflict target real. Idempotent: existing tables are left
-    untouched (Derby has no IF NOT EXISTS, so the CREATE error for an
-    existing table is swallowed)."""
+    untouched (Derby has no IF NOT EXISTS, so the already-exists CREATE
+    error — and only that error — is swallowed). ``schema`` isolates a
+    namespace (reference: throwaway `hawk_test_<rand>` schemas,
+    graph_pg.rs:159-214)."""
     url = url or os.environ.get("HAWK_PACK_JDBC_URL")
     if not url:
         return False
-    pg = _dialect(url) == "postgresql"
-    link_cols = _PG_LINK_TYPES if pg else _DERBY_LINK_TYPES
-    entry_cols = _PG_ENTRY_TYPES if pg else _DERBY_ENTRY_TYPES
-    prefix = "CREATE TABLE IF NOT EXISTS" if pg else "CREATE TABLE"
     _exec_updates(
         spark, url, driver,
-        [
-            f"{prefix} {links_table} ({link_cols}, "
-            f"PRIMARY KEY (source_ref, layer))",
-            f"{prefix} {entry_table} ({entry_cols}, PRIMARY KEY (id))",
-        ],
-        ignore_existing=not pg,
+        graph_schema_ddl(url, links_table, entry_table, schema),
+        ignore_existing=True,
     )
     return True
 
@@ -300,7 +353,8 @@ def upsert_graph_jdbc(
     driver: str | None = None,
     links_table: str = "hawk_graph_links",
     entry_table: str = "hawk_graph_entry",
-    jsonb: bool = False,
+    jsonb: bool | None = None,
+    schema: str | None = None,
 ) -> bool:
     """Merge a DELTA of graph rows into the live tables with the
     reference's upsert semantics (graph_pg.rs:111-115 `ON CONFLICT
@@ -316,48 +370,64 @@ def upsert_graph_jdbc(
     `MERGE` elsewhere — Derby in tests) moves stage → target. Links JSON
     above ~32 KB needs the Postgres dialect (Derby staging uses
     VARCHAR(32000) so the MERGE join can compare keys; CLOBs can't).
-    Returns False (no-op) when no JDBC URL is configured."""
+    ``jsonb`` (stage TEXT → target jsonb cast) defaults ON for the
+    Postgres dialect: helper-created PG schemas ARE jsonb, matching the
+    reference migration. Stage tables carry a unique per-call suffix and
+    are dropped in a finally, so concurrent writers against the same
+    database never clobber each other's staging data and a failed MERGE
+    doesn't leak stage tables (ADVICE r5). ``schema`` namespaces both
+    targets and stages. Returns False (no-op) when no JDBC URL is
+    configured."""
+    import uuid
+
     url = url or os.environ.get("HAWK_PACK_JDBC_URL")
     if not url:
         return False
     spark = links.sparkSession
-    ensure_graph_schema_jdbc(spark, url, driver, links_table, entry_table)
+    ensure_graph_schema_jdbc(spark, url, driver, links_table, entry_table,
+                             schema=schema)
     links_rows, entry_rows = to_pg_rows(links, entries)
     pg = _dialect(url) == "postgresql"
-    stage_l, stage_e = f"{links_table}_stage", f"{entry_table}_stage"
-    w = (
-        links_rows.write.format("jdbc").option("url", url)
-        .option("dbtable", stage_l)
-        .option(
-            "createTableColumnTypes",
-            _PG_LINK_TYPES if pg else _DERBY_LINK_TYPES,
+    if jsonb is None:
+        jsonb = pg
+    tok = uuid.uuid4().hex[:8]
+    stage_l = _qualified(schema, f"{links_table}_stage_{tok}")
+    stage_e = _qualified(schema, f"{entry_table}_stage_{tok}")
+    target_l = _qualified(schema, links_table)
+    target_e = _qualified(schema, entry_table)
+
+    def stage(rows: DataFrame, table: str, col_types: str) -> None:
+        w = (
+            rows.write.format("jdbc").option("url", url)
+            .option("dbtable", table)
+            .option("createTableColumnTypes", col_types)
         )
-    )
-    if driver:
-        w = w.option("driver", driver)
-    w.mode("overwrite").save()
-    w = (
-        entry_rows.write.format("jdbc").option("url", url)
-        .option("dbtable", stage_e)
-        .option(
-            "createTableColumnTypes",
-            _PG_ENTRY_TYPES if pg else _DERBY_ENTRY_TYPES,
+        if driver:
+            w = w.option("driver", driver)
+        w.mode("overwrite").save()
+
+    try:
+        stage(links_rows, stage_l,
+              _PG_LINK_STAGE_TYPES if pg else _DERBY_LINK_TYPES)
+        stage(entry_rows, stage_e,
+              _PG_ENTRY_STAGE_TYPES if pg else _DERBY_ENTRY_TYPES)
+        _exec_updates(
+            spark, url, driver,
+            [
+                _upsert_sql(url, target_l, stage_l,
+                            ["source_ref", "layer"], ["links"], jsonb=jsonb),
+                _upsert_sql(url, target_e, stage_e, ["id"], ["entry_point"],
+                            jsonb=jsonb),
+            ],
         )
-    )
-    if driver:
-        w = w.option("driver", driver)
-    w.mode("overwrite").save()
-    _exec_updates(
-        spark, url, driver,
-        [
-            _upsert_sql(url, links_table, stage_l,
-                        ["source_ref", "layer"], ["links"], jsonb=jsonb),
-            _upsert_sql(url, entry_table, stage_e, ["id"], ["entry_point"],
-                        jsonb=jsonb),
-            f"DROP TABLE {stage_l}",
-            f"DROP TABLE {stage_e}",
-        ],
-    )
+    finally:
+        try:
+            _exec_updates(
+                spark, url, driver,
+                [f"DROP TABLE {stage_l}", f"DROP TABLE {stage_e}"],
+            )
+        except Exception:  # stage may not exist if staging itself failed
+            pass
     return True
 
 
@@ -367,6 +437,7 @@ def import_graph_jdbc(
     driver: str | None = None,
     links_table: str = "hawk_graph_links",
     entry_table: str = "hawk_graph_entry",
+    schema: str | None = None,
 ) -> tuple[DataFrame, DataFrame] | None:
     """Inverse of `export_graph_jdbc`: read the two Postgres-layout
     tables back and parse into the normalized (links, entries) views.
@@ -376,7 +447,10 @@ def import_graph_jdbc(
         return None
 
     def read(table: str) -> DataFrame:
-        r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+        r = (
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", _qualified(schema, table))
+        )
         if driver:
             r = r.option("driver", driver)
         return r.load()

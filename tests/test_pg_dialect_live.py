@@ -1,0 +1,185 @@
+"""Execute the Postgres dialect branch against a REAL Postgres server
+(VERDICT r5 #6: the `ON CONFLICT` path had never run on PG in any
+round).
+
+The container ships Postgres 15 binaries but no PG JDBC driver jar, so
+Spark's JDBC transport cannot reach it — but the dialect branch's
+entire SQL surface (`graph_schema_ddl` DDL with jsonb column types,
+`_upsert_sql`'s `INSERT ... ON CONFLICT ... DO UPDATE` with TEXT→jsonb
+casts) is statement text, executed driver-side in production
+(`_exec_updates`). Here the same statements run through psql against a
+throwaway initdb cluster: grammar, conflict-target validity, jsonb
+casting, and upsert semantics are all exercised for real. The Spark
+transport half is live-tested on Derby (test_graph_store.py); the
+env-gated test_jdbc_upsert_live_postgres covers the full stack when a
+driver jar is provided.
+
+Reference analog: graph_pg.rs:111-115 (ON CONFLICT upsert), :159-214
+(throwaway-schema tests), migrations/20240909105321_init.up.sql (jsonb
+layout).
+
+Postgres refuses to run as root, so the cluster runs as `nobody` over a
+unix socket; skips cleanly when the binaries or user are unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import pwd
+import shutil
+import subprocess
+
+import pytest
+
+from hawk_pack_spark.sources.graph_io import _upsert_sql, graph_schema_ddl
+
+PG_URL = "jdbc:postgresql://localhost/hawk"  # dialect selector only
+
+
+def _have_pg() -> bool:
+    return all(shutil.which(b) for b in ("initdb", "pg_ctl", "psql"))
+
+
+@pytest.fixture(scope="module")
+def pg(tmp_path_factory):
+    if not _have_pg():
+        pytest.skip("Postgres binaries not installed")
+    if os.geteuid() != 0:
+        pytest.skip("needs root to drop to the nobody user")
+    try:
+        pwd.getpwnam("nobody")
+    except KeyError:
+        pytest.skip("no nobody user")
+    # NOT tmp_path: pytest's root-owned 0700 ancestors block the nobody
+    # user from traversing into the cluster dir
+    import pathlib
+    import tempfile
+
+    base = pathlib.Path(tempfile.mkdtemp(prefix="hawk_pglive_", dir="/tmp"))
+    data, sock = base / "data", base / "sock"
+    sock.mkdir()
+    subprocess.run(["chown", "-R", "nobody", str(base)], check=True)
+
+    def as_nobody(cmd: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            ["su", "nobody", "-s", "/bin/bash", "-c", cmd],
+            cwd="/tmp", capture_output=True, text=True,
+        )
+
+    r = as_nobody(f"initdb -D {data} -A trust --no-sync")
+    if r.returncode != 0:
+        pytest.skip(f"initdb failed: {r.stderr[-300:]}")
+    r = as_nobody(
+        f"pg_ctl -D {data} -l {base}/log -w "
+        f"-o \"-k {sock} -p 54329 -c listen_addresses='' -F\" start"
+    )
+    if r.returncode != 0:
+        pytest.skip(f"pg_ctl start failed: {r.stderr[-300:]}")
+    try:
+        yield sock
+    finally:
+        as_nobody(f"pg_ctl -D {data} -m immediate stop")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def psql(sock, sql: str) -> str:
+    """Run one statement; raise on SQL error (psql -v ON_ERROR_STOP)."""
+    r = subprocess.run(
+        ["psql", "-h", str(sock), "-p", "54329", "-U", "nobody",
+         "-d", "postgres", "-v", "ON_ERROR_STOP=1", "-qAt", "-c", sql],
+        capture_output=True, text=True, cwd="/tmp",
+    )
+    if r.returncode != 0:
+        raise AssertionError(f"psql failed on {sql!r}: {r.stderr}")
+    return r.stdout.strip()
+
+
+def test_pg_ddl_and_on_conflict_upsert_execute_live(pg):
+    """The exact statements the PG branch generates run green on a real
+    server: schema-namespaced jsonb DDL; staged TEXT rows; ON CONFLICT
+    upsert with jsonb casts; update-in-place + insert + untouched-row
+    semantics; jsonb decodability (what the reference's sqlx Json
+    decode requires)."""
+    schema = "hawk_test_77"
+    for stmt in graph_schema_ddl(PG_URL, schema=schema):
+        psql(pg, stmt)
+    # idempotent re-run (IF NOT EXISTS path)
+    for stmt in graph_schema_ddl(PG_URL, schema=schema):
+        psql(pg, stmt)
+    # jsonb column types = the reference migration's layout
+    types = psql(
+        pg,
+        "SELECT column_name || ':' || data_type FROM information_schema.columns "
+        f"WHERE table_schema = '{schema}' AND table_name = 'hawk_graph_links' "
+        "ORDER BY ordinal_position",
+    ).splitlines()
+    assert types == [
+        "source_ref:character varying", "layer:integer", "links:jsonb"
+    ]
+    assert psql(
+        pg,
+        "SELECT data_type FROM information_schema.columns WHERE "
+        f"table_schema = '{schema}' AND table_name = 'hawk_graph_entry' "
+        "AND column_name = 'entry_point'",
+    ) == "jsonb"
+
+    # stage what Spark's JDBC writer would stage: quoted lowercase TEXT
+    # columns (the writer quotes names; values are the to_pg_rows JSON)
+    stage = f"{schema}.hawk_graph_links_stage_cafe0001"
+    psql(pg, f'CREATE TABLE {stage} ("source_ref" VARCHAR(64), '
+             '"layer" INTEGER, "links" TEXT)')
+    psql(pg, f"INSERT INTO {stage} VALUES "
+             "('7', 0, '[[8,1.5],[9,2.5]]'), ('7', 1, '[[8,0.5]]'), "
+             "('8', 0, '[[7,1.5]]')")
+    up = _upsert_sql(PG_URL, f"{schema}.hawk_graph_links", stage,
+                     ["source_ref", "layer"], ["links"], jsonb=True)
+    assert "ON CONFLICT (source_ref, layer) DO UPDATE" in up
+    psql(pg, up)
+    assert psql(pg, f"SELECT count(*) FROM {schema}.hawk_graph_links") == "3"
+
+    # delta: update (7,0) in place, insert (9,0); (7,1)/(8,0) untouched
+    psql(pg, f"DELETE FROM {stage}")
+    psql(pg, f"INSERT INTO {stage} VALUES "
+             "('7', 0, '[[9,0.25]]'), ('9', 0, '[[7,3.5]]')")
+    psql(pg, up)
+    rows = psql(
+        pg,
+        f"SELECT source_ref || '/' || layer || '=' || links::text "
+        f"FROM {schema}.hawk_graph_links ORDER BY source_ref, layer",
+    ).splitlines()
+    assert rows == [
+        "7/0=[[9, 0.25]]", "7/1=[[8, 0.5]]", "8/0=[[7, 1.5]]",
+        "9/0=[[7, 3.5]]",
+    ]
+    # decodable as the reference's Vec<(V, D)> — elements are numbers
+    assert psql(
+        pg,
+        f"SELECT jsonb_typeof(links), links->0->>0, links->0->>1 "
+        f"FROM {schema}.hawk_graph_links WHERE source_ref='7' AND layer=0",
+    ) == "array|9|0.25"
+
+    # entry table: ON CONFLICT (id) upsert of the EntryPoint jsonb
+    estage = f"{schema}.hawk_graph_entry_stage_cafe0001"
+    psql(pg, f'CREATE TABLE {estage} ("entry_point" TEXT, "id" INTEGER)')
+    psql(pg, f"INSERT INTO {estage} VALUES "
+             "('{\"point\":7,\"layer\":1}', 0)")
+    eup = _upsert_sql(PG_URL, f"{schema}.hawk_graph_entry", estage,
+                      ["id"], ["entry_point"], jsonb=True)
+    psql(pg, eup)
+    psql(pg, f"DELETE FROM {estage}")
+    psql(pg, f"INSERT INTO {estage} VALUES "
+             "('{\"point\":9,\"layer\":2}', 0)")
+    psql(pg, eup)  # conflict on id=0 -> update in place
+    assert psql(
+        pg,
+        f"SELECT entry_point->>'point' || '/' || (entry_point->>'layer') "
+        f"FROM {schema}.hawk_graph_entry",
+    ) == "9/2"
+
+    # second schema is fully isolated (reference's throwaway-schema
+    # pattern): same table names, zero rows visible across namespaces
+    other = "hawk_test_78"
+    for stmt in graph_schema_ddl(PG_URL, schema=other):
+        psql(pg, stmt)
+    assert psql(pg, f"SELECT count(*) FROM {other}.hawk_graph_links") == "0"
+    assert psql(pg, f"SELECT count(*) FROM {schema}.hawk_graph_links") == "4"
