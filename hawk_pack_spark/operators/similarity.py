@@ -412,7 +412,15 @@ def hamming_topk_numpy(
         codes = codes[order]
         n_codes = len(ids)
         kk = min(k, n_codes)
-        Q_CHUNK, C_BLOCK = 128, 1 << 18
+        # tile shape from a fixed memory budget (ADVICE r5): the XOR
+        # output (8 B) + LUT-gather intermediate (~4 B as u16 nibbles)
+        # per cell is ~12 B in flight; several mapInPandas tasks run per
+        # executor, so an unbounded 128×2^18 tile (~0.5-0.8 GB transient
+        # per task) could OOM modest workers. Cap the tile at ~96 MB —
+        # block size shrinks only when the query chunk is actually full.
+        Q_CHUNK = 128
+        budget = 96 << 20
+        C_BLOCK = max(1 << 14, budget // (min(Q_CHUNK, nq) * 12))
         rows = []
         for q0 in range(0, nq, Q_CHUNK):
             q1 = min(q0 + Q_CHUNK, nq)
