@@ -1605,6 +1605,104 @@ SELECT CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_results,
 """
 
 
+def q_serving_restart_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The restartable-serving story as one driver row (VERDICT r5 #4):
+    save_serving_index → load_serving_index → `ann_search` through the
+    bundle — covering the serving manifest (graph + centroids + params
+    in one directory), frozen-CSR rehydration (both serving call sites
+    search frozen), and the crossover dispatch front door, oracle-
+    checked. Reference analog: GraphPg's restartable-store premise
+    (graph_pg.rs:24-50) with HawkerParams traveling as state.
+
+    Booleans computed live; any violation flips one and fails the hash:
+    - blas_exact_ok: a small full-fan batch through the MATERIALIZED
+      bundle dispatches to the exact scan and returns exactly the exact
+      kNN's rows;
+    - selective_serving_ok: a selective probe (clones routed to 1 of 8
+      shards) through the LAZY (file-backed, partition-prunable) bundle
+      dispatches to serving and returns exactly the direct
+      search_serving rows (no recall gate here: the shared catalog index
+      is id-hash sharded, so a 1-of-8 probe legitimately misses true
+      neighbors — routed-recall is gated where the index is
+      content-sharded, tests/test_hnsw_spark.py);
+    - params_roundtrip_ok: metric/params/num_shards survive the
+      manifest round-trip."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.sources.graph_io import (
+        load_serving_index,
+        save_serving_index,
+    )
+
+    emb, index = _hnsw_index(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    mdir = tempfile.mkdtemp(prefix="hawk_manifest_cat_")
+    try:
+        save_serving_index(index, mdir, params=_HNSW_PARAMS, metric="l2_sq")
+        lazy = load_serving_index(spark, mdir)
+        mat = load_serving_index(spark, mdir, materialize=True)
+
+        def rows(df: DataFrame) -> set:
+            return {(r.query_id, r.vec_id, r.rank) for r in df.collect()}
+
+        # (a) materialized bundle, 10-query full fan → exact-scan path
+        dec_a: dict = {}
+        got_a = rows(hnsw.ann_search(mat, queries, k=10, decision_out=dec_a))
+        exact_df = knn_exact(emb, queries, k=10, metric="l2_sq")
+        exact = rows(exact_df)
+        blas_exact_ok = dec_a["path"] == "blas" and got_a == exact
+
+        # (b) lazy bundle, clone batch probing 1 of 8 shards → serving
+        v0 = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        clones = spark.createDataFrame(
+            [(i, v0) for i in range(5)],
+            "query_id long, query_vec array<double>",
+        )
+        dec_b: dict = {}
+        got_b = rows(
+            hnsw.ann_search(lazy, clones, k=10, nprobe_shards=1,
+                            decision_out=dec_b)
+        )
+        direct_b = rows(
+            hnsw.search_serving(
+                lazy.index, clones, k=10, metric=lazy.metric,
+                params=lazy.params, nprobe_shards=1, centroids=lazy.centroids,
+            )
+        )
+        selective_serving_ok = (
+            dec_b["path"] == "serving" and len(got_b) == 50
+            and got_b == direct_b
+        )
+
+        params_roundtrip_ok = (
+            lazy.metric == "l2_sq"
+            and lazy.params == _HNSW_PARAMS
+            and lazy.num_shards == 8
+            and mat.params == _HNSW_PARAMS
+        )
+        return spark.createDataFrame(
+            [(
+                len({q for q, _, _ in got_a}), len(got_a),
+                bool(blas_exact_ok),
+                bool(selective_serving_ok), bool(params_roundtrip_ok),
+            )],
+            "n_queries long, n_results long, blas_exact_ok boolean, "
+            "selective_serving_ok boolean, params_roundtrip_ok boolean",
+        )
+    finally:
+        shutil.rmtree(mdir, ignore_errors=True)
+
+
+SERVING_RESTART_SQL = """
+SELECT CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_results,
+       TRUE AS blas_exact_ok, TRUE AS selective_serving_ok,
+       TRUE AS params_roundtrip_ok
+"""
+
+
 def q_hnsw_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MUTATION surface as one invariant row (reference insert
     lifecycle, SURVEY §3 EP2): 20 perturbed twins batch-insert into the
@@ -3776,6 +3874,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "hnsw_links_stats": QuerySpec(q_hnsw_links_stats, HNSW_LINKS_STATS_SQL, "HNSW graph degree/membership invariants"),
     "hnsw_search_l2": QuerySpec(q_hnsw_search_l2, HNSW_SEARCH_SUMMARY_SQL, "sharded HNSW ANN search vs exact recall"),
     "hnsw_serving_search_l2": QuerySpec(q_hnsw_serving_search_l2, HNSW_SERVING_SUMMARY_SQL, "serving-path (broadcast-query, zero-shuffle) search ≡ cogroup path + recall gate"),
+    "serving_restart_dispatch": QuerySpec(q_serving_restart_dispatch, SERVING_RESTART_SQL, "manifest save→load→ann_search: restartable serving unit + frozen-CSR rehydration + dispatch front door, path and row equality asserted live"),
     "hnsw_insert_roundtrip": QuerySpec(q_hnsw_insert_roundtrip, HNSW_INSERT_SQL, "two-phase batch insert + is_match dedup gate as one invariant row"),
     "hnsw_delete_repair": QuerySpec(q_hnsw_delete_repair, HNSW_DELETE_SQL, "exact delete + bridge repair: no dangling edges, degree bounds, survivor self-recall"),
     "graph_rekey_roundtrip": QuerySpec(q_graph_rekey_roundtrip, GRAPH_REKEY_SQL, "GraphMem::from_another re-key bijection roundtrip + dist-map hook as one invariant row"),
@@ -3909,6 +4008,10 @@ _PINNED_NAMES = [
         "nfc_normalize_docs", "alg4_clustered_connectivity",
         # late-r5 debut: rotates in via never-recorded-first ordering.
         "sketch_summary",
+        # r6 debut (never-recorded-first), plus simhash_groups unpinned
+        # to widen the window to 5 rotating slots — its family coverage
+        # stays pinned via simhash_hamming_knn and lsh_hamming_pairs.
+        "serving_restart_dispatch", "simhash_groups",
     }
 ]
 
