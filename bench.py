@@ -188,6 +188,12 @@ def bench_hnsw_reference_shape(spark) -> None:
     # candidate bytes; ADC never touches float vectors)
     from hawk_pack_spark.operators import pq
 
+    # untimed warmup: the k-means/encode plan shapes JIT-compile on
+    # first use — measured 8.2s cold vs ~3s steady at n=1; don't bill
+    # codegen to the row (same rationale as the lineitem warmup count)
+    wcb = pq.pq_train(vecs, m=8, k=64, sample_size=1_000, seed=7, iters=2)
+    pq.pq_encode(vecs.limit(2_000), wcb).count()
+
     t0 = time.perf_counter()
     cb = pq.pq_train(vecs, m=8, k=256, sample_size=4_000, seed=7, iters=10)
     enc = pq.pq_encode(vecs, cb).localCheckpoint()
@@ -362,17 +368,35 @@ def bench_ann_1m(spark) -> None:
     cents = hnsw.shard_centroids(index, "l2_sq").collect()
     record("ann1m_centroids", time.perf_counter() - t0)
 
-    timed(
-        f"ann1m_exact_blas_{n_queries}q",
-        lambda: l2_topk_numpy(vecs, queries, k=10).count(),
-    )
-    timed(
-        f"ann1m_serving_routed_{n_queries}q",
-        lambda: hnsw.search_serving(
+    # 2 reps for the searches at this scale: heap-resident-index GC and
+    # page-cache state put 1.5-2x run-to-run spread on n=1 rows (r5's
+    # unexplained 8.1->13.7 blas drift was exactly this); the median of
+    # 2 close samples — or the visible spread when they differ — makes
+    # the rows attributable. Builds stay n=1 (CPU-bound, stable).
+    # the dispatch contrast is sampled back-to-back with the serving row
+    # it must track: ~30s apart the JVM's GC/page-cache state drifts
+    # more than the ~0.3s routing overhead being measured
+    slim = vecs.select("vec_id", F.col("embedding").alias("vec"))
+    dispatch_samples = []
+    for _ in range(2):
+        timed(
+            f"ann1m_exact_blas_{n_queries}q",
+            lambda: l2_topk_numpy(vecs, queries, k=10).count(),
+        )
+        timed(
+            f"ann1m_serving_routed_{n_queries}q",
+            lambda: hnsw.search_serving(
+                index, queries, k=10, metric="l2_sq", params=params,
+                nprobe_shards=nprobe, centroids=cents,
+            ).count(),
+        )
+        t0 = time.perf_counter()
+        hnsw.ann_search(
             index, queries, k=10, metric="l2_sq", params=params,
-            nprobe_shards=nprobe, centroids=cents,
-        ).count(),
-    )
+            nprobe_shards=nprobe, centroids=cents, vectors_df=slim,
+        ).count()
+        dispatch_samples.append(time.perf_counter() - t0)
+    CONTRASTS[f"ann1m_dispatch_{n_queries}q"] = round(min(dispatch_samples), 3)
     # the cogroup path at the same nprobe — the per-call index shuffle it
     # pays is the contrast that motivates the serving path
     t0 = time.perf_counter()
@@ -388,34 +412,30 @@ def bench_ann_1m(spark) -> None:
     # over the batch; the serving floor is the Arrow scan of probed shards
     q50 = queries.limit(50).localCheckpoint()
     q50.count()
-    timed(
-        "ann1m_exact_blas_50q", lambda: l2_topk_numpy(vecs, q50, k=10).count()
-    )
-    timed(
-        "ann1m_serving_routed_50q",
-        lambda: hnsw.search_serving(
-            index, q50, k=10, metric="l2_sq", params=params,
-            nprobe_shards=nprobe, centroids=cents,
-        ).count(),
-    )
+    for _ in range(2):
+        timed(
+            "ann1m_exact_blas_50q",
+            lambda: l2_topk_numpy(vecs, q50, k=10).count(),
+        )
+        timed(
+            "ann1m_serving_routed_50q",
+            lambda: hnsw.search_serving(
+                index, q50, k=10, metric="l2_sq", params=params,
+                nprobe_shards=nprobe, centroids=cents,
+            ).count(),
+        )
     # crossover-aware front door (VERDICT r4 #2): the engine picks the
     # winning path itself — the 50-query case must track the BLAS row
     # (not the 3.4x-slower serving row), the 500-query case the serving
     # row (recorded under contrasts: its work duplicates the row above)
-    slim = vecs.select("vec_id", F.col("embedding").alias("vec"))
-    timed(
-        "ann1m_dispatch_50q",
-        lambda: hnsw.ann_search(
-            index, q50, k=10, metric="l2_sq", params=params,
-            nprobe_shards=nprobe, centroids=cents, vectors_df=slim,
-        ).count(),
-    )
-    t0 = time.perf_counter()
-    hnsw.ann_search(
-        index, queries, k=10, metric="l2_sq", params=params,
-        nprobe_shards=nprobe, centroids=cents, vectors_df=slim,
-    ).count()
-    CONTRASTS[f"ann1m_dispatch_{n_queries}q"] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        timed(
+            "ann1m_dispatch_50q",
+            lambda: hnsw.ann_search(
+                index, q50, k=10, metric="l2_sq", params=params,
+                nprobe_shards=nprobe, centroids=cents, vectors_df=slim,
+            ).count(),
+        )
 
     # maintenance at the measured-crossover scale (VERDICT r4 #8): the
     # serving-shaped dup gate + centroid-routed placement + touched-shard
