@@ -48,7 +48,16 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        # media_id is mixed into the raw bytes so every payload is
+        # UNIQUE by construction even when source texts repeat (real
+        # media are rarely byte-identical; scaled fixtures replicate
+        # texts verbatim, and byte-identical payloads would make the
+        # extracted features exact ties — degenerate for ANN
+        # self-recall at any SF where texts collide)
+        F.encode(
+            F.concat(F.col("text"), F.lit(" #"), F.col("doc_id").cast("string")),
+            "utf-8",
+        ).alias("payload"),
         F.struct(
             (F.col("n_chars") % 640).cast("int").alias("width"),
             (F.col("n_chars") % 480).cast("int").alias("height"),

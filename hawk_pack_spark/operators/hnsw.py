@@ -1160,6 +1160,14 @@ def delete_from_index(index_df: DataFrame, delete_ids: DataFrame,
                 distance_expr(metric, F.col("_ps"), F.col("_pd")).alias("dist"),
             )
         )
+        # Bridges are FORWARD-only, deliberately. Bidirectional bridging
+        # (the connect_bidir shape) was measured at the r6 sf1 gate on a
+        # 20k clustered corpus deleting 10%: the reverse edges densify
+        # the M_max re-trim competition and EVICT other nodes' only
+        # in-edges — 16 unreachable survivors vs 1 with forward-only.
+        # Repair is approximate by contract (see docstring); the exact
+        # path for accumulated damage is fragmented_shards +
+        # rebuild_shards.
         m_max0, m_max = params.get_M_max(0), params.get_M_max(1)
         w = Window.partitionBy("shard", "layer", "src").orderBy(
             F.col("dist").asc(), F.col("dst").asc()

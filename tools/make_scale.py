@@ -80,10 +80,70 @@ def main() -> None:
                     df.schema[col].dataType
                 ),
             )
-        # embeddings/documents near-dup queries plant their own twins at
-        # runtime; identical replicated vectors would make exact dedup
-        # degenerate (every vector has K copies), which IS the stress
-        # shape for dedup operators — keep it, that's the point.
+        # documents.text replicates VERBATIM on purpose — K exact copies
+        # of every doc is the stress shape for the dedup operators, and
+        # both engines see the same parquet so parity is unaffected.
+        # embeddings are PERTURBED per replica instead, and the
+        # perturbation must clear TWO bars at once (measured the hard
+        # way at the r6 sf1 gate): (a) exact-identity oracles
+        # (self-recall, delete+repair) assume a vector's dist-0 nearest
+        # neighbor is itself — K exact copies make it a K-way tie; and
+        # (b) NEAR-dup oracles (semdedup at cos 0.9) assume only their
+        # runtime-planted twins are near — a tiny +1e-5 shift left
+        # replicas at cos 0.9999 and the engine correctly reported all
+        # 90,000 replica pairs the constant oracle doesn't model. So
+        # replicas get a hash-random delta EXPLICITLY ORTHOGONALIZED
+        # against the vector (Gram-Schmidt) and scaled to the vector's
+        # own norm, so replica-to-base cos = 1/sqrt(2) ≈ 0.707 exactly
+        # by construction and replica-to-replica ≈ 0.5. (Two cheaper
+        # attempts measured and rejected at the r6 sf1 gate: phase-
+        # varied sine deltas live in a 2-D subspace — cross-rep corr up
+        # to 0.87; frequency-varied deltas decorrelate from each other
+        # but can ALIGN WITH THE FIXTURE VECTOR itself for some ids —
+        # replica cos 0.99.) Distinct identities below every near-dup
+        # threshold, a realistic 10-cluster-per-base ANN corpus.
+        if t == "embeddings":
+            dbl = F.transform("embedding", lambda x: x.cast("double"))
+            scaled = scaled.withColumn("_v", dbl).withColumn(
+                "_d",
+                F.transform(
+                    "_v",
+                    lambda x, i: F.sin(
+                        F.xxhash64(F.col(key), F.col("_rep"), i).cast("double")
+                        * 1e-9
+                    ),
+                ),
+            )
+            dot = lambda a, b: F.aggregate(  # noqa: E731
+                F.zip_with(a, b, lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            scaled = (
+                scaled.withColumn("_vv", dot("_v", "_v"))
+                .withColumn("_beta", dot("_d", "_v") / F.col("_vv"))
+                .withColumn(
+                    "_p",
+                    F.zip_with(
+                        "_d", "_v", lambda d, v: d - F.col("_beta") * v
+                    ),
+                )
+                .withColumn("_pp", dot("_p", "_p"))
+                .withColumn(
+                    "embedding",
+                    F.when(
+                        (F.col("_rep") > 0) & (F.col("_vv") > 0)
+                        & (F.col("_pp") > 0),
+                        F.zip_with(
+                            "_v", "_p",
+                            lambda v, p: (
+                                v
+                                + F.sqrt(F.col("_vv") / F.col("_pp")) * p
+                            ).cast("float"),
+                        ),
+                    ).otherwise(F.col("embedding")),
+                )
+                .drop("_v", "_d", "_vv", "_beta", "_p", "_pp")
+            )
         scaled.drop("_rep").repartition(32).write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
