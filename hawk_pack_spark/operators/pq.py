@@ -118,6 +118,195 @@ def pq_encode(
     )
 
 
+def ivfpq_build(
+    vectors: DataFrame,
+    n_clusters: int = 64,
+    m: int = 8,
+    k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    kmeans_iter: int = 10,
+    fit_fraction: float | None = None,
+    sample_size: int = 20_000,
+    pq_iters: int = 20,
+):
+    """IVF-PQ: coarse k-means cells + PQ over RESIDUALS (v − centroid)
+    — the byte-budgeted disk/memory index. The r5 10M ladder measured
+    flat PQ losing on dense iid vectors (recall 0.16: quantization
+    distortion vs shrinking NN separations); residual encoding is the
+    standard fix — cell centroids absorb the coarse position so the
+    codebooks spend their 8 bytes on LOCAL structure — and cell routing
+    makes the scan partition-prunable (per-query I/O tracks nprobe,
+    like the serving path).
+
+    Measured domain (r6, same byte budget as flat PQ): on a CLUSTERED
+    corpus (40 clusters, radius 0.12 vs spread 1.0) residual ADC recall
+    0.358 vs flat 0.235, re-rank 0.84 probing 4/32 cells; on near-iid
+    fixtures residual does NOT beat flat (0.36 vs 0.52 — per-cell LUTs
+    make cross-cell ranking noisier; same physics family as the r5
+    negative result), where ivfpq's value is the pruned scan, not
+    recall. Both pinned in tests/test_pq.py.
+
+    Returns (encoded, centers, codebooks): ``encoded`` is
+    (vec_id, cell, codes ARRAY<SMALLINT>[m]) — write it
+    ``partitionBy("cell")`` for a pruned on-disk layout; ``centers``
+    the coarse centroid list (driver-held routing metadata, same shape
+    as `ivf_build`'s); ``codebooks`` the (m, k, d/m) numpy array."""
+    from hawk_pack_spark.operators.similarity import ivf_build
+
+    assigned, centers = ivf_build(
+        vectors, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col,
+        seed=seed, max_iter=kmeans_iter, fit_fraction=fit_fraction,
+    )
+    spark = vectors.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cluster int, _center array<double>",
+    )
+    resid = assigned.join(F.broadcast(centers_df), "cluster").select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cell"),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), "_center",
+            lambda v, c: v - c,
+        ).alias("_resid"),
+    )
+    codebooks = pq_train(
+        resid, m=m, k=k, vec_col="_resid", sample_size=sample_size,
+        seed=seed, iters=pq_iters,
+    )
+    enc = pq_encode(resid, codebooks, id_col="vec_id", vec_col="_resid")
+    encoded = enc.join(resid.select("vec_id", "cell"), "vec_id").select(
+        "vec_id", "cell", "codes"
+    )
+    return encoded, centers, codebooks
+
+
+def ivfpq_search(
+    encoded: DataFrame,
+    centers: list,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    kth: int = 10,
+    nprobe: int = 8,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    rerank_with: DataFrame | None = None,
+    oversample: int = 5,
+) -> DataFrame:
+    """ADC top-k over an IVF-PQ index: route each query to its nprobe
+    nearest cells driver-side (numpy over the tiny centroid matrix),
+    JVM-filter the scan to the probed-cell union (PartitionFilters when
+    the codes are cell-partitioned on disk), and gather-sum residual
+    LUTs per (query, probed cell) — the LUT absorbs the query-minus-
+    centroid offset, so ADC stays an 8-byte-per-row scan. Optional
+    exact re-rank on an ``oversample``·k shortlist, same as
+    `pq_search`. Returns (query_id, vec_id, dist, rank)."""
+    spark = encoded.sparkSession
+    q_rows = queries.select(
+        F.col(query_id).cast("long"), F.col(query_col).cast("array<double>")
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, dist double, rank int"
+        )
+    qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    qx = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    c_mat = np.asarray(centers, dtype=np.float64)
+    cd = (
+        (qx * qx).sum(1, keepdims=True)
+        - 2.0 * qx @ c_mat.T
+        + (c_mat * c_mat).sum(1)[None, :]
+    )
+    npb = min(nprobe, len(c_mat))
+    order = np.argsort(cd, axis=1, kind="stable")[:, :npb]
+    routed: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in order[qi]:
+            routed.setdefault(int(c), []).append(qi)
+    shortlist_k = kth * oversample if rerank_with is not None else kth
+    bc = spark.sparkContext.broadcast(
+        (qids, qx, c_mat, codebooks, routed, shortlist_k)
+    )
+    scan = encoded.where(F.col("cell").isin(list(routed)))
+
+    def part_topk(batches):
+        import pandas as pd
+
+        qids_, qx_, c_mat_, cb, routed_, kth_ = bc.value
+        m_, _, sub = cb.shape
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        whole = pd.concat(parts, ignore_index=True)
+        out = []
+        for cell, pdf in whole.groupby("cell", sort=False):
+            q_idx = routed_.get(int(cell))
+            if not q_idx:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # residual queries for this cell, LUT per routed query
+            rq = qx_[q_idx] - c_mat_[int(cell)][None, :]
+            pos = np.arange(m_)[None, :]
+            for j, qi in enumerate(q_idx):
+                lut = np.empty((m_, cb.shape[1]), dtype=np.float64)
+                for i in range(m_):
+                    part = rq[j, i * sub : (i + 1) * sub]
+                    lut[i] = (
+                        (part * part).sum()
+                        - 2.0 * cb[i] @ part
+                        + (cb[i] * cb[i]).sum(1)
+                    )
+                d = lut[pos, codes].sum(1)
+                take = min(kth_, len(d))
+                idx = np.argpartition(d, take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids_[qi],
+                            "vec_id": ids[idx],
+                            "dist": d[idx],
+                        }
+                    )
+                )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    partial = scan.mapInPandas(
+        part_topk, "query_id long, vec_id long, dist double"
+    )
+    adc = topk_rows(
+        partial, ["query_id"], "dist", shortlist_k, tie_cols=["vec_id"]
+    ).select("query_id", "vec_id", "dist", "rank")
+    if rerank_with is None:
+        return adc
+
+    from hawk_pack_spark.functions.distance import distance_expr
+
+    qdf = F.broadcast(
+        queries.select(
+            F.col(query_id).cast("long").alias("query_id"),
+            F.col(query_col).cast("array<double>").alias("qv"),
+        )
+    )
+    exact = (
+        adc.select("query_id", "vec_id")
+        .join(rerank_with.select(
+            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+        ), "vec_id")
+        .join(qdf, "query_id")
+        .select(
+            "query_id", "vec_id",
+            distance_expr("l2_sq", F.col("qv"), F.col("v")).alias("dist"),
+        )
+    )
+    return topk_rows(exact, ["query_id"], "dist", kth, tie_cols=["vec_id"]).select(
+        "query_id", "vec_id", "dist", "rank"
+    )
+
+
 def pq_search(
     encoded: DataFrame,
     codebooks: np.ndarray,

@@ -2551,6 +2551,30 @@ FROM embeddings WHERE vec_id % 100 = 3
 """
 
 
+def q_ivfpq_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (r6, operators/pq.py ivfpq_build/ivfpq_search): coarse
+    cells + PQ over residuals, routed ADC + exact re-rank — the
+    byte-budgeted, partition-prunable index. Summarized against the
+    exact kNN in the same job; nprobe covers every cell here so the
+    gate tests the residual-ADC + re-rank pipeline, not routing loss
+    (routing/pruning is pinned in tests/test_pq.py)."""
+    from hawk_pack_spark.operators import pq
+
+    vecs = _embeddings_vectors(spark, sf_dir)
+    encoded, centers, cb = pq.ivfpq_build(
+        vecs, n_clusters=8, m=8, k=64, seed=7
+    )
+    queries = vecs.where(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = pq.ivfpq_search(
+        encoded, centers, cb, queries, kth=10, nprobe=8,
+        rerank_with=vecs, oversample=20,
+    )
+    exact = knn_exact(vecs, queries, k=10, metric="l2_sq")
+    return _ann_summary(ann, exact, k=10, min_recall=0.8)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval over the documents fixture (operators/bm25.py):
     postings + idf + length-normalized tf scoring, top-10 per query.
@@ -3909,6 +3933,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "hnsw_search_l2": QuerySpec(q_hnsw_search_l2, HNSW_SEARCH_SUMMARY_SQL, "sharded HNSW ANN search vs exact recall"),
     "hnsw_serving_search_l2": QuerySpec(q_hnsw_serving_search_l2, HNSW_SERVING_SUMMARY_SQL, "serving-path (broadcast-query, zero-shuffle) search ≡ cogroup path + recall gate"),
     "serving_restart_dispatch": QuerySpec(q_serving_restart_dispatch, SERVING_RESTART_SQL, "manifest save→load→ann_search: restartable serving unit + frozen-CSR rehydration + dispatch front door, path and row equality asserted live"),
+    "ivfpq_ann_l2": QuerySpec(q_ivfpq_ann_l2, PQ_SUMMARY_SQL, "IVF-PQ (residual codebooks, routed ADC, exact re-rank): the byte-budgeted partition-prunable index vs exact kNN"),
     "hnsw_insert_roundtrip": QuerySpec(q_hnsw_insert_roundtrip, HNSW_INSERT_SQL, "two-phase batch insert + is_match dedup gate as one invariant row"),
     "hnsw_delete_repair": QuerySpec(q_hnsw_delete_repair, HNSW_DELETE_SQL, "exact delete + bridge repair: no dangling edges, degree bounds, survivor self-recall"),
     "graph_rekey_roundtrip": QuerySpec(q_graph_rekey_roundtrip, GRAPH_REKEY_SQL, "GraphMem::from_another re-key bijection roundtrip + dist-map hook as one invariant row"),
@@ -4046,6 +4071,11 @@ _PINNED_NAMES = [
         # to widen the window to 5 rotating slots — its family coverage
         # stays pinned via simhash_hamming_knn and lsh_hamming_pairs.
         "serving_restart_dispatch", "simhash_groups",
+        # r6 tail debut; knn_exact_cosine_dot unpinned alongside it so
+        # the window holds all six never-recorded rows at once (cosine
+        # exact-kNN coverage stays pinned via doc_hash_embedding_knn
+        # and the l2 row; it keeps earning rows via rotation).
+        "ivfpq_ann_l2", "knn_exact_cosine_dot",
     }
 ]
 
