@@ -52,6 +52,7 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "purchase_window_attribution",
     "pq_ann_l2",
+    "ivfpq_ann_l2",
     "top3_orders_per_customer",
     "session_window_stats",
     "sliding_window_counts",

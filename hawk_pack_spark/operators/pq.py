@@ -148,6 +148,18 @@ def ivfpq_build(
     negative result), where ivfpq's value is the pruned scan, not
     recall. Both pinned in tests/test_pq.py.
 
+    10M ladder (r6 tail, tools/bench_ivfpq_scale.py, nprobe 8/256,
+    oversample 20): clustered-shape search 7.2s/500q with recall@10
+    1.000 vs exact BLAS 17.7s — the mid-scale full-union winner — and
+    the build is 6× cheaper than serving-HNSW at the same n (81.8s vs
+    486s); cell-partitioned disk codes hold recall 1.0 at 18.0s. On
+    iid the collapse deepens with n (recall 0.849 at 1M → 0.262 at
+    10M, flat across nprobe, so it is quantization distortion, not
+    routing). IVF-PQ is therefore an EXPLICITLY-chosen index for
+    clustered corpora, not a `choose_ann_path` default: recall is
+    corpus-shape-dependent, which the dispatcher cannot observe a
+    priori. Full table in NOTES.md round-6 §11.
+
     Returns (encoded, centers, codebooks): ``encoded`` is
     (vec_id, cell, codes ARRAY<SMALLINT>[m]) — write it
     ``partitionBy("cell")`` for a pruned on-disk layout; ``centers``
