@@ -3746,6 +3746,97 @@ FROM embeddings WHERE vec_id < 50
 """
 
 
+def q_streaming_query_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The online READ half of the reference's serving loop
+    (coroutine.rs query ops) as one invariant row: a manifest bundle is
+    saved and reloaded (the restartable serving unit), then TWO query
+    micro-batches stream through `start_query_stream` — readStream →
+    `ann_search` front door per batch → append sink. Each epoch's sunk
+    rows must equal a direct `ann_search` of that batch, and every
+    query (a corpus member) must find itself at rank 1, distance 0.
+    Counts table-derived; equalities computed live — a violation flips
+    a boolean and fails the hash."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.sources.graph_io import (
+        load_serving_index,
+        save_serving_index,
+    )
+    from hawk_pack_spark.streaming.serve import start_query_stream
+
+    emb, index = _hnsw_index(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="hps_q_qserve_")
+    try:
+        save_serving_index(index, f"{tmp}/bundle", params=_HNSW_PARAMS)
+        bundle = load_serving_index(spark, f"{tmp}/bundle")
+        batches = [
+            emb.where(F.col("vec_id") < 15),
+            emb.where((F.col("vec_id") >= 15) & (F.col("vec_id") < 30)),
+        ]
+        for i, b in enumerate(batches):
+            b.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ).coalesce(1).write.parquet(f"{tmp}/qsrc/b{i}")
+        q = start_query_stream(
+            spark, f"{tmp}/qsrc/*", "query_id long, query_vec array<double>",
+            bundle, f"{tmp}/results", f"{tmp}/ckpt", k=5,
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(f"{tmp}/results")
+        epochs = sorted(
+            r[0] for r in got.select("epoch").distinct().collect()
+        )
+        n_sunk = got.count()
+        by_epoch = {
+            e: sorted(
+                (r.query_id, r.rank, r.vec_id, round(r.dist, 9))
+                for r in got.where(F.col("epoch") == e).collect()
+            )
+            for e in epochs
+        }
+        direct = {
+            e: sorted(
+                (r.query_id, r.rank, r.vec_id, round(r.dist, 9))
+                for r in hnsw.ann_search(
+                    bundle,
+                    b.select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("query_vec"),
+                    ),
+                    k=5,
+                ).collect()
+            )
+            for e, b in zip(epochs, batches)
+        }
+        self_hits = got.where(
+            (F.col("rank") == 1)
+            & (F.col("query_id") == F.col("vec_id"))
+            & (F.col("dist") == 0)
+        ).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    base = emb.where(F.col("vec_id") < 30).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    return base.select(
+        "n_queries",
+        F.lit(n_sunk).cast("long").alias("n_results"),
+        F.lit(len(epochs) == 2).alias("epochs_ok"),
+        F.lit(by_epoch == direct).alias("rows_equal_direct"),
+        (F.lit(self_hits).cast("long") == F.col("n_queries")).alias("self_exact"),
+    )
+
+
+STREAMING_SERVE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(5 * COUNT(*) AS BIGINT) AS n_results,
+       TRUE AS epochs_ok, TRUE AS rows_equal_direct, TRUE AS self_exact
+FROM embeddings WHERE vec_id < 30
+"""
+
+
 def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphPg persistence (reference src/graph_store/graph_pg.rs:
     130-326, two-table layout) as one invariant row: export the links +
@@ -4288,6 +4379,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "dup_gate_batch": QuerySpec(q_dup_gate_batch, DUP_GATE_SQL, "cross-shard + intra-batch exact-dup gate on insert_batch; serving and cogroup gates agree"),
     "streaming_durable_resume": QuerySpec(q_streaming_durable_resume, STREAMING_DURABLE_SQL, "durable near-dup band store: restart equals continuation, re-sent dups rejected by rehydrated store"),
     "streaming_delta_jdbc": QuerySpec(q_streaming_delta_jdbc, STREAMING_DELTA_SQL, "per-micro-batch JDBC delta upsert leaves database == in-memory graph"),
+    "streaming_query_serving": QuerySpec(q_streaming_query_serving, STREAMING_SERVE_SQL, "readStream query batches through the ann_search front door against a reloaded manifest bundle; per-epoch rows equal direct calls"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, NEAR_DUP_SQL, "cosine near-dup self-join"),
 }
 
@@ -4387,6 +4479,7 @@ _PINNED_NAMES = [
         # r5/r6 block — they earn driver rows next round.
         "hamming_scan_topk", "custom_metric_knn", "dup_gate_batch",
         "streaming_durable_resume", "streaming_delta_jdbc",
+        "streaming_query_serving",
     }
 ]
 
@@ -4438,6 +4531,7 @@ _DEBUT_ORDER = [
     # r6 tail — the last test-only components earning oracle rows
     "hamming_scan_topk", "custom_metric_knn", "dup_gate_batch",
     "streaming_durable_resume", "streaming_delta_jdbc",
+    "streaming_query_serving",
 ]
 
 
