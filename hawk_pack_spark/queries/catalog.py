@@ -4298,6 +4298,569 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# round-6 tail: the remaining classic TPC-H shapes expressible on this
+# schema (no partsupp / commitdate / receiptdate / phone / container —
+# q02/q09/q11/q12/q16/q20 are out; q07/q08/q10/q13/q15/q17/q21/q22 are
+# adapted where a missing column forces it, with the adaptation noted).
+# All follow the float-parity discipline at the top of this file.
+
+
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional region-pair trade volume by year
+    (nation pair adapted to region pair — at sf0.001 only 10 suppliers
+    exist, so single-nation filters can be empty). Disjunctive pair
+    predicate across two dimension joins; year extraction; decimal-exact
+    revenue."""
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    nr = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", F.col("r_name").alias("rname"))
+    supplier = load_table(spark, "supplier", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp_r = supplier.join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("rname").alias("supp_region"))
+    cust_r = cust.join(
+        F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("rname").alias("cust_region"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_r), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+            | ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+        )
+        .groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+Q07_SQL = """
+WITH nr AS (
+  SELECT n_nationkey, r_name AS rname FROM nation JOIN region ON n_regionkey = r_regionkey)
+SELECT supp_region, cust_region, l_year,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM (
+  SELECT sr.rname AS supp_region, cr.rname AS cust_region,
+         EXTRACT(YEAR FROM l_shipdate) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nr sr ON s_nationkey = sr.n_nationkey
+  JOIN nr cr ON c_nationkey = cr.n_nationkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    AND ((sr.rname = 'EUROPE' AND cr.rname = 'ASIA')
+      OR (sr.rname = 'ASIA' AND cr.rname = 'EUROPE')))
+GROUP BY supp_region, cust_region, l_year
+"""
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per order-year share of PROMO-part volume to
+    AMERICA customers that was supplied from EUROPE. Conditional-sum
+    ratio over a 6-way join; both operands decimal-exact, one double
+    division, round(6)."""
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    nr = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", F.col("r_name").alias("rname"))
+    supplier = load_table(spark, "supplier", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    supp_r = supplier.join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("rname").alias("supp_region"))
+    cust_r = cust.join(
+        F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("rname").alias("cust_region"))
+    vol = _disc_price()
+    zero = F.lit(0).cast("decimal(24,8)")
+    return (
+        li.join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_r), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("cust_region") == "AMERICA")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_region") == "EUROPE", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q08_SQL = """
+WITH nr AS (
+  SELECT n_nationkey, r_name AS rname FROM nation JOIN region ON n_regionkey = r_regionkey)
+SELECT o_year,
+  ROUND(CAST(SUM(CASE WHEN supp_region = 'EUROPE' THEN vol
+                      ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+        / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, sr.rname AS supp_region,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8)) AS vol
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nr sr ON s_nationkey = sr.n_nationkey
+  JOIN nr cr ON c_nationkey = cr.n_nationkey
+  WHERE p_type = 'PROMO' AND cr.rname = 'AMERICA')
+GROUP BY o_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    lineitems in a half-year of orders (phone/comment columns absent from
+    the schema; acctbal kept). Join + filtered agg + deterministic
+    top-k."""
+    nation = load_table(spark, "nation", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts via a
+    predicated LEFT join (the comment NOT-LIKE filter adapted to
+    o_orderpriority <> '1-URGENT' — the schema has no o_comment).
+    Customers with zero qualifying orders land in the c_count=0 bucket."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        cust.join(
+            orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier (the revenue
+    view), then the supplier(s) whose revenue equals the scalar max —
+    equality on decimal-exact doubles is engine-identical, so ties
+    reproduce."""
+    supplier = load_table(spark, "supplier", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price()).cast("double").alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        supplier.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the per-part mean quantity) for one brand went
+    unfilled (container predicate adapted to the p_brand filter alone —
+    no p_container column). Correlated per-group average as groupBy +
+    broadcast re-join."""
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    brand_parts = part.where(F.col("p_brand") == "Brand#12").select("p_partkey")
+    li_b = li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = li_b.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    ).withColumnRenamed("l_partkey", "_pk")
+    return (
+        li_b.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("_pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q17_SQL = """
+WITH li_b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12'),
+avg_qty AS (
+  SELECT l_partkey AS _pk,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS _avg_qty
+  FROM li_b GROUP BY l_partkey)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+  AS avg_yearly
+FROM li_b JOIN avg_qty ON l_partkey = _pk
+WHERE l_quantity < 0.2 * _avg_qty
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT-EXISTS double correlation): in
+    finalized multi-supplier orders, suppliers who were the ONLY supplier
+    with returned items (the commitdate/receiptdate lateness predicate
+    adapted to l_returnflag = 'R' — the schema carries no receipt dates).
+    Spark renders the correlations as a hash semi-join and anti-join on
+    the order key with a supplier-inequality residual."""
+    supplier = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "leftsemi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey")),
+        "leftanti",
+    )
+    return (
+        cand.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (scalar subquery + anti-join): above-average-
+    balance customers with no urgent orders, by market segment (country
+    code adapted to c_mktsegment — no c_phone column; the plain no-orders
+    anti-join is empty on this data, so the anti side carries the
+    priority predicate)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    thresh = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-6 tail: event-time streaming surface (streaming/windows.py) as
+# DATA-LEVEL driver rows — the stream result is compared row-for-row
+# against the batch SQL answer, not summarized into invariants.
+
+
+def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming/windows.py
+    `windowed_event_counts`) ≡ the batch GROUP BY, row-for-row. The
+    events table streams as three micro-batches split on event time (so
+    the watermark advances monotonically and no real row is ever late),
+    plus a far-future sentinel batch that pushes the watermark past every
+    real window; append mode then emits each window exactly once. The
+    1-hour/30-minute watermark pipeline is the one a 100 TB event
+    pipeline runs; late-drop semantics are pinned separately in
+    tests/test_streaming_windows.py."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.streaming.windows import windowed_event_counts
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    split = "2024-01-16 00:00:00"
+    tmp = tempfile.mkdtemp(prefix="hps_q_stream_win_")
+    try:
+        ev.where(F.col("ts") < F.lit(split).cast("timestamp")).coalesce(
+            1
+        ).write.parquet(f"{tmp}/src/b0")
+        ev.where(F.col("ts") >= F.lit(split).cast("timestamp")).coalesce(
+            1
+        ).write.parquet(f"{tmp}/src/b1")
+        sentinel = ev.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(max_ts) + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        sentinel.coalesce(1).write.parquet(f"{tmp}/src/b2")
+        schema = spark.read.parquet(f"{tmp}/src/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src/*")
+        )
+        q = (
+            windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("hps_stream_win_q")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return spark.sql("SELECT * FROM hps_stream_win_q").where(
+            F.col("event_type") != "__sentinel__"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_WINDOWS_SQL = """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS win_start,
+       (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 + 3600 AS win_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (streaming/windows.py
+    `sessionize_stream`: applyInPandasWithState + EventTimeTimeout) ≡
+    the batch lag/cumsum sessionization, row-for-row. Events stream as
+    two event-time halves (cross-batch open-session state carried
+    between them) plus two sentinel batches whose watermark advance
+    fires the event-time timeout that closes every remaining open
+    session. Gap = 6 hours."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.streaming.windows import sessionize_stream
+
+    gap = 21600
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    split = "2024-01-16 00:00:00"
+    tmp = tempfile.mkdtemp(prefix="hps_q_stream_sess_")
+    try:
+        ev.where(F.col("ts") < F.lit(split).cast("timestamp")).coalesce(
+            1
+        ).write.parquet(f"{tmp}/src/b0")
+        ev.where(F.col("ts") >= F.lit(split).cast("timestamp")).coalesce(
+            1
+        ).write.parquet(f"{tmp}/src/b1")
+        for i, hours in enumerate([gap // 3600 + 1, 2 * (gap // 3600) + 2]):
+            ev.limit(1).select(
+                F.lit(-1 - i).cast("long").alias("event_id"),
+                (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("__sentinel__").alias("event_type"),
+                F.lit(0.0).alias("value"),
+            ).coalesce(1).write.parquet(f"{tmp}/src/s{i}")
+        schema = spark.read.parquet(f"{tmp}/src/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src/*")
+        )
+        q = (
+            sessionize_stream(stream, gap_seconds=gap)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("hps_stream_sess_q")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return spark.sql("SELECT * FROM hps_stream_sess_q").where(
+            F.col("user_id") >= 0
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 21600
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, sec,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id, MIN(sec) AS sess_start, MAX(sec) AS sess_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sess_id
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -4346,6 +4909,18 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "pii_scrub": QuerySpec(q_pii_scrub, PII_SCRUB_SQL, "PII redaction audit (planted email/phone/ipv4, zero residual)"),
     "perplexity_filter": QuerySpec(q_perplexity_filter, PERPLEXITY_SQL, "CCNet perplexity filter (add-1 bigram LM, micro-nat accounting)"),
     "training_data_pipeline": QuerySpec(q_training_data_pipeline, TRAINING_PIPELINE_SQL, "end-to-end funnel: gates -> decontaminate -> dedup -> sample -> pack"),
+    # -- round-6 tail: remaining expressible TPC-H shapes + the
+    # event-time streaming surface as data-level rows.
+    "q07_volume_shipping": QuerySpec(q07_volume_shipping, Q07_SQL, "TPC-H Q7 shape: bidirectional region-pair volume by year"),
+    "q08_market_share": QuerySpec(q08_market_share, Q08_SQL, "TPC-H Q8 shape: conditional-sum market-share ratio per year"),
+    "q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL, "TPC-H Q10 shape: top-20 customers by returned revenue"),
+    "q13_customer_distribution": QuerySpec(q13_customer_distribution, Q13_SQL, "TPC-H Q13 shape: predicated left join order-count distribution"),
+    "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL, "TPC-H Q15 shape: revenue view + scalar-max tie-exact select"),
+    "q17_small_qty_revenue": QuerySpec(q17_small_qty_revenue, Q17_SQL, "TPC-H Q17 shape: correlated per-part average quantity gate"),
+    "q21_waiting_supplier": QuerySpec(q21_waiting_supplier, Q21_SQL, "TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation"),
+    "q22_dormant_customers": QuerySpec(q22_dormant_customers, Q22_SQL, "TPC-H Q22 shape: scalar-avg subquery + predicated anti-join"),
+    "streaming_event_windows": QuerySpec(q_streaming_event_windows, STREAMING_WINDOWS_SQL, "watermarked tumbling windows (append mode, exactly-once emission) ≡ batch GROUP BY, data-level"),
+    "streaming_sessionize": QuerySpec(q_streaming_sessionize, STREAMING_SESSIONIZE_SQL, "stateful streaming sessionization (applyInPandasWithState + event-time timeout) ≡ batch lag/cumsum, data-level"),
     # -- stable block: unchanged r01-green queries, original order.
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
     "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS semi-join counts"),
@@ -4480,6 +5055,14 @@ _PINNED_NAMES = [
         "hamming_scan_topk", "custom_metric_knn", "dup_gate_batch",
         "streaming_durable_resume", "streaming_delta_jdbc",
         "streaming_query_serving",
+        # r6-tail debuts, second wave: the remaining TPC-H shapes and the
+        # event-time streaming rows enter via the pool (never-recorded
+        # first) so the 50-row window and pinned core stay intact.
+        "q07_volume_shipping", "q08_market_share", "q10_returned_items",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q17_small_qty_revenue", "q21_waiting_supplier",
+        "q22_dormant_customers", "streaming_event_windows",
+        "streaming_sessionize",
     }
 ]
 
@@ -4532,6 +5115,13 @@ _DEBUT_ORDER = [
     "hamming_scan_topk", "custom_metric_knn", "dup_gate_batch",
     "streaming_durable_resume", "streaming_delta_jdbc",
     "streaming_query_serving",
+    # r6 tail, second wave — event-time streaming rows first (new
+    # operator surface), then the TPC-H widening block
+    "streaming_event_windows", "streaming_sessionize",
+    "q07_volume_shipping", "q08_market_share", "q10_returned_items",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_qty_revenue", "q21_waiting_supplier",
+    "q22_dormant_customers",
 ]
 
 
