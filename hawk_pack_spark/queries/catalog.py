@@ -4304,6 +4304,10 @@ FROM events
 # q02/q09/q11/q12/q16/q20 are out; q07/q08/q10/q13/q15/q17/q21/q22 are
 # adapted where a missing column forces it, with the adaptation noted).
 # All follow the float-parity discipline at the top of this file.
+# Broadcast policy: explicit hints ONLY on frames whose size is
+# SF-invariant (nation=25, region=5, 1-row scalar aggregates) — customer/
+# supplier/part scale with the data and are left to AQE, which broadcasts
+# them at test SFs and shuffle-joins them at 100 TB.
 
 
 def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4333,8 +4337,8 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_r), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_r, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_r, F.col("o_custkey") == F.col("c_custkey"))
         .where(
             ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
             | ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
@@ -4395,11 +4399,11 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _disc_price()
     zero = F.lit(0).cast("decimal(24,8)")
     return (
-        li.join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
+        li.join(part.where(F.col("p_type") == "PROMO"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_r), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_r, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_r, F.col("o_custkey") == F.col("c_custkey"))
         .where(F.col("cust_region") == "AMERICA")
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -4455,7 +4459,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
@@ -4564,7 +4568,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     brand_parts = part.where(F.col("p_brand") == "Brand#12").select("p_partkey")
-    li_b = li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+    li_b = li.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
     avg_qty = li_b.groupBy("l_partkey").agg(
         (
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
@@ -4572,7 +4576,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_avg_qty")
     ).withColumnRenamed("l_partkey", "_pk")
     return (
-        li_b.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("_pk"))
+        li_b.join(avg_qty, F.col("l_partkey") == F.col("_pk"))
         .where(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
         .agg(
             F.round(
@@ -4638,7 +4642,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftanti",
     )
     return (
-        cand.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        cand.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
