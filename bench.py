@@ -50,6 +50,17 @@ HEADLINE = [
     "q05_local_supplier_volume",
     "q06_revenue_forecast",
     "q19_disjunctive_revenue",
+    # round-6 tail: the TPC-H widening block (cheap relational rows;
+    # the two streaming data-level rows stay out — state-store setup
+    # dominates their wall-clock and the parity row is their evidence)
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
     "purchase_window_attribution",
     "pq_ann_l2",
     "ivfpq_ann_l2",
