@@ -4865,6 +4865,137 @@ FROM s GROUP BY user_id, sess_id
 """
 
 
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py
+    `attribution_join_stream`: watermarked two-sided-bounded inner join
+    chained into a windowed per-purchase aggregation) ≡ the batch
+    range-join aggregation, row-for-row. The events table streams as two
+    event-time halves; sentinel batches carry BOTH a point and a
+    purchase row (the global watermark is the min across the two
+    watermarked sides) under non-joining users, pushing every
+    aggregation window closed."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.streaming.joins import attribution_join_stream
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    split = "2024-01-16 00:00:00"
+    tmp = tempfile.mkdtemp(prefix="hps_q_stream_attr_")
+    try:
+        ev.where(F.col("ts") < F.lit(split).cast("timestamp")).coalesce(
+            1
+        ).write.parquet(f"{tmp}/src/b0")
+        ev.where(F.col("ts") >= F.lit(split).cast("timestamp")).coalesce(
+            1
+        ).write.parquet(f"{tmp}/src/b1")
+        for i, hours in enumerate([2, 4]):
+            base = ev.limit(1)
+            pt = base.select(
+                F.lit(-1 - 2 * i).cast("long").alias("event_id"),
+                (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("click").alias("event_type"),
+                F.lit(0.0).alias("value"),
+            )
+            pu = base.select(
+                F.lit(-2 - 2 * i).cast("long").alias("event_id"),
+                (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+                F.lit(-2).cast("long").alias("user_id"),
+                F.lit("purchase").alias("event_type"),
+                F.lit(0.0).alias("value"),
+            )
+            pt.unionByName(pu).coalesce(1).write.parquet(f"{tmp}/src/s{i}")
+        schema = spark.read.parquet(f"{tmp}/src/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src/*")
+        )
+        q = (
+            attribution_join_stream(stream, window_s=900)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("hps_stream_attr_q")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return spark.sql("SELECT * FROM hps_stream_attr_q").where(
+            F.col("purchase_id") >= 0
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_ATTRIBUTION_SQL = """
+WITH pts AS (
+  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+  FROM events WHERE event_type IN ('click', 'view')
+), pur AS (
+  SELECT event_id AS purchase_id, user_id AS p_user,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS p_sec
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_follow,
+       CAST(SUM(vm) AS BIGINT) AS sum_value_micro
+FROM pts JOIN pur ON pts.user_id = pur.p_user
+  AND pts.sec >= pur.p_sec AND pts.sec < pur.p_sec + 900
+GROUP BY purchase_id
+"""
+
+
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming exact dedup (streaming/joins.py
+    `dedup_exact_stream` = dropDuplicatesWithinWatermark): the events
+    table streams twice — a full batch, then a full REPLAY batch — and
+    the replay is dropped key-for-key because every event_id is still
+    inside the watermark horizon (sized to cover the replay window, the
+    documented contract). Output ≡ SELECT DISTINCT of the table."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.streaming.joins import dedup_exact_stream
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="hps_q_stream_dedup_")
+    try:
+        ev.coalesce(1).write.parquet(f"{tmp}/src/b0")
+        ev.coalesce(1).write.parquet(f"{tmp}/src/b1")  # full replay
+        schema = spark.read.parquet(f"{tmp}/src/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src/*")
+        )
+        q = (
+            dedup_exact_stream(stream, ("event_id",), watermark="40 days")
+            .select("event_id", "user_id", "event_type")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("hps_stream_dedup_q")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return spark.sql("SELECT * FROM hps_stream_dedup_q")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -4925,6 +5056,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "q22_dormant_customers": QuerySpec(q22_dormant_customers, Q22_SQL, "TPC-H Q22 shape: scalar-avg subquery + predicated anti-join"),
     "streaming_event_windows": QuerySpec(q_streaming_event_windows, STREAMING_WINDOWS_SQL, "watermarked tumbling windows (append mode, exactly-once emission) ≡ batch GROUP BY, data-level"),
     "streaming_sessionize": QuerySpec(q_streaming_sessionize, STREAMING_SESSIONIZE_SQL, "stateful streaming sessionization (applyInPandasWithState + event-time timeout) ≡ batch lag/cumsum, data-level"),
+    "streaming_attribution": QuerySpec(q_streaming_attribution, STREAMING_ATTRIBUTION_SQL, "stream-stream interval join chained into windowed per-purchase agg ≡ batch range join, data-level"),
+    "streaming_dedup_exact": QuerySpec(q_streaming_dedup_exact, STREAMING_DEDUP_SQL, "dropDuplicatesWithinWatermark: full replay batch dropped key-for-key ≡ SELECT DISTINCT, data-level"),
     # -- stable block: unchanged r01-green queries, original order.
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
     "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS semi-join counts"),
@@ -5066,7 +5199,8 @@ _PINNED_NAMES = [
         "q13_customer_distribution", "q15_top_supplier",
         "q17_small_qty_revenue", "q21_waiting_supplier",
         "q22_dormant_customers", "streaming_event_windows",
-        "streaming_sessionize",
+        "streaming_sessionize", "streaming_attribution",
+        "streaming_dedup_exact",
     }
 ]
 
@@ -5122,6 +5256,7 @@ _DEBUT_ORDER = [
     # r6 tail, second wave — event-time streaming rows first (new
     # operator surface), then the TPC-H widening block
     "streaming_event_windows", "streaming_sessionize",
+    "streaming_attribution", "streaming_dedup_exact",
     "q07_volume_shipping", "q08_market_share", "q10_returned_items",
     "q13_customer_distribution", "q15_top_supplier",
     "q17_small_qty_revenue", "q21_waiting_supplier",
