@@ -179,3 +179,41 @@ def test_pack_sequences_single_group_exchange(spark, sf_dir):
     s = _plan(spark, sf_dir, "pack_sequences")
     assert "FlatMapGroupsInPandas" in s
     assert "CartesianProduct" not in s
+
+
+def test_q21_double_correlation_as_hash_semi_anti(spark, sf_dir):
+    """Q21's EXISTS + NOT-EXISTS double correlation must render as hash
+    semi/anti joins on the order key (shuffle-safe at any SF) — never a
+    nested-loop/cartesian over lineitem x lineitem."""
+    s = _plan(spark, sf_dir, "q21_waiting_supplier")
+    assert "LeftSemi" in s
+    assert "LeftAnti" in s
+    assert "CartesianProduct" not in s
+    low = s.lower()
+    assert "broadcastnestedloop" not in low
+
+
+def test_q22_scalar_threshold_broadcast_only(spark, sf_dir):
+    """Q22's scalar-avg threshold is the ONLY nested-loop join in the
+    plan (a 1-row broadcast), and the no-urgent-orders correlation is a
+    hash anti join."""
+    s = _plan(spark, sf_dir, "q22_dormant_customers")
+    assert "LeftAnti" in s
+    assert "CartesianProduct" not in s
+    # the 1-row threshold crossJoin may appear as BroadcastNestedLoopJoin
+    # — more than one such NODE is a regression (formatted plans print
+    # each node twice: tree line + "(N) Node" detail header)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", s)) <= 1
+
+
+def test_q07_dimension_broadcasts_fact_never_broadcast(spark, sf_dir):
+    """q07's nation/region joins broadcast (SF-invariant dims); the
+    lineitem-orders fact join must NOT be forced broadcast by a hint —
+    the plan either broadcasts it via AQE size stats (test SFs) or
+    shuffles it, but no ResolvedHint survives on the fact side."""
+    s = _plan(spark, sf_dir, "q07_volume_shipping")
+    assert "CartesianProduct" not in s
+    # the region/nation spine is tiny and must come in as a broadcast
+    assert "BroadcastHashJoin" in s
