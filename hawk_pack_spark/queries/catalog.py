@@ -5,7 +5,16 @@ ANSI-SQL oracle DuckDB runs on the same parquet. The driver hash-compares
 values order-insensitively, so parity conventions are strict:
 
 - Money/quantity sums: cast to DECIMAL(18,2) per row, sum exactly, cast
-  the total to DOUBLE — bit-identical in both engines.
+  the total to DOUBLE — bit-identical in both engines at scale ≤ 2.
+- Wide-decimal sums (the scale-8 disc_price/charge family): the direct
+  DECIMAL→DOUBLE cast is NOT correctly rounded in at least one engine
+  once the numerator exceeds 53 bits (one-ULP divergence observed at sf1
+  magnitudes), and renormalizing the decimal scale creates half-way TIES
+  that the engines round differently. The discipline is a STRING hop:
+  `.cast("string").cast("double")` / `CAST(CAST(x AS VARCHAR) AS
+  DOUBLE)` — decimal→string is exact in both engines and string→double
+  is correctly rounded in both, so the doubles are bit-identical at any
+  magnitude, with no tie hazard.
 - Ratios/averages: exact-decimal numerator cast to DOUBLE, divided by the
   COUNT — one double division of identical operands.
 - Derived doubles (distances, scores): computed with the same
@@ -90,8 +99,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dec_sum(F.col("l_quantity"), "sum_qty"),
             _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
-            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(_charge()).cast("double").alias("sum_charge"),
+            F.sum(_disc_price()).cast("string").cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("string").cast("double").alias("sum_charge"),
             _avg_exact(F.col("l_quantity"), cnt, "avg_qty"),
             _avg_exact(F.col("l_extendedprice"), cnt, "avg_price"),
             _avg_exact(F.col("l_discount"), cnt, "avg_disc"),
@@ -104,11 +113,11 @@ Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))
-        * (1 + CAST(l_tax AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+        * (1 + CAST(l_tax AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
@@ -133,15 +142,15 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
-        F.sum(_disc_price()).cast("double").alias("revenue")
+        F.sum(_disc_price()).cast("string").cast("double").alias("revenue")
     )
     return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
 
 
 Q03_SQL = """
 SELECT l_orderkey, o_orderdate,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -172,14 +181,14 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     return joined.groupBy("r_name", "n_name").agg(
-        F.sum(_disc_price()).cast("double").alias("revenue")
+        F.sum(_disc_price()).cast("string").cast("double").alias("revenue")
     )
 
 
 Q05_SQL = """
 SELECT r_name, n_name,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2233,15 +2242,15 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.04)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"),
+        .agg(F.sum(revenue).cast("string").cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 
 
 Q06_SQL = """
 SELECT
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        * CAST(l_discount AS DECIMAL(12,6)) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * CAST(l_discount AS DECIMAL(12,6)) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2373,15 +2382,15 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)
     )
     return joined.where(branch1 | branch2 | branch3).agg(
-        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.sum(_disc_price()).cast("string").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 Q19_SQL = """
 SELECT
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -4348,7 +4357,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_region",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("string").cast("double").alias("revenue"))
     )
 
 
@@ -4356,8 +4365,8 @@ Q07_SQL = """
 WITH nr AS (
   SELECT n_nationkey, r_name AS rname FROM nation JOIN region ON n_regionkey = r_regionkey)
 SELECT supp_region, cust_region, l_year,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM (
   SELECT sr.rname AS supp_region, cr.rname AS cust_region,
          EXTRACT(YEAR FROM l_shipdate) AS l_year,
@@ -4462,7 +4471,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("string").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -4470,8 +4479,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -4533,7 +4542,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_disc_price()).cast("double").alias("total_revenue"))
+        .agg(F.sum(_disc_price()).cast("string").cast("double").alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("_mx"))
     return (
@@ -4547,8 +4556,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-          * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE) AS total_revenue
+    CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
