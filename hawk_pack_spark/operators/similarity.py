@@ -512,3 +512,164 @@ def cosine_topk_numpy(
         part, "query_id long, vec_id long, sim double"
     )
     return topk_rows(local, ["query_id"], "sim", k, ascending=False, tie_cols=["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization: the 4x-compressed near-exact scan path.
+# Between the exact float scan (l2_topk_numpy) and PQ's 32x codes: each
+# dimension is affinely mapped to uint8 with per-dimension (lo, scale)
+# bounds, so a 100 TB corpus scans 1 byte/dim with asymmetric (float
+# query vs int8 code) distances and loses almost no recall on any data
+# shape — unlike PQ, whose recall is corpus-shape-dependent (NOTES r6).
+
+
+def sq8_train(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (lo, scale) quantization bounds. Partition-local
+    min/max reduce to one row per partition (mergeable-presketch shape —
+    the driver sees O(partitions) rows, never the data)."""
+    import pandas as pd
+
+    def part(it):
+        lo = hi = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            plo, phi = mat.min(0), mat.max(0)
+            lo = plo if lo is None else np.minimum(lo, plo)
+            hi = phi if hi is None else np.maximum(hi, phi)
+        if lo is not None:
+            yield pd.DataFrame({"lo": [lo.tolist()], "hi": [hi.tolist()]})
+
+    rows = (
+        vectors.select(vec_col)
+        .mapInPandas(part, "lo array<double>, hi array<double>")
+        .collect()
+    )
+    lo = np.min([r.lo for r in rows], axis=0)
+    hi = np.max([r.hi for r in rows], axis=0)
+    scale = (hi - lo) / 255.0
+    scale[scale == 0.0] = 1.0  # constant dimension: every code is 0
+    return lo, scale
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    lo: np.ndarray,
+    scale: np.ndarray,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes binary): codes = round((v - lo)/scale) clipped to
+    [0, 255], one byte per dimension."""
+    import pandas as pd
+
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((lo, scale))
+
+    def enc(it):
+        lo_, scale_ = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            codes = np.clip(np.rint((mat - lo_) / scale_), 0, 255).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[vec_id].to_numpy(dtype=np.int64),
+                    "codes": [c.tobytes() for c in codes],
+                }
+            )
+
+    return vectors.select(vec_id, vec_col).mapInPandas(
+        enc, "vec_id long, codes binary"
+    )
+
+
+def sq8_topk(
+    encoded: DataFrame,
+    lo: np.ndarray,
+    scale: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    rerank_with: DataFrame | None = None,
+    oversample: int = 4,
+) -> DataFrame:
+    """Asymmetric SQ8 top-k: the scan decodes uint8 tiles to
+    v̂ = lo + c·scale and runs the same expanded-form matmul as the
+    exact BLAS path; floats never leave the partition. With
+    ``rerank_with`` (the float table) the scan produces an
+    oversample·k shortlist and the final top-k is exact — the
+    PQ re-rank recipe (pq.py::pq_search) at 4x instead of 32x
+    compression."""
+    import pandas as pd
+
+    spark = encoded.sparkSession
+    q_rows = queries.select(
+        F.col(query_id).cast("long"), F.col(query_col).cast("array<double>")
+    ).collect()
+    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    shortlist_k = k * oversample if rerank_with is not None else k
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, lo, scale, shortlist_k))
+
+    def part(it):
+        q_ids_, q_mat_, lo_, scale_, kth_ = bc.value
+        # r = q - lo per query; d = ||r||^2 - 2 (C s) . r + ||C s||^2
+        r = q_mat_ - lo_[None, :]
+        r_sq = (r * r).sum(1)[:, None]
+        ws = r * scale_[None, :]          # fold the per-dim scale into q
+        t = (scale_ * scale_)[None, :]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"]]
+            ).astype(np.float64)
+            d = r_sq - 2.0 * (ws @ C.T) + ((C * C) * t).sum(1)[None, :]
+            kk = min(kth_, d.shape[1])
+            top = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(d.shape[0]):
+                for vi in top[qi]:
+                    rows.append((int(q_ids_[qi]), int(ids[vi]), float(d[qi, vi])))
+            yield pd.DataFrame(rows, columns=["query_id", "vec_id", "dist"])
+
+    partial = encoded.mapInPandas(part, "query_id long, vec_id long, dist double")
+    approx = topk_rows(
+        partial, ["query_id"], "dist", shortlist_k, tie_cols=["vec_id"]
+    ).select("query_id", "vec_id", "dist", "rank")
+    if rerank_with is None:
+        return approx
+
+    qdf = F.broadcast(
+        queries.select(
+            F.col(query_id).cast("long").alias("query_id"),
+            F.col(query_col).cast("array<double>").alias("qv"),
+        )
+    )
+    exact = (
+        approx.select("query_id", "vec_id")
+        .join(
+            rerank_with.select(
+                F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+            ),
+            "vec_id",
+        )
+        .join(qdf, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with("qv", "v", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    return topk_rows(exact, ["query_id"], "dist", k, tie_cols=["vec_id"])

@@ -2741,6 +2741,28 @@ def q_ivfpq_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_summary(ann, exact, k=10, min_recall=0.8)
 
 
+def q_sq8_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (operators/similarity.py sq8_*): the
+    4×-compressed near-exact scan path between the float BLAS scan and
+    PQ's 32× codes — per-dimension uint8 affine codes, asymmetric
+    decode-tile matmul, exact float re-rank on an oversampled
+    shortlist. Summarized against the exact kNN computed in the same
+    job (min/max training isn't SQL; recall + reconstruction bounds are
+    additionally pinned in tests/test_sq8.py). min_recall 0.95: SQ8's
+    recall is data-shape independent, unlike PQ's."""
+    from hawk_pack_spark.operators import similarity as S
+
+    vecs = _embeddings_vectors(spark, sf_dir)
+    lo, scale = S.sq8_train(vecs)
+    enc = S.sq8_encode(vecs, lo, scale)
+    queries = vecs.where(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = S.sq8_topk(enc, lo, scale, queries, k=10, rerank_with=vecs, oversample=4)
+    exact = knn_exact(vecs, queries, k=10, metric="l2_sq")
+    return _ann_summary(ann, exact, k=10, min_recall=0.95)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval over the documents fixture (operators/bm25.py):
     postings + idf + length-normalized tf scoring, top-10 per query.
@@ -5067,6 +5089,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "streaming_sessionize": QuerySpec(q_streaming_sessionize, STREAMING_SESSIONIZE_SQL, "stateful streaming sessionization (applyInPandasWithState + event-time timeout) ≡ batch lag/cumsum, data-level"),
     "streaming_attribution": QuerySpec(q_streaming_attribution, STREAMING_ATTRIBUTION_SQL, "stream-stream interval join chained into windowed per-purchase agg ≡ batch range join, data-level"),
     "streaming_dedup_exact": QuerySpec(q_streaming_dedup_exact, STREAMING_DEDUP_SQL, "dropDuplicatesWithinWatermark: full replay batch dropped key-for-key ≡ SELECT DISTINCT, data-level"),
+    "sq8_ann_l2": QuerySpec(q_sq8_ann_l2, PQ_SUMMARY_SQL, "SQ8 scalar-quantized ANN (4x codes, asymmetric scan, exact re-rank) vs exact recall"),
     # -- stable block: unchanged r01-green queries, original order.
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
     "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS semi-join counts"),
@@ -5209,7 +5232,7 @@ _PINNED_NAMES = [
         "q17_small_qty_revenue", "q21_waiting_supplier",
         "q22_dormant_customers", "streaming_event_windows",
         "streaming_sessionize", "streaming_attribution",
-        "streaming_dedup_exact",
+        "streaming_dedup_exact", "sq8_ann_l2",
     }
 ]
 
@@ -5265,7 +5288,7 @@ _DEBUT_ORDER = [
     # r6 tail, second wave — event-time streaming rows first (new
     # operator surface), then the TPC-H widening block
     "streaming_event_windows", "streaming_sessionize",
-    "streaming_attribution", "streaming_dedup_exact",
+    "streaming_attribution", "streaming_dedup_exact", "sq8_ann_l2",
     "q07_volume_shipping", "q08_market_share", "q10_returned_items",
     "q13_customer_distribution", "q15_top_supplier",
     "q17_small_qty_revenue", "q21_waiting_supplier",
