@@ -653,8 +653,10 @@ def sq8_topk(
             F.col(query_col).cast("array<double>").alias("qv"),
         )
     )
+    # the shortlist is bounded (|queries| * k * oversample) — broadcast
+    # it so the corpus side never shuffles for the re-rank fetch
     exact = (
-        approx.select("query_id", "vec_id")
+        F.broadcast(approx.select("query_id", "vec_id"))
         .join(
             rerank_with.select(
                 F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
