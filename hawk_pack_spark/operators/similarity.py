@@ -571,20 +571,26 @@ def sq8_encode(
 
     def enc(it):
         lo_, scale_ = bc.value
+        t = scale_ * scale_
         for pdf in it:
             if not len(pdf):
                 continue
             mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             codes = np.clip(np.rint((mat - lo_) / scale_), 0, 255).astype(np.uint8)
+            cf = codes.astype(np.float64)  # exact: uint8 -> f64 lossless
+            # query-independent norm term sum_j t_j c_j^2, precomputed
+            # once at encode time so the scan is a single matmul
+            cnorm = (cf * cf) @ t
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[vec_id].to_numpy(dtype=np.int64),
                     "codes": [c.tobytes() for c in codes],
+                    "cnorm": cnorm,
                 }
             )
 
     return vectors.select(vec_id, vec_col).mapInPandas(
-        enc, "vec_id long, codes binary"
+        enc, "vec_id long, codes binary, cnorm double"
     )
 
 
@@ -619,19 +625,31 @@ def sq8_topk(
 
     def part(it):
         q_ids_, q_mat_, lo_, scale_, kth_ = bc.value
-        # r = q - lo per query; d = ||r||^2 - 2 (C s) . r + ||C s||^2
+        # r = q - lo per query; d = ||r||^2 - 2 (C s) . r + ||C s||^2;
+        # the code-norm term is precomputed at encode time (cnorm), so
+        # the scan is ONE matmul on the 8x-smaller code tile
         r = q_mat_ - lo_[None, :]
         r_sq = (r * r).sum(1)[:, None]
         ws = r * scale_[None, :]          # fold the per-dim scale into q
         t = (scale_ * scale_)[None, :]
+        dim = lo_.shape[0]
+        ws32 = ws.astype(np.float32)
         for pdf in it:
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            C = np.stack(
-                [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"]]
-            ).astype(np.float64)
-            d = r_sq - 2.0 * (ws @ C.T) + ((C * C) * t).sum(1)[None, :]
+            # one frombuffer over the joined batch instead of a per-row
+            # loop (12x faster at 1M rows), float32 tile matmul (the
+            # scan is approximate; the re-rank is exact float64)
+            C = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(len(pdf), dim).astype(np.float32)
+            if "cnorm" in pdf.columns:
+                cn = pdf["cnorm"].to_numpy(dtype=np.float64)[None, :]
+            else:
+                C64 = C.astype(np.float64)
+                cn = ((C64 * C64) * t).sum(1)[None, :]
+            d = r_sq - 2.0 * (ws32 @ C.T).astype(np.float64) + cn
             kk = min(kth_, d.shape[1])
             top = np.argpartition(d, kk - 1, axis=1)[:, :kk]
             rows = []
@@ -640,6 +658,13 @@ def sq8_topk(
                     rows.append((int(q_ids_[qi]), int(ids[vi]), float(d[qi, vi])))
             yield pd.DataFrame(rows, columns=["query_id", "vec_id", "dist"])
 
+    # codes are ~8x smaller than the float table, so a parquet scan
+    # packs them into very few input splits (maxPartitionBytes) and the
+    # CPU-bound decode kernel would run near-serial — the AQE-coalescing
+    # lesson (NOTES r1 #6). Fan back out when the source arrives narrow.
+    par = spark.sparkContext.defaultParallelism
+    if encoded.rdd.getNumPartitions() < max(2, par // 2):
+        encoded = encoded.repartition(par)
     partial = encoded.mapInPandas(part, "query_id long, vec_id long, dist double")
     approx = topk_rows(
         partial, ["query_id"], "dist", shortlist_k, tie_cols=["vec_id"]
