@@ -452,6 +452,61 @@ def frame_sample(media: DataFrame, every_nth: int = 5) -> DataFrame:
     )
 
 
+def resize_pixels(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor pixel resize, fully vectorized (one fancy-index
+    gather; deterministic across platforms — no float filtering)."""
+    h, w = px.shape[:2]
+    yi = (np.arange(th) * h) // th
+    xi = (np.arange(tw) * w) // tw
+    return px[yi][:, xi]
+
+
+def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """The REAL pixel transform completing `resize_meta`'s plan: decode
+    natively-decodable images (PPM/BMP/PNG), resize aspect-preserving to
+    max_side with the vectorized nearest-neighbor gather, re-encode as
+    P6 PPM, and rewrite meta. Non-image (or codec-absent) rows pass
+    through untouched — at 100 TB this runs as the same Arrow-batched
+    mapInPandas shape as extract_features, no driver involvement."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for p, kind, meta in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+                b = bytes(p)
+                decodable = (
+                    b.startswith(b"P6")
+                    or b.startswith(b"BM")
+                    or b.startswith(_PNG_SIG)
+                )
+                if kind != "image" or not decodable:
+                    payloads.append(b)
+                    widths.append(meta["width"])
+                    heights.append(meta["height"])
+                    continue
+                px = decode_image(b)
+                h, w = px.shape[:2]
+                scale = min(1.0, max_side / max(w, h, 1))
+                tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+                payloads.append(encode_ppm(resize_pixels(px, tw, th)))
+                widths.append(tw)
+                heights.append(th)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = [
+                {
+                    "width": int(w_),
+                    "height": int(h_),
+                    "n_frames": m["n_frames"],
+                    "sample_rate": m["sample_rate"],
+                }
+                for w_, h_, m in zip(widths, heights, pdf["meta"])
+            ]
+            yield out
+
+    return media.mapInPandas(run, media.schema)
+
+
 def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize planning (aspect-preserving target dims) as column math;
     the pixel transform itself would live next to decode in the kernel."""

@@ -267,3 +267,34 @@ def test_png_extreme_dimensions():
         assert np.array_equal(
             decode_png(_png_with_filters(px, filters)), px
         ), filters
+
+
+def test_resize_media_real_pixels(spark, sf_dir):
+    """resize_media completes resize_meta's plan with REAL pixels:
+    decoded dims equal the plan, and the resized pixels are exactly the
+    nearest-neighbor gather of the original."""
+    import numpy as np
+
+    from hawk_pack_spark.multimodal import ops as M
+
+    # note: resize_meta plans from DECLARED metadata (the catalog-scan
+    # shape at 100 TB); resize_media executes on the REAL payload dims —
+    # the fixture's synthetic meta deliberately differs, so the ground
+    # truth here is the decoded pixels themselves.
+    media = M.synthetic_media(spark, sf_dir).localCheckpoint()
+    small = M.resize_media(media, max_side=8)
+    orig = {r.media_id: bytes(r.payload) for r in media.collect()}
+    n_img = 0
+    for r in small.collect():
+        if r.kind != "image":
+            continue
+        px = M.decode_image(bytes(r.payload))
+        src_px = M.decode_image(orig[r.media_id])
+        h, w = src_px.shape[:2]
+        scale = min(1.0, 8 / max(w, h, 1))
+        tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+        assert (r.meta.width, r.meta.height) == (tw, th)  # meta rewritten true
+        assert px.shape == (th, tw, 3)
+        np.testing.assert_array_equal(px, M.resize_pixels(src_px, tw, th))
+        n_img += 1
+    assert n_img > 0
