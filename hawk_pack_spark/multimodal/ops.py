@@ -488,6 +488,14 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
                 h, w = px.shape[:2]
                 scale = min(1.0, max_side / max(w, h, 1))
                 tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+                if (tw, th) == (w, h):
+                    # already within bounds: keep the ORIGINAL payload —
+                    # re-encoding to raw PPM would silently change the
+                    # format and inflate compressed sources many-fold
+                    payloads.append(b)
+                    widths.append(w)
+                    heights.append(h)
+                    continue
                 payloads.append(encode_ppm(resize_pixels(px, tw, th)))
                 widths.append(tw)
                 heights.append(th)

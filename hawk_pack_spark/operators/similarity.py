@@ -604,6 +604,8 @@ def sq8_topk(
     query_col: str = "query_vec",
     rerank_with: DataFrame | None = None,
     oversample: int = 4,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Asymmetric SQ8 top-k: the scan decodes uint8 tiles to
     v̂ = lo + c·scale and runs the same expanded-form matmul as the
@@ -620,6 +622,10 @@ def sq8_topk(
     ).collect()
     q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    if q_mat.size == 0:  # empty batch: empty result, not a kernel crash
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, dist double, rank int"
+        )
     shortlist_k = k * oversample if rerank_with is not None else k
     bc = spark.sparkContext.broadcast((q_ids, q_mat, lo, scale, shortlist_k))
 
@@ -684,7 +690,8 @@ def sq8_topk(
         F.broadcast(approx.select("query_id", "vec_id"))
         .join(
             rerank_with.select(
-                F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+                F.col(vec_id).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
             ),
             "vec_id",
         )

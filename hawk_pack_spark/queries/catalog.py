@@ -2300,8 +2300,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
             F.lit(0).cast("decimal(24,8)")
         )
-    ).cast("double")
-    total = F.sum(_disc_price()).cast("double")
+    ).cast("string").cast("double")
+    total = F.sum(_disc_price()).cast("string").cast("double")
     return joined.agg(
         F.round(F.lit(100.0) * promo / total, 6).alias("promo_share"),
         F.count(F.lit(1)).alias("n_items"),
@@ -2310,12 +2310,12 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_SQL = """
 SELECT
-  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+  ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
       THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
            * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))
-      ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
-    / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS DOUBLE),
+      ELSE CAST(0 AS DECIMAL(24,8)) END) AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE),
     6) AS promo_share,
   COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -4441,8 +4441,8 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.when(F.col("supp_region") == "EUROPE", vol).otherwise(zero)
-                ).cast("double")
-                / F.sum(vol).cast("double"),
+                ).cast("string").cast("double")
+                / F.sum(vol).cast("string").cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -4453,9 +4453,9 @@ Q08_SQL = """
 WITH nr AS (
   SELECT n_nationkey, r_name AS rname FROM nation JOIN region ON n_regionkey = r_regionkey)
 SELECT o_year,
-  ROUND(CAST(SUM(CASE WHEN supp_region = 'EUROPE' THEN vol
-                      ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
-        / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+  ROUND(CAST(CAST(SUM(CASE WHEN supp_region = 'EUROPE' THEN vol
+                      ELSE CAST(0 AS DECIMAL(24,8)) END) AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, sr.rname AS supp_region,
          CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -4749,6 +4749,33 @@ GROUP BY c_mktsegment
 # against the batch SQL answer, not summarized into invariants.
 
 
+def _run_stream_to_memory(spark, tmp: str, build, name: str) -> DataFrame:
+    """Shared availableNow → memory-sink harness for the streaming
+    catalog rows. Asserts the query actually FINISHED before the caller
+    reads the sink (and before the caller's finally removes {tmp}) — a
+    timeout would otherwise silently return partial windows/sessions
+    while executors still read the source."""
+    schema = spark.read.parquet(f"{tmp}/src/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src/*")
+    )
+    q = (
+        build(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(f"streaming catalog query {name} exceeded 600s")
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation (streaming/windows.py
     `windowed_event_counts`) ≡ the batch GROUP BY, row-for-row. The
@@ -4785,25 +4812,15 @@ def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("value"),
         )
         sentinel.coalesce(1).write.parquet(f"{tmp}/src/b2")
-        schema = spark.read.parquet(f"{tmp}/src/b0").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/src/*")
+        out = _run_stream_to_memory(
+            spark,
+            tmp,
+            lambda st: windowed_event_counts(
+                st, window="1 hour", watermark="30 minutes"
+            ),
+            "hps_stream_win_q",
         )
-        q = (
-            windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("hps_stream_win_q")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-        return spark.sql("SELECT * FROM hps_stream_win_q").where(
-            F.col("event_type") != "__sentinel__"
-        )
+        return out.where(F.col("event_type") != "__sentinel__")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -4854,25 +4871,13 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("__sentinel__").alias("event_type"),
                 F.lit(0.0).alias("value"),
             ).coalesce(1).write.parquet(f"{tmp}/src/s{i}")
-        schema = spark.read.parquet(f"{tmp}/src/b0").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/src/*")
+        out = _run_stream_to_memory(
+            spark,
+            tmp,
+            lambda st: sessionize_stream(st, gap_seconds=gap),
+            "hps_stream_sess_q",
         )
-        q = (
-            sessionize_stream(stream, gap_seconds=gap)
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("hps_stream_sess_q")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-        return spark.sql("SELECT * FROM hps_stream_sess_q").where(
-            F.col("user_id") >= 0
-        )
+        return out.where(F.col("user_id") >= 0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -4940,25 +4945,13 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0).alias("value"),
             )
             pt.unionByName(pu).coalesce(1).write.parquet(f"{tmp}/src/s{i}")
-        schema = spark.read.parquet(f"{tmp}/src/b0").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/src/*")
+        out = _run_stream_to_memory(
+            spark,
+            tmp,
+            lambda st: attribution_join_stream(st, window_s=900),
+            "hps_stream_attr_q",
         )
-        q = (
-            attribution_join_stream(stream, window_s=900)
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("hps_stream_attr_q")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-        return spark.sql("SELECT * FROM hps_stream_attr_q").where(
-            F.col("purchase_id") >= 0
-        )
+        return out.where(F.col("purchase_id") >= 0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -5000,24 +4993,14 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev.coalesce(1).write.parquet(f"{tmp}/src/b0")
         ev.coalesce(1).write.parquet(f"{tmp}/src/b1")  # full replay
-        schema = spark.read.parquet(f"{tmp}/src/b0").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/src/*")
+        return _run_stream_to_memory(
+            spark,
+            tmp,
+            lambda st: dedup_exact_stream(
+                st, ("event_id",), watermark="40 days"
+            ).select("event_id", "user_id", "event_type"),
+            "hps_stream_dedup_q",
         )
-        q = (
-            dedup_exact_stream(stream, ("event_id",), watermark="40 days")
-            .select("event_id", "user_id", "event_type")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("hps_stream_dedup_q")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-        return spark.sql("SELECT * FROM hps_stream_dedup_q")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

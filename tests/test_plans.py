@@ -217,3 +217,16 @@ def test_q07_dimension_broadcasts_fact_never_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in s
     # the region/nation spine is tiny and must come in as a broadcast
     assert "BroadcastHashJoin" in s
+    # exactly the four dim-side hints (region spine + supp/cust region
+    # frames); a fifth means someone force-broadcast an SF-scaling side
+    # — an OOM at 100 TB per the catalog's broadcast policy
+    from hawk_pack_spark.queries import ALL_SPECS as _SPECS
+
+    analyzed = (
+        _SPECS["q07_volume_shipping"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert analyzed.count("ResolvedHint") == 4
