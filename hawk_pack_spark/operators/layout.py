@@ -1,0 +1,79 @@
+"""Z-order (Morton-curve) data layout for multi-dimensional scan pruning.
+
+At 100 TB, a table sorted by ONE key prunes scans on that key only; a
+query filtering two or three dimensions (customer AND date; lat AND
+lon) reads everything. Writing files clustered by the interleaved-bit
+Morton code of the filter dimensions gives every dimension partial
+locality: each parquet file covers a small hyper-rectangle, so
+per-file min/max statistics prune multi-dimensional box queries that a
+linear sort cannot. This is the standard lakehouse OPTIMIZE ZORDER BY
+technique, built here from pure column expressions:
+
+- `zorder_value`: bit-interleave of already-quantized int columns — a
+  fold of shiftleft/bitwiseOR Catalyst expressions, JVM-side, no UDF.
+- `quantize`: rank-free range quantization of numeric/timestamp columns
+  into [0, 2^bits) using a broadcast (min, max) per column.
+- `zorder_layout`: quantize → interleave → repartitionByRange on the
+  z-value (range partitioner = contiguous curve segments per file) +
+  in-partition sort, ready for `.write.parquet`.
+
+The curve math is checkable: the catalog row computes the z-value
+row-for-row and DuckDB reproduces it with the same bit arithmetic
+(data-level oracle); the pruning claim is measured in
+tests/test_layout.py by counting distinct files touched by a 2-D box
+filter under z-order vs a linear sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_value(cols: list[Column], bits: int = 16) -> Column:
+    """Morton interleave of pre-quantized non-negative ints (< 2^bits).
+
+    Output bit j*len(cols)+i holds bit j of cols[i] — the classic
+    z-curve. Total bits = bits*len(cols) must stay < 63 (long)."""
+    n = len(cols)
+    if bits * n >= 63:
+        raise ValueError(f"bits*dims = {bits * n} overflows a long")
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftrightunsigned(c.cast("long"), j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return z
+
+
+def quantize(df: DataFrame, col: str, bits: int = 16) -> Column:
+    """Range-quantize a numeric/timestamp column into [0, 2^bits) with a
+    broadcastable (min, max) — one tiny agg, no sort, no rank shuffle."""
+    lo, hi = df.agg(
+        F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+    ).collect()[0]
+    span = (hi - lo) or 1.0
+    buckets = (1 << bits) - 1
+    return F.least(
+        F.lit(buckets),
+        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * buckets),
+    ).cast("long")
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+) -> DataFrame:
+    """Cluster `df` along the z-curve of `cols`: quantize each dim,
+    interleave, range-partition into contiguous curve segments (one
+    output file per partition on write) and sort within partitions so
+    row-group stats are tight too."""
+    q = [quantize(df, c, bits) for c in cols]
+    with_z = df.withColumn("_z", zorder_value(q, bits))
+    return (
+        with_z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )

@@ -4749,6 +4749,50 @@ GROUP BY c_mktsegment
 # against the batch SQL answer, not summarized into invariants.
 
 
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve math, data-level (operators/layout.py
+    `zorder_value` — the interleave behind `zorder_layout`'s
+    multi-dimensional file clustering): the 20-bit z-value of
+    (o_custkey mod 1024, epoch-day(o_orderdate) mod 1024) for every
+    order, reproduced bit-for-bit by the oracle's unrolled shift/mask
+    arithmetic. The pruning claim itself (a 2-D box filter touches
+    fewer files under z-layout than a linear sort) is measured in
+    tests/test_layout.py."""
+    from hawk_pack_spark.operators.layout import zorder_value
+
+    orders = load_table(spark, "orders", sf_dir)
+    a = F.pmod(F.col("o_custkey"), F.lit(1024)).cast("long")
+    b = F.pmod(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400), F.lit(1024)
+    ).cast("long")
+    return orders.select(
+        "o_orderkey",
+        a.alias("dim_cust"),
+        b.alias("dim_day"),
+        zorder_value([a, b], bits=10).alias("zval"),
+    )
+
+
+def _zorder_sql(bits: int = 10) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(f"(((dim_cust >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((dim_day >> {j}) & 1) << {2 * j + 1})")
+    z = " | ".join(terms)
+    return f"""
+WITH dims AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 1024 AS BIGINT) AS dim_cust,
+         CAST(CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) % 1024
+              AS BIGINT) AS dim_day
+  FROM orders)
+SELECT o_orderkey, dim_cust, dim_day, CAST({z} AS BIGINT) AS zval FROM dims
+"""
+
+
+ZORDER_SQL = _zorder_sql()
+
+
 def _run_stream_to_memory(spark, tmp: str, build, name: str) -> DataFrame:
     """Shared availableNow → memory-sink harness for the streaming
     catalog rows. Asserts the query actually FINISHED before the caller
@@ -5073,6 +5117,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "streaming_attribution": QuerySpec(q_streaming_attribution, STREAMING_ATTRIBUTION_SQL, "stream-stream interval join chained into windowed per-purchase agg ≡ batch range join, data-level"),
     "streaming_dedup_exact": QuerySpec(q_streaming_dedup_exact, STREAMING_DEDUP_SQL, "dropDuplicatesWithinWatermark: full replay batch dropped key-for-key ≡ SELECT DISTINCT, data-level"),
     "sq8_ann_l2": QuerySpec(q_sq8_ann_l2, PQ_SUMMARY_SQL, "SQ8 scalar-quantized ANN (4x codes, asymmetric scan, exact re-rank) vs exact recall"),
+    "zorder_values": QuerySpec(q_zorder_values, ZORDER_SQL, "Z-order (Morton) curve values for multi-dim file clustering, bit-for-bit data-level"),
     # -- stable block: unchanged r01-green queries, original order.
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
     "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS semi-join counts"),
@@ -5215,7 +5260,7 @@ _PINNED_NAMES = [
         "q17_small_qty_revenue", "q21_waiting_supplier",
         "q22_dormant_customers", "streaming_event_windows",
         "streaming_sessionize", "streaming_attribution",
-        "streaming_dedup_exact", "sq8_ann_l2",
+        "streaming_dedup_exact", "sq8_ann_l2", "zorder_values",
     }
 ]
 
@@ -5272,6 +5317,7 @@ _DEBUT_ORDER = [
     # operator surface), then the TPC-H widening block
     "streaming_event_windows", "streaming_sessionize",
     "streaming_attribution", "streaming_dedup_exact", "sq8_ann_l2",
+    "zorder_values",
     "q07_volume_shipping", "q08_market_share", "q10_returned_items",
     "q13_customer_distribution", "q15_top_supplier",
     "q17_small_qty_revenue", "q21_waiting_supplier",
