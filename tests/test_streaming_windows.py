@@ -214,3 +214,31 @@ def test_sessionize_single_pass_equals_batch_operator(spark, tmp_path):
         for r in batch.collect()
     )
     assert got == want
+
+
+def test_sliding_windows_overlap_under_watermark(spark, tmp_path):
+    # slide 5m / window 15m: each event lands in exactly 3 windows, all
+    # finalized once the sentinel pushes the watermark past their ends
+    b1 = [(1, _t(17), 7, "click", 1.0), (2, _t(21), 8, "click", 1.0)]
+    s1 = [(3, _t(0, hour=18), 99, "__sentinel__", 0.0)]
+    s2 = [(4, _t(0, hour=23), 99, "__sentinel__", 0.0)]
+    for i, rows in enumerate([b1, s1, s2]):
+        _write(spark, rows, str(tmp_path / f"src/b{i}"))
+    out = _run_stream(
+        spark,
+        tmp_path,
+        lambda s: windowed_event_counts(
+            s, window="15 minutes", slide="5 minutes", watermark="5 minutes"
+        ),
+        "win_slide",
+    )
+    rows = [
+        (r.win_start % 86400 // 60, r.n_events)
+        for r in out.collect()
+        if r.event_type != "__sentinel__"
+    ]
+    # event 1 (12:17) -> windows starting 725, 730, 735; event 2 (12:21)
+    # -> 730, 735, 740; the 730/735 windows hold both
+    got = dict(rows)
+    assert len(rows) == len(got) == 4  # exactly-once per window
+    assert got == {725: 1, 730: 2, 735: 2, 740: 1}
