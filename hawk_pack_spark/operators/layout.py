@@ -77,3 +77,70 @@ def zorder_layout(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def _hilbert_d_numpy(x, y, bits: int):
+    """Vectorized 2-D Hilbert index (xy -> d) over int64 numpy arrays —
+    the classic per-bit rotate/reflect walk, masks instead of branches."""
+    import numpy as np
+
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        m = ry == 0
+        flip = m & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        x = np.where(m, yf, xf)
+        y = np.where(m, xf, yf)
+        s >>= 1
+    return d
+
+
+def hilbert_layout(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+) -> DataFrame:
+    """2-D Hilbert-curve clustering: like `zorder_layout` but along the
+    Hilbert walk, whose consecutive codes are always ADJACENT cells (the
+    z-curve jumps at power-of-two seams), so each range-partitioned file
+    covers a slightly tighter rectangle. The index itself is a bounded
+    numpy loop per Arrow batch (mapInPandas) — data-dependent rotations
+    don't fold into Catalyst expressions the way the Morton interleave
+    does."""
+    import pandas as pd
+
+    if len(cols) != 2:
+        raise ValueError("hilbert_layout is 2-D; use zorder_layout for 3+ dims")
+    from pyspark.sql import types as T
+
+    q = [quantize(df, c, bits) for c in cols]
+    with_q = df.withColumn("_qa", q[0]).withColumn("_qb", q[1])
+    # build a FRESH StructType: StructType.add mutates in place, and
+    # DataFrame.schema is cached — mutating it corrupts with_q.columns
+    schema = T.StructType(
+        list(with_q.schema.fields) + [T.StructField("_h", T.LongType())]
+    )
+
+    def add_h(it):
+        for pdf in it:
+            pdf = pdf.assign(
+                _h=_hilbert_d_numpy(
+                    pdf["_qa"].to_numpy(), pdf["_qb"].to_numpy(), bits
+                )
+            )
+            yield pdf
+
+    with_h = with_q.mapInPandas(add_h, schema)
+    return (
+        with_h.repartitionByRange(n_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_qa", "_qb", "_h")
+    )

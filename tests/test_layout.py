@@ -86,3 +86,75 @@ def test_zorder_box_query_touches_fewer_files(spark, tmp_path):
     a = spark.read.parquet(str(tmp_path / "zord")).where(box).count()
     b = spark.read.parquet(str(tmp_path / "linear")).where(box).count()
     assert a == b > 0
+
+
+def test_hilbert_index_matches_scalar_reference(spark):
+    import numpy as np
+
+    from hawk_pack_spark.operators.layout import _hilbert_d_numpy
+
+    def xy2d(n, x, y):
+        rx = ry = 0
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits = 6
+    n = 1 << bits
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    xs, ys = xs.ravel(), ys.ravel()
+    got = _hilbert_d_numpy(xs, ys, bits)
+    want = np.array([xy2d(n, int(a), int(b)) for a, b in zip(xs, ys)])
+    np.testing.assert_array_equal(got, want)
+    # a space-filling curve visits every cell exactly once
+    assert len(set(got.tolist())) == n * n
+    # consecutive curve steps are adjacent cells (the Hilbert property
+    # the z-curve lacks at seams)
+    order = np.argsort(got)
+    dx = np.abs(np.diff(xs[order])) + np.abs(np.diff(ys[order]))
+    assert (dx == 1).all()
+
+
+def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark, tmp_path):
+    from hawk_pack_spark.operators.layout import hilbert_layout
+
+    n, files = 200_000, 32
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 10_000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 10_000).alias("y"),
+    ).where((F.col("x") >= 0) & (F.col("y") >= 0))
+    hilbert_layout(df, ["x", "y"], n_files=files).write.parquet(
+        str(tmp_path / "hil")
+    )
+    zorder_layout(df, ["x", "y"], n_files=files).write.parquet(
+        str(tmp_path / "zord")
+    )
+    box = (
+        (F.col("x") >= 4000) & (F.col("x") < 5000)
+        & (F.col("y") >= 4000) & (F.col("y") < 5000)
+    )
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .where(box)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    n_h = files_touched(str(tmp_path / "hil"))
+    n_z = files_touched(str(tmp_path / "zord"))
+    assert n_h <= n_z, (n_h, n_z)
+    a = spark.read.parquet(str(tmp_path / "hil")).where(box).count()
+    b = spark.read.parquet(str(tmp_path / "zord")).where(box).count()
+    assert a == b > 0
