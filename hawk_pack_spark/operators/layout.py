@@ -144,3 +144,21 @@ def hilbert_layout(
         .sortWithinPartitions("_h")
         .drop("_qa", "_qb", "_h")
     )
+
+
+def compaction_plan(
+    spark, path: str, target_bytes: int = 128 << 20
+) -> tuple[DataFrame, int]:
+    """Small-file compaction plan: size the table once through the
+    JVM Hadoop FS (works for any supported filesystem, not just
+    local), and return (DataFrame repartitioned to ceil(total/target),
+    n_files) ready for a rewrite-and-swap. The small-files problem is
+    the quiet killer of 100 TB scan performance: a million 1 MB files
+    turn a column-pruned scan into a metadata storm."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(p).getLength()
+    n = max(1, -(-int(total) // int(target_bytes)))
+    return spark.read.parquet(path).repartition(n), n

@@ -158,3 +158,25 @@ def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark, tmp_path):
     a = spark.read.parquet(str(tmp_path / "hil")).where(box).count()
     b = spark.read.parquet(str(tmp_path / "zord")).where(box).count()
     assert a == b > 0
+
+
+def test_compaction_plan_collapses_small_files(spark, tmp_path):
+    from hawk_pack_spark.operators.layout import compaction_plan
+
+    src = str(tmp_path / "small")
+    spark.range(100_000).repartition(64).write.parquet(src)
+    import os
+
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in == 64
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    df, n = compaction_plan(spark, src, target_bytes=total // 4 + 1)
+    out = str(tmp_path / "compact")
+    df.write.parquet(out)
+    n_out = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_out == n <= 5
+    assert spark.read.parquet(out).count() == 100_000
