@@ -47,16 +47,22 @@ def zorder_value(cols: list[Column], bits: int = 16) -> Column:
 
 
 def quantize(df: DataFrame, col: str, bits: int = 16) -> Column:
-    """Range-quantize a numeric/timestamp column into [0, 2^bits) with a
-    broadcastable (min, max) — one tiny agg, no sort, no rank shuffle."""
-    lo, hi = df.agg(
-        F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
-    ).collect()[0]
+    """Range-quantize a numeric/timestamp/date column into [0, 2^bits)
+    with a broadcastable (min, max) — one tiny agg, no sort, no rank
+    shuffle. Temporal types go through epoch seconds (NTZ included —
+    a bare double cast on TIMESTAMP_NTZ is a type error)."""
+    dt = dict(df.dtypes)[col]
+    base = (
+        F.col(col).cast("timestamp").cast("double")
+        if dt.startswith("timestamp") or dt == "date"
+        else F.col(col).cast("double")
+    )
+    lo, hi = df.agg(F.min(base), F.max(base)).collect()[0]
     span = (hi - lo) or 1.0
     buckets = (1 << bits) - 1
     return F.least(
         F.lit(buckets),
-        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * buckets),
+        F.floor((base - F.lit(lo)) / F.lit(span) * buckets),
     ).cast("long")
 
 
