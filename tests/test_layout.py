@@ -180,3 +180,109 @@ def test_compaction_plan_collapses_small_files(spark, tmp_path):
     n_out = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
     assert n_out == n <= 5
     assert spark.read.parquet(out).count() == 100_000
+
+
+def test_quantize_bounds_null_guard(spark):
+    from hawk_pack_spark.operators.layout import quantize_bounds
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError, match="no non-NULL"):
+        quantize_bounds(empty, ["x"])
+    nulls = spark.range(10).select(
+        F.lit(None).cast("double").alias("x"), F.col("id").alias("y")
+    )
+    with pytest.raises(ValueError, match="'x'"):
+        quantize_bounds(nulls, ["x", "y"])
+
+
+def test_zorder_layout_single_stats_job(spark, monkeypatch):
+    """A 3-column layout learns all six bounds in ONE agg pass
+    (VERDICT r6 #3) — pinned by counting DataFrame.agg calls."""
+    df = spark.range(10_000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") % 97).alias("y"),
+        (F.col("id") % 89).alias("z"),
+    )
+    cls = type(df)  # the CONCRETE DataFrame class (classic subclasses
+    calls = []      # the pyspark.sql.DataFrame base in Spark 4)
+    orig = cls.agg
+
+    def counting_agg(self, *a, **kw):
+        calls.append(a)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(cls, "agg", counting_agg)
+    out = zorder_layout(df, ["x", "y", "z"], n_files=4, bits=8)
+    assert len(calls) == 1, f"expected 1 stats agg, saw {len(calls)}"
+    assert out.count() == 10_000
+
+
+def test_compaction_preserves_zorder_pruning(spark, tmp_path):
+    """Compacting a z-ordered table with the layout key keeps per-file
+    stats tight: the box query touches the same small FRACTION of files
+    after compaction, where a round-robin repartition would touch ALL
+    of them (VERDICT r6 #2)."""
+    import os
+
+    from hawk_pack_spark.operators.layout import compaction_plan
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 10_000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 10_000).alias("y"),
+    ).where((F.col("x") >= 0) & (F.col("y") >= 0))
+    src = str(tmp_path / "zord_small")
+    zorder_layout(df, ["x", "y"], n_files=32).write.parquet(src)
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    target = total // 8 + 1  # plan ~8 output files
+
+    box = (
+        (F.col("x") >= 4000) & (F.col("x") < 5000)
+        & (F.col("y") >= 4000) & (F.col("y") < 5000)
+    )
+
+    def touched(path: str) -> tuple[int, int]:
+        all_files = sum(
+            1 for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        hit = (
+            spark.read.parquet(path)
+            .where(box)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        return hit, all_files
+
+    good_df, n_good = compaction_plan(
+        spark, src, target_bytes=target, sort_cols=["x", "y"], layout="zorder"
+    )
+    good = str(tmp_path / "compact_zorder")
+    good_df.write.parquet(good)
+
+    bad_df, _ = compaction_plan(spark, src, target_bytes=target)
+    bad = str(tmp_path / "compact_rr")
+    bad_df.write.parquet(bad)
+
+    hit_src, n_src = touched(src)
+    hit_good, n_out = touched(good)
+    hit_bad, n_bad = touched(bad)
+    assert n_out == n_good <= 10
+    # round-robin widens every file's stats to the full range: the box
+    # touches ALL files; the layout-aware compaction keeps the touched
+    # FRACTION no worse than the small-file original
+    assert hit_bad == n_bad
+    # coarser files cover longer curve segments, so allow the box to
+    # straddle one extra segment boundary — but never more
+    assert hit_good <= -(-hit_src * n_out // n_src) + 1, (
+        hit_good, n_out, hit_src, n_src
+    )
+    assert hit_good < n_out
+    # row identity
+    a = spark.read.parquet(good).where(box).count()
+    b = spark.read.parquet(src).where(box).count()
+    assert a == b > 0
