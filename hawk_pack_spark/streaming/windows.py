@@ -118,13 +118,26 @@ def _sessionize_fn_factory(gap_ms: int):
             start_ms, end_ms, n = state.get
         else:
             start_ms, end_ms, n = ts_ms[0], ts_ms[0], 0
+        # Admitted-late events (watermark > 0): an event with
+        # t <= end_ms arrived after a later event was already folded
+        # into the open session. It MERGES into the open session —
+        # end_ms never regresses and the gap test runs against the
+        # session's true max end (ADVICE r6: `end_ms = t`
+        # unconditionally moved the open session's end BACKWARDS, so a
+        # subsequent event could be wrongly split into a new session).
+        # An in-horizon late event that preceded the open session's
+        # start merges too (start extends back): retro-splitting a
+        # closed-gap prefix would need buffering the whole horizon in
+        # state; within a watermark's slack this matches batch
+        # semantics, which sort all events before gap-scanning.
         for t in ts_ms:
             if n > 0 and t - end_ms > gap_ms:
                 sessions.append(
                     (user_id, start_ms // 1000, end_ms // 1000, n)
                 )
-                start_ms, n = t, 0
-            end_ms = t
+                start_ms, end_ms, n = t, t, 0
+            start_ms = min(start_ms, t)
+            end_ms = max(end_ms, t)
             n += 1
         state.update((int(start_ms), int(end_ms), int(n)))
         # the open session closes when the watermark passes its end +
@@ -150,7 +163,16 @@ def sessionize_stream(
     closed sessions (user_id, sess_start, sess_end, n_events), epoch
     seconds. A single-pass stream whose watermark ends past every
     event + gap reproduces batch gap-sessionization exactly
-    (tests/test_streaming_windows.py)."""
+    (tests/test_streaming_windows.py).
+
+    Late-data contract (``watermark`` > 0): an admitted-late event
+    merges into the key's OPEN session — extending its start backwards
+    if needed, never regressing its end — exactly what batch
+    sessionization (which sorts before gap-scanning) would do when the
+    late event falls inside the open session's span. A late event that
+    would retro-split an already-emitted earlier session is beyond any
+    single-pass stream (append-mode rows are final); events older than
+    the watermark are dropped by Spark before the state function."""
     stream = events_stream.select(
         F.col(key_col).alias("user_id"), F.col(time_col).alias("ts")
     ).withWatermark("ts", watermark)

@@ -242,3 +242,43 @@ def test_sliding_windows_overlap_under_watermark(spark, tmp_path):
     got = dict(rows)
     assert len(rows) == len(got) == 4  # exactly-once per window
     assert got == {725: 1, 730: 2, 735: 2, 740: 1}
+
+
+def test_sessionize_admitted_late_event_does_not_regress_session_end(
+    spark, tmp_path
+):
+    """ADVICE r6 (medium): with watermark > 0, a cross-batch late event
+    (t < the open session's end) must MERGE into the session, not move
+    its end backwards — the old `end_ms = t` regression made the next
+    event split off a spurious session."""
+    b1 = [
+        (1, _t(0), 7, "click", 0.0),
+        (2, _t(20), 7, "click", 0.0),
+    ]
+    # 12:10 is admitted-late (watermark after b1 = 12:20 - 30min);
+    # 12:45 is 25min after the TRUE end (12:20) -> same session, but
+    # 35min after the late event -> the buggy code split here
+    b2 = [
+        (3, _t(10), 7, "click", 0.0),
+        (4, _t(45), 7, "click", 0.0),
+    ]
+    s1 = [(5, _t(0, hour=20), -1, "__sentinel__", 0.0)]
+    s2 = [(6, _t(0, hour=23), -1, "__sentinel__", 0.0)]
+    for i, rows in enumerate([b1, b2, s1, s2]):
+        _write(spark, rows, str(tmp_path / f"src/b{i}"))
+
+    out = _run_stream(
+        spark,
+        tmp_path,
+        lambda s: sessionize_stream(
+            s, gap_seconds=1800, watermark="30 minutes"
+        ),
+        "sess_late_out",
+    )
+    got = sorted(
+        (r.user_id, r.sess_start % 86400 // 60, r.sess_end % 86400 // 60,
+         r.n_events)
+        for r in out.collect()
+        if r.user_id >= 0
+    )
+    assert got == [(7, 720, 765, 4)]  # ONE session 12:00-12:45, 4 events
