@@ -225,6 +225,47 @@ def _qualified(schema: str | None, table: str) -> str:
     return f"{schema}.{table}" if schema else table
 
 
+def _query_scalar(spark: SparkSession, url: str, driver: str | None,
+                  sql: str):
+    """One scalar SELECT over the same JVM DriverManager as
+    `_exec_updates`. Returns the first column of the first row as a
+    string, or None on an empty result."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            rs = st.executeQuery(sql)
+            try:
+                return rs.getString(1) if rs.next() else None
+            finally:
+                rs.close()
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def _pg_links_type_sql(links_table: str, schema: str | None) -> str:
+    """information_schema probe for the live links-column type — the
+    jsonb autodetection query (ADVICE r6 #2: a pre-jsonb release created
+    TEXT targets, and Postgres has no implicit jsonb→text assignment
+    cast, so blindly casting the stage to jsonb breaks legacy
+    databases). Scoped to the current search_path schema when no
+    explicit schema is given."""
+    scope = (
+        f"table_schema = '{schema}'" if schema
+        else "table_schema = current_schema()"
+    )
+    return (
+        "SELECT data_type FROM information_schema.columns "
+        f"WHERE {scope} AND table_name = '{links_table}' "
+        "AND column_name = 'links'"
+    )
+
+
 def _exec_updates(spark: SparkSession, url: str, driver: str | None,
                   statements: list[str], ignore_existing: bool = False) -> None:
     """Run DDL/DML on the driver through java.sql.DriverManager — the
@@ -370,9 +411,18 @@ def upsert_graph_jdbc(
     `MERGE` elsewhere — Derby in tests) moves stage → target. Links JSON
     above ~32 KB needs the Postgres dialect (Derby staging uses
     VARCHAR(32000) so the MERGE join can compare keys; CLOBs can't).
-    ``jsonb`` (stage TEXT → target jsonb cast) defaults ON for the
-    Postgres dialect: helper-created PG schemas ARE jsonb, matching the
-    reference migration. Stage tables carry a unique per-call suffix and
+    ``jsonb`` (stage TEXT → target jsonb cast) defaults to
+    AUTODETECTION on the Postgres dialect: the live links-column type
+    is read from information_schema, so helper-created tables (jsonb,
+    matching the reference migration) get the cast and LEGACY tables
+    created by a pre-jsonb release (TEXT columns) keep their bytes
+    EXACT — measured on PG 15, casting into a TEXT target does not
+    error (I/O-conversion assignment) but silently rewrites rows
+    through jsonb normalization, breaking byte-level consumers
+    (ADVICE r6 #2; tests/test_pg_dialect_live.py pins both). Pass
+    ``jsonb=True/False`` to pin the behavior; migrate a legacy table
+    with ``ALTER TABLE ... ALTER COLUMN links TYPE jsonb USING
+    links::jsonb``. Stage tables carry a unique per-call suffix and
     are dropped in a finally, so concurrent writers against the same
     database never clobber each other's staging data and a failed MERGE
     doesn't leak stage tables (ADVICE r5). ``schema`` namespaces both
@@ -389,7 +439,18 @@ def upsert_graph_jdbc(
     links_rows, entry_rows = to_pg_rows(links, entries)
     pg = _dialect(url) == "postgresql"
     if jsonb is None:
-        jsonb = pg
+        if pg:
+            try:
+                t = _query_scalar(
+                    spark, url, driver, _pg_links_type_sql(links_table, schema)
+                )
+            except Exception:
+                t = None  # probe failure: fall back to the jsonb default
+            # freshly-ensured tables are jsonb; an existing non-jsonb
+            # column means a legacy (pre-jsonb) database -> no cast
+            jsonb = (t is None) or (t == "jsonb")
+        else:
+            jsonb = False
     tok = uuid.uuid4().hex[:8]
     stage_l = _qualified(schema, f"{links_table}_stage_{tok}")
     stage_e = _qualified(schema, f"{entry_table}_stage_{tok}")

@@ -550,3 +550,22 @@ def test_ann_search_accepts_serving_bundle(spark, tmp_path):
         )
         assert got == want, force
         assert dec["path"] == force
+
+
+def test_query_scalar_derby_roundtrip(spark, tmp_path):
+    """_query_scalar (the jsonb-autodetection transport) reads one
+    scalar over the same DriverManager as _exec_updates: value, empty
+    result -> None."""
+    from hawk_pack_spark.sources.graph_io import _exec_updates, _query_scalar
+
+    url = f"jdbc:derby:{tmp_path}/hawk_derby_scalar;create=true"
+    _exec_updates(spark, url, None, [
+        "CREATE TABLE probe_t (k VARCHAR(10), v VARCHAR(10))",
+        "INSERT INTO probe_t VALUES ('a', 'jsonb')",
+    ])
+    assert _query_scalar(
+        spark, url, None, "SELECT v FROM probe_t WHERE k = 'a'"
+    ) == "jsonb"
+    assert _query_scalar(
+        spark, url, None, "SELECT v FROM probe_t WHERE k = 'zzz'"
+    ) is None

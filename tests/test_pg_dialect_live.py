@@ -183,3 +183,55 @@ def test_pg_ddl_and_on_conflict_upsert_execute_live(pg):
         psql(pg, stmt)
     assert psql(pg, f"SELECT count(*) FROM {other}.hawk_graph_links") == "0"
     assert psql(pg, f"SELECT count(*) FROM {schema}.hawk_graph_links") == "4"
+
+
+def test_pg_legacy_text_table_autodetect_and_upsert(pg):
+    """Backward compat (ADVICE r6 #2): a target created by a pre-jsonb
+    release has TEXT links. The autodetection probe classifies it, and
+    the non-cast upsert statement runs green against it — while the
+    jsonb-cast statement is exactly what fails, pinning why detection
+    exists."""
+    from hawk_pack_spark.sources.graph_io import _pg_links_type_sql
+
+    schema = "hawk_legacy_1"
+    psql(pg, f"CREATE SCHEMA IF NOT EXISTS {schema}")
+    psql(pg, f"CREATE TABLE {schema}.hawk_graph_links ("
+             "source_ref VARCHAR(64), layer INTEGER, links TEXT, "
+             "PRIMARY KEY (source_ref, layer))")
+    # the probe's exact SQL classifies the legacy column
+    assert psql(pg, _pg_links_type_sql("hawk_graph_links", schema)) == "text"
+    # and classifies a helper-created jsonb table as jsonb
+    jschema = "hawk_legacy_2"
+    for stmt in graph_schema_ddl(PG_URL, schema=jschema):
+        psql(pg, stmt)
+    assert psql(pg, _pg_links_type_sql("hawk_graph_links", jschema)) == "jsonb"
+
+    stage = f"{schema}.hawk_graph_links_stage_cafe0002"
+    psql(pg, f'CREATE TABLE {stage} ("source_ref" VARCHAR(64), '
+             '"layer" INTEGER, "links" TEXT)')
+    psql(pg, f"INSERT INTO {stage} VALUES ('7', 0, '[[8,1.5]]')")
+    # MEASURED failure mode (PG 15): the jsonb cast into a TEXT target
+    # does NOT error (assignment to a string type always allows I/O
+    # conversion) — it silently REWRITES the stored text through jsonb
+    # normalization ('[[8,1.5]]' -> '[[8, 1.5]]'), a byte-level break
+    # for any legacy consumer comparing or hashing the column. That is
+    # what autodetection prevents.
+    bad = _upsert_sql(PG_URL, f"{schema}.hawk_graph_links", stage,
+                      ["source_ref", "layer"], ["links"], jsonb=True)
+    psql(pg, bad)
+    assert psql(
+        pg,
+        f"SELECT links FROM {schema}.hawk_graph_links "
+        "WHERE source_ref='7' AND layer=0",
+    ) == "[[8, 1.5]]"  # normalized: NOT the staged bytes
+    # the detected (jsonb=False) statement preserves bytes exactly
+    good = _upsert_sql(PG_URL, f"{schema}.hawk_graph_links", stage,
+                       ["source_ref", "layer"], ["links"], jsonb=False)
+    psql(pg, f"DELETE FROM {stage}")
+    psql(pg, f"INSERT INTO {stage} VALUES ('7', 0, '[[9,0.25]]')")
+    psql(pg, good)  # update-in-place on the legacy table
+    assert psql(
+        pg,
+        f"SELECT links FROM {schema}.hawk_graph_links "
+        "WHERE source_ref='7' AND layer=0",
+    ) == "[[9,0.25]]"
