@@ -5261,6 +5261,20 @@ _PINNED_NAMES = [
         "q22_dormant_customers", "streaming_event_windows",
         "streaming_sessionize", "streaming_attribution",
         "streaming_dedup_exact", "sq8_ann_l2", "zorder_values",
+        # r7: six more stable rows unpinned to widen the window to 12
+        # rotating slots (VERDICT r6 #4 — the 20-spec debut backlog
+        # drains in 2 rounds, not 3+). Each was driver-green in r6 and
+        # its family coverage stays pinned: q03's join+agg+topk by
+        # q18/q05; top3's window-rank by the rotation's
+        # customer_running_totals and every top-k row; asof's range
+        # join by purchase_window_attribution (pinned); doc_fingerprint
+        # by the rotation's rolling_fingerprint; pii_scrub's expression
+        # shapes by quality_classifier/curation_pipeline;
+        # events_type_stats_salted's salted agg by events_hourly +
+        # q01's agg family. All keep earning rows via rotation.
+        "q03_shipping_priority", "top3_orders_per_customer",
+        "asof_last_purchase", "doc_fingerprint", "pii_scrub",
+        "events_type_stats_salted",
     }
 ]
 
