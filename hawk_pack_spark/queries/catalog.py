@@ -2763,6 +2763,31 @@ def q_sq8_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_summary(ann, exact, k=10, min_recall=0.95)
 
 
+def q_ivfsq8_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 (r7, operators/pq.py ivfsq8_build/ivfsq8_search —
+    VERDICT r6 #7): coarse cells + SQ8 over residuals — IVF-PQ's
+    partition-prunable cell structure with SQ8's shape-independent
+    recall, the natural default for clustered-or-unknown corpora.
+    Summarized against the exact kNN in the same job; nprobe covers
+    every cell so the gate tests residual quantization + re-rank, not
+    routing loss (routing/pruning/recall-by-shape pinned in
+    tests/test_pq.py). min_recall 0.95: like flat SQ8, recall is
+    bounded by 8-bit quantization error alone."""
+    from hawk_pack_spark.operators import pq
+
+    vecs = _embeddings_vectors(spark, sf_dir)
+    encoded, centers, lo, scale = pq.ivfsq8_build(vecs, n_clusters=8, seed=7)
+    queries = vecs.where(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = pq.ivfsq8_search(
+        encoded, centers, lo, scale, queries, kth=10, nprobe=8,
+        rerank_with=vecs, oversample=4,
+    )
+    exact = knn_exact(vecs, queries, k=10, metric="l2_sq")
+    return _ann_summary(ann, exact, k=10, min_recall=0.95)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval over the documents fixture (operators/bm25.py):
     postings + idf + length-normalized tf scoring, top-10 per query.
@@ -5117,6 +5142,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "streaming_attribution": QuerySpec(q_streaming_attribution, STREAMING_ATTRIBUTION_SQL, "stream-stream interval join chained into windowed per-purchase agg ≡ batch range join, data-level"),
     "streaming_dedup_exact": QuerySpec(q_streaming_dedup_exact, STREAMING_DEDUP_SQL, "dropDuplicatesWithinWatermark: full replay batch dropped key-for-key ≡ SELECT DISTINCT, data-level"),
     "sq8_ann_l2": QuerySpec(q_sq8_ann_l2, PQ_SUMMARY_SQL, "SQ8 scalar-quantized ANN (4x codes, asymmetric scan, exact re-rank) vs exact recall"),
+    "ivfsq8_ann_l2": QuerySpec(q_ivfsq8_ann_l2, PQ_SUMMARY_SQL, "IVF-SQ8 (residual scalar quantization, cell-pruned scan, exact re-rank): shape-independent recall in IVF-PQ's prunable layout"),
     "zorder_values": QuerySpec(q_zorder_values, ZORDER_SQL, "Z-order (Morton) curve values for multi-dim file clustering, bit-for-bit data-level"),
     # -- stable block: unchanged r01-green queries, original order.
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape"),
@@ -5275,6 +5301,9 @@ _PINNED_NAMES = [
         "q03_shipping_priority", "top3_orders_per_customer",
         "asof_last_purchase", "doc_fingerprint", "pii_scrub",
         "events_type_stats_salted",
+        # r7 debut: enters via the pool (never-recorded-first), queued
+        # in _DEBUT_ORDER behind the r6-tail blocks.
+        "ivfsq8_ann_l2",
     }
 ]
 
@@ -5336,6 +5365,8 @@ _DEBUT_ORDER = [
     "q13_customer_distribution", "q15_top_supplier",
     "q17_small_qty_revenue", "q21_waiting_supplier",
     "q22_dormant_customers",
+    # r7 debuts
+    "ivfsq8_ann_l2",
 ]
 
 

@@ -215,3 +215,102 @@ def test_ivfpq_rerank_custom_columns(spark, sf_dir):
     )
     a = {(r.query_id, r.vec_id, r.rank) for r in default.collect()}
     assert a == {(r.query_id, r.vec_id, r.rank) for r in custom.collect()}
+
+
+def test_ivfsq8_recall_shape_independent(spark, tmp_path):
+    """IVF-SQ8 (VERDICT r6 #7): cell-pruned scan structure with SQ8's
+    shape-independent recall. UN-re-ranked recall >= 0.95 on BOTH a
+    clustered corpus (probing 4/32 cells — routing captures clusters)
+    and an iid corpus (full-cell union — quantization error alone),
+    where IVF-PQ's iid recall collapses. Plus: pruned on-disk layout
+    (PartitionFilters) and the bounded-collect guard."""
+    import numpy as np
+
+    from hawk_pack_spark.operators.similarity import l2_topk_numpy
+
+    rng = np.random.default_rng(7)
+
+    def corpus(pts):
+        return spark.createDataFrame(
+            [(i, pts[i].tolist()) for i in range(len(pts))],
+            "vec_id long, embedding array<double>",
+        ).localCheckpoint()
+
+    def recall(vecs, nprobe, n_clusters, rerank=None):
+        queries = vecs.where(F.col("vec_id") % 40 == 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        exact = l2_topk_numpy(vecs, queries, k=10)
+        base = {(r.query_id, r.vec_id) for r in exact.collect()}
+        enc, cents, lo, scale = pq.ivfsq8_build(
+            vecs, n_clusters=n_clusters, seed=7
+        )
+        got = pq.ivfsq8_search(
+            enc.localCheckpoint(), cents, lo, scale, queries, kth=10,
+            nprobe=nprobe, rerank_with=rerank,
+        )
+        hit = {(r.query_id, r.vec_id) for r in got.collect()}
+        return len(hit & base) / len(base), enc, cents, lo, scale
+
+    # clustered: 40 tight clusters, probe 4/32 cells
+    centers = rng.normal(0, 1.0, (40, 64))
+    pts = (centers[:, None, :] + rng.normal(0, 0.12, (40, 100, 64))).reshape(-1, 64)
+    r_clus, *_ = recall(corpus(pts), nprobe=4, n_clusters=32)
+    assert r_clus >= 0.95, r_clus
+
+    # iid: full-cell union isolates quantization error -> near-exact
+    pts_iid = rng.normal(0, 1.0, (4000, 64))
+    r_iid, enc, cents, lo, scale = recall(corpus(pts_iid), nprobe=16, n_clusters=16)
+    assert r_iid >= 0.95, r_iid
+
+    # pruned on-disk layout: probed-cell filter reaches the scan
+    vecs = corpus(pts_iid)
+    queries = vecs.where(F.col("vec_id") % 40 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "ivfsq8_codes")
+    enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+    disk = spark.read.parquet(path)
+    probe = pq.ivfsq8_search(
+        disk, cents, lo, scale, queries.limit(3), kth=5, nprobe=2
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert probe.groupBy("query_id").count().where("count = 5").count() == 3
+
+    # bounded driver collect
+    with pytest.raises(ValueError, match="max_driver_queries"):
+        pq.ivfsq8_search(
+            enc, cents, lo, scale, queries, kth=5, nprobe=2,
+            max_driver_queries=2,
+        )
+
+
+def test_ivfsq8_rerank_exact_and_deterministic(spark, sf_dir):
+    """Exact re-rank on the shortlist: self-queries rank themselves
+    first with dist 0; two runs produce identical rows."""
+    vecs = _vectors(spark, sf_dir).localCheckpoint()
+    queries = vecs.where(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    enc, cents, lo, scale = pq.ivfsq8_build(vecs, n_clusters=8, seed=7)
+    enc = enc.localCheckpoint()
+    a = pq.ivfsq8_search(
+        enc, cents, lo, scale, queries, kth=10, nprobe=8,
+        rerank_with=vecs, oversample=4,
+    )
+    rows = a.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        top = min(rs, key=lambda r: r.rank)
+        assert top.vec_id == q and abs(top.dist) < 1e-9
+    b = pq.ivfsq8_search(
+        enc, cents, lo, scale, queries, kth=10, nprobe=8,
+        rerank_with=vecs, oversample=4,
+    )
+    assert {(r.query_id, r.vec_id, r.rank) for r in rows} == {
+        (r.query_id, r.vec_id, r.rank) for r in b.collect()
+    }
