@@ -147,48 +147,107 @@ def _hilbert_d_numpy(x, y, bits: int):
     return d
 
 
+def _hilbert_nd_numpy(coords, bits: int):
+    """N-dimensional Hilbert index via Skilling's transpose transform
+    (J. Skilling, "Programming the Hilbert curve", AIP Conf. Proc. 707,
+    2004) vectorized over rows: ``coords`` is an (n_rows, n_dims) int64
+    array of quantized cells < 2^bits; returns the (n_rows,) curve
+    index. bits*n_dims must stay < 63 (long). The per-bit rotate/
+    reflect walk becomes mask-selected XOR/swap passes — no per-row
+    Python. Consecutive indices are always ADJACENT cells in exactly
+    one dimension (the defining Hilbert property, pinned by the
+    bijectivity + unit-step tests in tests/test_layout.py)."""
+    import numpy as np
+
+    X = [coords[:, i].astype(np.int64).copy() for i in range(coords.shape[1])]
+    n = len(X)
+    # inverse-undo pass: top bit downwards
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            hi = (X[i] & Q) != 0
+            # if bit set: invert low bits of X[0]; else swap low bits
+            # of X[0] and X[i] — both rendered as masked XORs
+            X[0] ^= np.where(hi, P, 0)
+            t = np.where(hi, 0, (X[0] ^ X[i]) & P)
+            X[0] ^= t
+            X[i] ^= t
+        Q >>= 1
+    # Gray encode
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = np.zeros_like(X[0])
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        t ^= np.where((X[n - 1] & Q) != 0, Q - 1, 0)
+        Q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    # the transposed code interleaves to the index: bit j of X[i] is
+    # output bit j*n + (n-1-i) — MSB-first dimension order
+    d = np.zeros_like(X[0])
+    for j in range(bits):
+        for i in range(n):
+            bit = (X[i] >> j) & 1
+            d |= bit << (j * n + (n - 1 - i))
+    return d
+
+
 def hilbert_layout(
     df: DataFrame,
     cols: list[str],
     n_files: int = 32,
     bits: int = 16,
 ) -> DataFrame:
-    """2-D Hilbert-curve clustering: like `zorder_layout` but along the
+    """Hilbert-curve clustering: like `zorder_layout` but along the
     Hilbert walk, whose consecutive codes are always ADJACENT cells (the
     z-curve jumps at power-of-two seams), so each range-partitioned file
-    covers a slightly tighter rectangle. The index itself is a bounded
+    covers a slightly tighter hyper-rectangle. Any number of dimensions
+    (bits × dims < 63): 2-D uses the classic rotate/reflect walk, 3-D+
+    the vectorized Skilling transform. The index itself is a bounded
     numpy loop per Arrow batch (mapInPandas) — data-dependent rotations
     don't fold into Catalyst expressions the way the Morton interleave
     does."""
-    import pandas as pd
-
-    if len(cols) != 2:
-        raise ValueError("hilbert_layout is 2-D; use zorder_layout for 3+ dims")
     from pyspark.sql import types as T
 
-    b = quantize_bounds(df, cols)  # one stats job for both dims
+    if len(cols) < 2:
+        raise ValueError("hilbert_layout needs >= 2 dims; sort for 1-D")
+    if bits * len(cols) >= 63:
+        raise ValueError(f"bits*dims = {bits * len(cols)} overflows a long")
+    b = quantize_bounds(df, cols)  # one stats job for all dims
     q = [quantize(df, c, bits, bounds=b[c]) for c in cols]
-    with_q = df.withColumn("_qa", q[0]).withColumn("_qb", q[1])
+    with_q = df
+    qnames = [f"_q{i}" for i in range(len(cols))]
+    for name, col in zip(qnames, q):
+        with_q = with_q.withColumn(name, col)
     # build a FRESH StructType: StructType.add mutates in place, and
     # DataFrame.schema is cached — mutating it corrupts with_q.columns
     schema = T.StructType(
         list(with_q.schema.fields) + [T.StructField("_h", T.LongType())]
     )
+    two_d = len(cols) == 2
 
     def add_h(it):
+        import numpy as np
+
         for pdf in it:
-            pdf = pdf.assign(
-                _h=_hilbert_d_numpy(
-                    pdf["_qa"].to_numpy(), pdf["_qb"].to_numpy(), bits
+            if two_d:
+                h = _hilbert_d_numpy(
+                    pdf[qnames[0]].to_numpy(), pdf[qnames[1]].to_numpy(), bits
                 )
-            )
-            yield pdf
+            else:
+                h = _hilbert_nd_numpy(
+                    np.stack([pdf[c].to_numpy() for c in qnames], axis=1),
+                    bits,
+                )
+            yield pdf.assign(_h=h)
 
     with_h = with_q.mapInPandas(add_h, schema)
     return (
         with_h.repartitionByRange(n_files, "_h")
         .sortWithinPartitions("_h")
-        .drop("_qa", "_qb", "_h")
+        .drop(*qnames, "_h")
     )
 
 
