@@ -135,3 +135,134 @@ def insert_unless_match(
     )
     accepted = fresh.select(F.col(query_id).alias(vec_id), F.col(query_col).alias(vec_col))
     return vectors.select(vec_id, vec_col).unionByName(accepted)
+
+
+def range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    metric: str = "l2_sq",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """All stored vectors within ``radius`` of each query — the
+    set-valued relational form of ``is_match`` (reference
+    src/traits.rs:46-49 tests ONE pair against the store threshold;
+    this returns the whole matching set per query).
+
+    Returns (query_id, vec_id, dist), dist <= radius. Exact.
+
+    Plan shape: distributed scan of the vector side, broadcast of the
+    query side, distance + radius predicate fused into the codegen'd
+    projection — no top-k Window, no shuffle at all; output is
+    match-sized, never cross-product-sized. At 100 TB the vector side
+    stays partitioned and the cost is one pass, like ``exists_match``.
+    """
+    q = F.broadcast(queries) if broadcast_queries else queries
+    pairs = vectors.crossJoin(q)
+    dist = distance_expr(metric, F.col(query_col), F.col(vec_col))
+    return (
+        pairs.select(F.col(query_id), F.col(vec_id), dist.alias("dist"))
+        .where(F.col("dist") <= F.lit(float(radius)))
+    )
+
+
+def filtered_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    predicate,
+    metric: str = "l2_sq",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+    index_df: DataFrame | None = None,
+    selective_fraction: float = 0.10,
+    overfetch: int = 4,
+    max_rounds: int = 3,
+    decision_out: dict | None = None,
+    **ann_kwargs,
+) -> DataFrame:
+    """Top-k nearest per query AMONG rows satisfying ``predicate`` —
+    the metadata-filtered vector search every production serving stack
+    needs (predicate + top-k in one call; the reference has no
+    equivalent, superset surface).
+
+    Two strategies, dispatched on measured selectivity (the standard
+    vector-DB rule):
+
+    - **pre-filter exact** (selective predicate, or no index given):
+      push the predicate into the scan, brute-force the survivors.
+      EXACT at any selectivity; cost is one pass over the filtered
+      rows, and the filter reaches the parquet scan (PushedFilters).
+    - **post-filter over-fetch** (broad predicate + an ANN index):
+      ``ann_search`` with k·overfetch, keep survivors, and double the
+      over-fetch for the starved queries only, up to ``max_rounds``;
+      any query still short after that falls back to pre-filter exact
+      for completeness. Approximate exactly where the index is.
+
+    Selectivity is ONE cheap aggregate over the predicate column —
+    at scale that is a metadata/statistics read, not a full pass over
+    the vectors (column pruning keeps the embedding column unread).
+    """
+    filtered = vectors.where(predicate)
+    if index_df is None:
+        if decision_out is not None:
+            decision_out["path"] = "prefilter_exact"
+        return knn_exact(
+            filtered, queries, k, metric, vec_id, vec_col, query_id, query_col
+        )
+
+    counts = vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(predicate).alias("n_match"),
+    ).collect()[0]
+    sel = (counts["n_match"] / counts["n"]) if counts["n"] else 0.0
+    if sel <= selective_fraction:
+        if decision_out is not None:
+            decision_out["path"] = "prefilter_exact"
+            decision_out["selectivity"] = sel
+        return knn_exact(
+            filtered, queries, k, metric, vec_id, vec_col, query_id, query_col
+        )
+
+    from hawk_pack_spark.operators.hnsw import ann_search
+
+    if decision_out is not None:
+        decision_out["path"] = "index_postfilter"
+        decision_out["selectivity"] = sel
+    allowed = filtered.select(F.col(vec_id))
+    pending = queries
+    kept_parts: list[DataFrame] = []
+    fetch = k * overfetch
+    for _ in range(max_rounds):
+        hits = ann_search(
+            index_df, pending, k=fetch, metric=metric,
+            query_id=query_id, query_col=query_col, **ann_kwargs,
+        )
+        surv = hits.join(F.broadcast(allowed) if sel <= 0.5 else allowed, vec_id)
+        got = surv.groupBy(query_id).agg(F.count(F.lit(1)).alias("_got"))
+        full_q = got.where(F.col("_got") >= k).select(query_id)
+        kept_parts.append(surv.join(full_q, query_id, "leftsemi"))
+        pending = pending.join(full_q, query_id, "leftanti")
+        if pending.limit(1).count() == 0:
+            pending = None
+            break
+        fetch *= 2
+    if pending is not None and pending.limit(1).count() > 0:
+        # completeness fallback: the starved remainder goes exact
+        kept_parts.append(
+            knn_exact(filtered, pending, k, metric, vec_id, vec_col,
+                      query_id, query_col).drop("rank")
+        )
+    out = kept_parts[0]
+    for p in kept_parts[1:]:
+        out = out.unionByName(p)
+    return topk_rows(
+        out.select(query_id, vec_id, "dist"),
+        [query_id], "dist", k, ascending=True, tie_cols=[vec_id],
+    )

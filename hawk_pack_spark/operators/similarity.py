@@ -146,6 +146,82 @@ def ivf_search(
     return topk_rows(scored, [query_id], "dist", k, tie_cols=["vec_id"])
 
 
+def ivf_cell_stats(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+) -> list[float]:
+    """Per-cell covering radius: max L2 distance from any member to its
+    centroid — ONE aggregate pass at build time, n_clusters numbers on
+    the driver (the routing side-car, like the centroid list itself).
+    Empty cells get radius 0.0."""
+    spark = assigned.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cluster int, center array<double>",
+    )
+    d = distance_expr("l2_sq", F.col(vec_col), F.col("center"))
+    rows = (
+        assigned.join(F.broadcast(centers_df), "cluster")
+        .groupBy("cluster")
+        .agg(F.max(F.sqrt(d)).alias("r"))
+        .collect()
+    )
+    radii = [0.0] * len(centers)
+    for r in rows:
+        radii[r["cluster"]] = float(r["r"])
+    return radii
+
+
+def range_search_ivf(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    cell_radii: list[float],
+    queries: DataFrame,
+    radius: float,
+    metric: str = "l2_sq",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "query_vec",
+) -> DataFrame:
+    """EXACT radius search with LOSSLESS cell pruning.
+
+    By the triangle inequality, cell c can contain a vector within L2
+    radius r of q only if ``l2(q, center_c) - covering_radius_c <= r`` —
+    so cells failing that test are skipped with zero recall loss, and
+    the result is identical to the brute-force ``range_search``. With a
+    cluster-partitioned index table the skipped cells are skipped at the
+    I/O level too (PartitionFilters): probed bytes track selectivity,
+    not corpus size — the radius-query analog of the IVF top-k story.
+
+    ``metric``: "l2_sq" (radius in squared units) or "l2". Returns
+    (query_id, vec_id, dist) with dist in the requested metric.
+    """
+    if metric not in ("l2_sq", "l2"):
+        raise ValueError(f"range_search_ivf supports l2/l2_sq, got {metric!r}")
+    r_l2 = float(radius) ** 0.5 if metric == "l2_sq" else float(radius)
+    spark = assigned.sparkSession
+    centers_df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c], float(cell_radii[i]))
+            for i, c in enumerate(centers)
+        ],
+        "cluster int, center array<double>, cell_r double",
+    )
+    qc = queries.crossJoin(F.broadcast(centers_df))
+    cdist_l2 = F.sqrt(distance_expr("l2_sq", F.col(query_col), F.col("center")))
+    probes = qc.where(cdist_l2 - F.col("cell_r") <= F.lit(r_l2)).select(
+        query_id, query_col, "cluster"
+    )
+    cand = assigned.join(F.broadcast(probes), "cluster")
+    dist = distance_expr(metric, F.col(query_col), F.col(vec_col))
+    return (
+        cand.select(F.col(query_id), F.col(vec_id), dist.alias("dist"))
+        .where(F.col("dist") <= F.lit(float(radius)))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hamming LSH banding (deterministic)
 

@@ -1083,6 +1083,77 @@ SELECT query_id, vec_id, ROUND(ip, 6) AS ip, rank FROM r WHERE rank <= 10
 """
 
 
+def q_range_search_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query — the set-valued relational form of ``is_match``
+    (reference src/traits.rs:46-49 tests one pair; this returns every
+    stored vector within the threshold, per query). Served through the
+    IVF cell-pruned path (`range_search_ivf`): the triangle-inequality
+    prune is LOSSLESS, so the row is data-level against the brute-force
+    oracle — the clustering seed cannot change the answer, only the
+    bytes probed."""
+    from hawk_pack_spark.operators.similarity import (
+        ivf_build, ivf_cell_stats, range_search_ivf,
+    )
+
+    emb = _embeddings_vectors(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned, centers = ivf_build(emb, n_clusters=8)
+    radii = ivf_cell_stats(assigned, centers)
+    out = range_search_ivf(assigned, centers, radii, queries, radius=1.3)
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("dist"), 6).alias("dist")
+    )
+
+
+RANGE_SEARCH_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+d AS (
+  SELECT query_id, vec_id,
+    list_sum(list_transform(range(1, 65), i -> (qv[i] - v[i]) * (qv[i] - v[i]))) AS dist
+  FROM q, e)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist FROM d WHERE dist <= 1.3
+"""
+
+
+def q_filtered_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: top-5 per query among vectors
+    whose ``label`` = 3 — the predicate + top-k serving surface
+    (superset; the reference has no filtered search). The selective
+    predicate routes to the pre-filter exact path, so the row is
+    data-level; the index post-filter path is pytest-gated
+    (test_filtered_knn_index_postfilter_recall)."""
+    from hawk_pack_spark.operators.knn_exact import filtered_knn
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = filtered_knn(emb, queries, k=5, predicate=F.col("label") == 3)
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("dist"), 6).alias("dist"), "rank"
+    )
+
+
+FILTERED_KNN_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+d AS (
+  SELECT query_id, e.vec_id,
+    list_sum(list_transform(range(1, 65), i -> (qv[i] - v[i]) * (qv[i] - v[i]))) AS dist
+  FROM q, e WHERE e.label = 3
+), r AS (
+  SELECT query_id, vec_id, dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, rank FROM r WHERE rank <= 5
+"""
+
+
 def q_knn_exact_cosine_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k under the two similarity orderings (cosine and raw
     inner product / MIPS) in one result, tagged by a metric column —
@@ -5179,6 +5250,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "streaming_delta_jdbc": QuerySpec(q_streaming_delta_jdbc, STREAMING_DELTA_SQL, "per-micro-batch JDBC delta upsert leaves database == in-memory graph"),
     "streaming_query_serving": QuerySpec(q_streaming_query_serving, STREAMING_SERVE_SQL, "readStream query batches through the ann_search front door against a reloaded manifest bundle; per-epoch rows equal direct calls"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, NEAR_DUP_SQL, "cosine near-dup self-join"),
+    "range_search_l2": QuerySpec(q_range_search_l2, RANGE_SEARCH_SQL, "radius query (set-valued is_match) through the LOSSLESS IVF cell-pruned path; data-level vs brute force"),
+    "filtered_knn_label": QuerySpec(q_filtered_knn_label, FILTERED_KNN_SQL, "metadata-filtered vector search (predicate + top-k), selective pre-filter exact path, data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -5304,6 +5377,9 @@ _PINNED_NAMES = [
         # r7 debut: enters via the pool (never-recorded-first), queued
         # in _DEBUT_ORDER behind the r6-tail blocks.
         "ivfsq8_ann_l2",
+        # r7 debuts: radius query + filtered search (new serving
+        # surfaces), enter via the pool never-recorded-first.
+        "range_search_l2", "filtered_knn_label",
     }
 ]
 
@@ -5366,7 +5442,7 @@ _DEBUT_ORDER = [
     "q17_small_qty_revenue", "q21_waiting_supplier",
     "q22_dormant_customers",
     # r7 debuts
-    "ivfsq8_ann_l2",
+    "ivfsq8_ann_l2", "range_search_l2", "filtered_knn_label",
 ]
 
 
