@@ -244,7 +244,11 @@ def filtered_knn(
             index_df, pending, k=fetch, metric=metric,
             query_id=query_id, query_col=query_col, **ann_kwargs,
         )
-        surv = hits.join(F.broadcast(allowed) if sel <= 0.5 else allowed, vec_id)
+        # broadcast the allowed-id set only when it is absolutely small
+        # (relative selectivity is the wrong gate: 40% of 10^9 rows is
+        # 400M ids — never driver/executor-broadcastable)
+        small_allowed = counts["n_match"] <= 2_000_000
+        surv = hits.join(F.broadcast(allowed) if small_allowed else allowed, vec_id)
         got = surv.groupBy(query_id).agg(F.count(F.lit(1)).alias("_got"))
         full_q = got.where(F.col("_got") >= k).select(query_id)
         kept_parts.append(surv.join(full_q, query_id, "leftsemi"))
