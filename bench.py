@@ -64,6 +64,12 @@ HEADLINE = [
     "purchase_window_attribution",
     "pq_ann_l2",
     "ivfpq_ann_l2",
+    # round-7: the shape-independent cell-pruned index + the two new
+    # serving surfaces (radius query through lossless IVF pruning,
+    # selectivity-dispatched filtered search)
+    "ivfsq8_ann_l2",
+    "range_search_l2",
+    "filtered_knn_label",
     "top3_orders_per_customer",
     "session_window_stats",
     "sliding_window_counts",
