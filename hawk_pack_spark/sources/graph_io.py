@@ -633,3 +633,110 @@ def load_serving_index(
         index = index.repartition(max(num_shards, 1), "shard").localCheckpoint()
         index.count()
     return ServingIndex(index, cent_rows, params, meta["metric"], num_shards)
+
+
+# ---------------------------------------------------------------------------
+# IVF-family serving manifest (IVF-PQ / IVF-SQ8)
+#
+# The restartable unit for the cell-pruned compressed indexes, parallel
+# to the HNSW `save_serving_index` bundle:
+#   <path>/codes/  cell-partitioned parquet — `cell IN (probed…)` reaches
+#                  the scan as PartitionFilters, so per-query I/O tracks
+#                  nprobe, not corpus size (the measured disk arm of
+#                  tools/bench_ivfpq_scale.py)
+#   <path>/meta/   1 row: kind + centers + quantizer model as JSON
+#                  (codebooks ≤ m·k·(d/m) floats, lo/scale ≤ 2·d — driver
+#                  metadata, exactly like the HNSW centroid side-car)
+
+
+class IvfIndex:
+    """What `load_ivf_index` returns — the serving bundle for an
+    IVF-PQ or IVF-SQ8 index: the lazy cell-partitioned codes DataFrame
+    plus the driver-side routing/quantizer model. `search` dispatches
+    to the matching search function."""
+
+    __slots__ = ("kind", "codes", "centers", "lo", "scale", "codebooks")
+
+    def __init__(self, kind, codes, centers, lo=None, scale=None, codebooks=None):
+        self.kind = kind
+        self.codes = codes
+        self.centers = centers
+        self.lo = lo
+        self.scale = scale
+        self.codebooks = codebooks
+
+    def search(self, queries, k: int = 10, nprobe: int = 8, **kw):
+        from hawk_pack_spark.operators.pq import ivfpq_search, ivfsq8_search
+
+        if self.kind == "ivfpq":
+            return ivfpq_search(
+                self.codes, self.centers, self.codebooks, queries,
+                kth=k, nprobe=nprobe, **kw,
+            )
+        return ivfsq8_search(
+            self.codes, self.centers, self.lo, self.scale, queries,
+            kth=k, nprobe=nprobe, **kw,
+        )
+
+
+def save_ivf_index(
+    path: str,
+    encoded: DataFrame,
+    centers: list,
+    kind: str,
+    lo=None,
+    scale=None,
+    codebooks=None,
+) -> None:
+    """Persist an IVF-PQ (`kind="ivfpq"`, pass codebooks) or IVF-SQ8
+    (`kind="ivfsq8"`, pass lo/scale) index as one serving unit. The
+    codes table is written ``partitionBy("cell")`` — the pruned layout
+    the search paths' probed-cell filter needs to hit PartitionFilters.
+    """
+    import json
+
+    if kind not in ("ivfpq", "ivfsq8"):
+        raise ValueError(f"unknown IVF index kind {kind!r}")
+    if kind == "ivfpq" and codebooks is None:
+        raise ValueError("ivfpq manifest needs codebooks")
+    if kind == "ivfsq8" and (lo is None or scale is None):
+        raise ValueError("ivfsq8 manifest needs lo and scale")
+    spark = encoded.sparkSession
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    meta = {
+        "kind": kind,
+        "centers": [[float(x) for x in c] for c in centers],
+        "lo": None if lo is None else [float(x) for x in lo],
+        "scale": None if scale is None else [float(x) for x in scale],
+        "codebooks": None if codebooks is None else codebooks.tolist(),
+    }
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
+    """Reload an IVF serving unit saved by `save_ivf_index`. The codes
+    DataFrame stays LAZY on disk — the probed-cell filter prunes
+    partitions at scan time; only the routing/quantizer model (a few
+    thousand floats) is collected to the driver."""
+    import json
+
+    import numpy as np
+
+    meta = json.loads(
+        spark.read.parquet(os.path.join(path, "meta")).collect()[0][0]
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    lo = None if meta["lo"] is None else np.asarray(meta["lo"], dtype=np.float64)
+    scale = (
+        None if meta["scale"] is None
+        else np.asarray(meta["scale"], dtype=np.float64)
+    )
+    codebooks = (
+        None if meta["codebooks"] is None
+        else np.asarray(meta["codebooks"], dtype=np.float64)
+    )
+    return IvfIndex(meta["kind"], codes, meta["centers"], lo, scale, codebooks)
