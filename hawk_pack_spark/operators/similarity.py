@@ -146,6 +146,50 @@ def ivf_search(
     return topk_rows(scored, [query_id], "dist", k, tie_cols=["vec_id"])
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FROZEN-model cell assignment: nearest coarse centroid per vector,
+    computed partition-locally (numpy argmin over the broadcast centroid
+    matrix) — ZERO shuffles, the op a streaming micro-batch append needs.
+    Returns (vec_id, cell, cdist_l2, <vec_col>); ``cdist_l2`` is the L2
+    distance to the assigned centroid (the drift/routing signal)."""
+    import pandas as pd
+
+    C = np.asarray(centers, dtype=np.float64)
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((C, (C * C).sum(axis=1)))
+
+    def part(it):
+        C_, cn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d2 = (mat * mat).sum(1, keepdims=True) - 2.0 * mat @ C_.T + cn[None, :]
+            cell = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": cell.astype(np.int32),
+                    "cdist_l2": np.sqrt(
+                        np.maximum(d2[np.arange(len(cell)), cell], 0.0)
+                    ),
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        part,
+        f"vec_id long, cell int, cdist_l2 double, {vec_col} array<double>",
+    )
+
+
 def ivf_cell_stats(
     assigned: DataFrame,
     centers: list[list[float]],

@@ -655,15 +655,20 @@ class IvfIndex:
     plus the driver-side routing/quantizer model. `search` dispatches
     to the matching search function."""
 
-    __slots__ = ("kind", "codes", "centers", "lo", "scale", "codebooks")
+    __slots__ = ("kind", "codes", "centers", "lo", "scale", "codebooks",
+                 "cell_radii")
 
-    def __init__(self, kind, codes, centers, lo=None, scale=None, codebooks=None):
+    def __init__(self, kind, codes, centers, lo=None, scale=None,
+                 codebooks=None, cell_radii=None):
         self.kind = kind
         self.codes = codes
         self.centers = centers
         self.lo = lo
         self.scale = scale
         self.codebooks = codebooks
+        # build-time covering radii (ivf_cell_stats) — carried for the
+        # streaming drift signal and radius-query routing
+        self.cell_radii = cell_radii
 
     def search(self, queries, k: int = 10, nprobe: int = 8, **kw):
         from hawk_pack_spark.operators.pq import ivfpq_search, ivfsq8_search
@@ -687,6 +692,7 @@ def save_ivf_index(
     lo=None,
     scale=None,
     codebooks=None,
+    cell_radii=None,
 ) -> None:
     """Persist an IVF-PQ (`kind="ivfpq"`, pass codebooks) or IVF-SQ8
     (`kind="ivfsq8"`, pass lo/scale) index as one serving unit. The
@@ -711,6 +717,9 @@ def save_ivf_index(
         "lo": None if lo is None else [float(x) for x in lo],
         "scale": None if scale is None else [float(x) for x in scale],
         "codebooks": None if codebooks is None else codebooks.tolist(),
+        "cell_radii": (
+            None if cell_radii is None else [float(x) for x in cell_radii]
+        ),
     }
     spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
         1
@@ -739,4 +748,7 @@ def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
         None if meta["codebooks"] is None
         else np.asarray(meta["codebooks"], dtype=np.float64)
     )
-    return IvfIndex(meta["kind"], codes, meta["centers"], lo, scale, codebooks)
+    return IvfIndex(
+        meta["kind"], codes, meta["centers"], lo, scale, codebooks,
+        meta.get("cell_radii"),
+    )

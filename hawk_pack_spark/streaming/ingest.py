@@ -237,3 +237,122 @@ class StreamingNearDup:
 
     def n_accepted(self) -> int:
         return 0 if self.accepted_ids is None else self.accepted_ids.count()
+
+
+@dataclass
+class StreamingIvfIngest:
+    """Micro-batch appends into an IVF serving bundle (`save_ivf_index`
+    layout) — the compressed-index counterpart of `StreamingIndex`.
+
+    Each micro-batch: assign every new vector to its nearest coarse
+    cell with the FROZEN routing model (`ivf_assign`, partition-local,
+    zero shuffles), encode with the FROZEN quantizer (SQ8 lo/scale or
+    PQ codebooks over residuals), and APPEND cell-partitioned parquet
+    under `<path>/codes` — write amplification tracks the batch, never
+    the index, and the appended files land inside the existing
+    `cell=<i>` partitions so the probed-cell scan pruning is unchanged.
+
+    Drift signal (the churn-detect analog for IVF): the running
+    fraction of ingested vectors whose centroid distance exceeds their
+    cell's build-time covering radius. A frozen quantizer encodes
+    drifted vectors with growing error — when `drift_fraction()`
+    crosses the caller's threshold, re-train (rebuild) the bundle.
+    Requires the bundle to carry `cell_radii` (pass
+    `ivf_cell_stats(...)` to `save_ivf_index`); without radii the
+    counter stays at 0 and only volume is tracked.
+    """
+
+    path: str
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    index: object = None  # loaded IvfIndex (lazy-loaded from path)
+    n_seen: int = 0
+    n_drifted: int = 0
+
+    def _load(self, spark):
+        if self.index is None:
+            from hawk_pack_spark.sources.graph_io import load_ivf_index
+
+            self.index = load_ivf_index(spark, self.path)
+        return self.index
+
+    def ingest_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        import os
+
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from hawk_pack_spark.operators.similarity import (
+            ivf_assign,
+            sq8_encode,
+        )
+
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        idx = self._load(spark)
+        assigned = ivf_assign(
+            batch, idx.centers, id_col=self.id_col, vec_col=self.vec_col
+        ).localCheckpoint()  # assignment reused by drift + encode paths
+
+        # drift accounting: one tiny agg per batch
+        if idx.cell_radii is not None:
+            radii_df = spark.createDataFrame(
+                [(i, float(r)) for i, r in enumerate(idx.cell_radii)],
+                "cell int, cell_r double",
+            )
+            row = (
+                assigned.join(F.broadcast(radii_df), "cell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_if(F.col("cdist_l2") > F.col("cell_r")).alias("d"),
+                )
+                .collect()[0]
+            )
+            self.n_seen += row["n"]
+            self.n_drifted += row["d"]
+        else:
+            self.n_seen += assigned.count()
+
+        # residual encode with the frozen quantizer
+        centers_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(idx.centers)],
+            "cell int, _center array<double>",
+        )
+        resid = assigned.join(F.broadcast(centers_df), "cell").select(
+            F.col("vec_id"),
+            F.col("cell"),
+            F.zip_with(
+                F.col(self.vec_col).cast("array<double>"), "_center",
+                lambda v, c: v - c,
+            ).alias("_resid"),
+        )
+        if idx.kind == "ivfsq8":
+            enc = sq8_encode(
+                resid, np.asarray(idx.lo), np.asarray(idx.scale),
+                vec_id="vec_id", vec_col="_resid",
+            )
+            cols = ["vec_id", "cell", "codes", "cnorm"]
+        else:
+            from hawk_pack_spark.operators.pq import pq_encode
+
+            enc = pq_encode(resid, idx.codebooks, id_col="vec_id", vec_col="_resid")
+            cols = ["vec_id", "cell", "codes"]
+        out = enc.join(resid.select("vec_id", "cell"), "vec_id").select(*cols)
+        out.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(self.path, "codes")
+        )
+
+    def drift_fraction(self) -> float:
+        return (self.n_drifted / self.n_seen) if self.n_seen else 0.0
+
+    def reload(self, spark=None):
+        """Fresh lazy handle over the appended codes (search sees every
+        ingested batch)."""
+        from pyspark.sql import SparkSession
+
+        from hawk_pack_spark.sources.graph_io import load_ivf_index
+
+        spark = spark or SparkSession.getActiveSession()
+        self.index = load_ivf_index(spark, self.path)
+        return self.index

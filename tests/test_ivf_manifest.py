@@ -76,3 +76,64 @@ def test_save_ivf_index_validates_model(spark, sf_dir, tmp_path):
         save_ivf_index(str(tmp_path / "y"), encoded, centers, "ivfsq8")
     with pytest.raises(ValueError, match="kind"):
         save_ivf_index(str(tmp_path / "z"), encoded, centers, "flat")
+
+
+def test_streaming_ivf_ingest_appends_and_drifts(spark, sf_dir, tmp_path):
+    """Stream two micro-batches into a saved IVF-SQ8 bundle: appended
+    vectors are found exactly by a post-reload search, the appended
+    files land inside the cell partitions, and the drift counter fires
+    for far-from-every-centroid vectors."""
+    import numpy as np
+    from hawk_pack_spark.operators.similarity import ivf_cell_stats, ivf_build
+    from hawk_pack_spark.streaming.ingest import (
+        StreamingIvfIngest,
+        start_parquet_ingest,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    encoded, centers, lo, scale = ivfsq8_build(vecs, n_clusters=8)
+    assigned, _c = ivf_build(vecs, n_clusters=8)
+    radii = ivf_cell_stats(assigned, _c)
+    path = str(tmp_path / "bundle")
+    save_ivf_index(
+        path, encoded, centers, "ivfsq8", lo=lo, scale=scale, cell_radii=radii
+    )
+    n0 = load_ivf_index(spark, path).codes.count()
+
+    # batch 1: clones of existing vectors under new ids (in-distribution)
+    clones = vecs.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    clones.coalesce(1).write.parquet(str(tmp_path / "src" / "b1"))
+    # batch 2: far-away vectors (out-of-distribution → drift)
+    far = vecs.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(100.0)).alias("embedding"),
+    )
+    far.coalesce(1).write.parquet(str(tmp_path / "src" / "b2"))
+
+    sink = StreamingIvfIngest(path=path)
+    q = start_parquet_ingest(
+        spark, str(tmp_path / "src" / "*"),
+        "vec_id long, embedding array<double>", sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    assert sink.n_seen == 30
+    assert 10 <= sink.n_drifted <= 30 and sink.drift_fraction() >= 10 / 30
+
+    idx = sink.reload(spark)
+    assert idx.codes.count() == n0 + 30
+    # a clone queries to itself at dist 0 (exact re-rank over the union
+    # of original + appended vectors)
+    all_vecs = vecs.unionByName(clones).unionByName(far)
+    queries = clones.where(F.col("vec_id") == 1_000_003).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hit = idx.search(queries, k=1, nprobe=8, rerank_with=all_vecs).collect()
+    assert len(hit) == 1 and hit[0].dist <= 1e-12
+    # appended rows went INTO cell partitions (directory layout intact)
+    import os
+    cells = [d for d in os.listdir(os.path.join(path, "codes")) if d.startswith("cell=")]
+    assert len(cells) >= 1
