@@ -1,0 +1,77 @@
+"""One-pass table profiling — the stats-collection operator a
+large-scale training-data pipeline runs before/after every transform.
+
+Spark-first shape: ALL columns' statistics fold into ONE ``df.agg()``
+(one job, one scan; Catalyst prunes the read to exactly the profiled
+columns), the same single-stats-job discipline as
+``layout.quantize_bounds``. Distinct counts default to
+``approx_count_distinct`` (HyperLogLog — mergeable, one pass, the only
+sane choice at 100 TB); ``exact_distinct=True`` switches to exact
+``countDistinct`` for oracle-parity rows and small tables.
+
+The reference has no profiling surface — superset, in the spirit of
+its bench's corpus-stats prints (benches/hnsw.rs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float",
+            "decimal", "long"}
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.split("(")[0] in _NUMERIC
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One row per profiled column:
+    (column, n, n_null, n_distinct, min_val, max_val, mean_val).
+
+    min/max are cast to string so heterogeneous column types share one
+    schema; mean is NULL for non-numeric columns. The whole profile is
+    one aggregate job regardless of column count.
+    """
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"unknown column {c!r}")
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        nd = (
+            F.countDistinct(F.col(c)) if exact_distinct
+            else F.approx_count_distinct(F.col(c))
+        )
+        aggs.append(nd.alias(f"{c}__nd"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+        if _is_numeric(dtypes[c]):
+            aggs.append(F.avg(F.col(c)).alias(f"{c}__mean"))
+    wide = df.agg(*aggs)
+    # pivot the single wide row into one row per column — an explode of
+    # per-column structs over the 1-row frame, no second scan
+    rows = []
+    for c in cols:
+        mean = (
+            F.round(F.col(f"{c}__mean"), 6) if _is_numeric(dtypes[c])
+            else F.lit(None).cast("double")
+        )
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n"),
+                (F.col("_n") - F.col(f"{c}__nn")).alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+                mean.alias("mean_val"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -1154,6 +1154,56 @@ SELECT query_id, vec_id, ROUND(dist, 6) AS dist, rank FROM r WHERE rank <= 5
 """
 
 
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (count / nulls / exact distinct /
+    min / max / mean per column) over four lineitem columns — the
+    stats-collection operator of a training-data pipeline, folded into
+    ONE aggregate job (test_profile_is_one_job pins the single scan).
+    Doubles stay out of the parity row (their mean is summation-order-
+    nondeterministic — catalog header discipline); integer means are an
+    exact integer sum / count, bit-reproducible in both engines."""
+    from hawk_pack_spark.operators.profile import profile_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = profile_table(
+        li,
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"],
+        exact_distinct=True,
+    )
+    return out.select(
+        F.col("column").alias("col_name"), "n", "n_null", "n_distinct",
+        "min_val", "max_val", "mean_val",
+    )
+
+
+PROFILE_SQL = """
+SELECT 'l_orderkey' AS col_name, COUNT(*) AS n,
+  COUNT(*) - COUNT(l_orderkey) AS n_null,
+  COUNT(DISTINCT l_orderkey) AS n_distinct,
+  CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+  CAST(MAX(l_orderkey) AS VARCHAR) AS max_val,
+  ROUND(AVG(l_orderkey), 6) AS mean_val
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+  COUNT(DISTINCT l_linenumber), CAST(MIN(l_linenumber) AS VARCHAR),
+  CAST(MAX(l_linenumber) AS VARCHAR), ROUND(AVG(l_linenumber), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+  COUNT(DISTINCT l_returnflag), CAST(MIN(l_returnflag) AS VARCHAR),
+  CAST(MAX(l_returnflag) AS VARCHAR), CAST(NULL AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+  COUNT(DISTINCT l_shipdate),
+  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+  strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+  CAST(NULL AS DOUBLE)
+FROM lineitem
+"""
+
+
 def q_knn_exact_cosine_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k under the two similarity orderings (cosine and raw
     inner product / MIPS) in one result, tagged by a metric column —
@@ -5251,6 +5301,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "streaming_query_serving": QuerySpec(q_streaming_query_serving, STREAMING_SERVE_SQL, "readStream query batches through the ann_search front door against a reloaded manifest bundle; per-epoch rows equal direct calls"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, NEAR_DUP_SQL, "cosine near-dup self-join"),
     "range_search_l2": QuerySpec(q_range_search_l2, RANGE_SEARCH_SQL, "radius query (set-valued is_match) through the LOSSLESS IVF cell-pruned path; data-level vs brute force"),
+    "profile_lineitem": QuerySpec(q_profile_lineitem, PROFILE_SQL, "one-pass table profiling (count/nulls/distinct/min/max/mean per column in ONE agg job)"),
     "filtered_knn_label": QuerySpec(q_filtered_knn_label, FILTERED_KNN_SQL, "metadata-filtered vector search (predicate + top-k), selective pre-filter exact path, data-level"),
 }
 
@@ -5379,7 +5430,7 @@ _PINNED_NAMES = [
         "ivfsq8_ann_l2",
         # r7 debuts: radius query + filtered search (new serving
         # surfaces), enter via the pool never-recorded-first.
-        "range_search_l2", "filtered_knn_label",
+        "range_search_l2", "filtered_knn_label", "profile_lineitem",
     }
 ]
 
@@ -5443,6 +5494,7 @@ _DEBUT_ORDER = [
     "q22_dormant_customers",
     # r7 debuts
     "ivfsq8_ann_l2", "range_search_l2", "filtered_knn_label",
+    "profile_lineitem",
 ]
 
 
