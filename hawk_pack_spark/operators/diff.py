@@ -1,0 +1,64 @@
+"""Snapshot diff — change detection between two versions of a table.
+
+The CDC-shaped operator a data pipeline runs between ingest snapshots:
+which keys were added, removed, or changed. Spark-first shape: each
+side folds its compared columns into ONE JVM-side ``xxhash64`` (null-
+safe, whole-stage-codegen), so the full-outer join that classifies
+changes moves (key, 8-byte hash) rows — never the payload. At 100 TB
+both sides shuffle once on the key (or zero times if bucketed on it);
+unchanged rows (the overwhelming majority between real snapshots)
+drop out before anything wide is materialized.
+
+The reference has no snapshot-diff surface — superset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rows (key..., change) with change ∈ added | removed | changed;
+    unchanged keys are absent. ``compare_cols`` defaults to every
+    non-key column present in BOTH sides (schema drift: a column only
+    one side has would mark every row changed — name it explicitly if
+    that is intended)."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c not in keys and c in old.columns
+        ]
+    missing = [c for c in keys + compare_cols if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"columns absent from a side: {missing}")
+    oh = old.select(*keys, F.xxhash64(*compare_cols).alias("_h_old"))
+    nh = new.select(*keys, F.xxhash64(*compare_cols).alias("_h_new"))
+    j = oh.join(nh, keys, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+    )
+    return (
+        j.select(*keys, change.alias("change"))
+        .where(F.col("change").isNotNull())
+    )
+
+
+def diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """(change, n) — the counts a pipeline gate alerts on."""
+    return (
+        table_diff(old, new, keys, compare_cols)
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1204,6 +1204,55 @@ FROM lineitem
 """
 
 
+def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC change detection): orders vs a derived
+    next-day snapshot — every 97th key dropped (removed), every 101st
+    status flipped (changed), every 103rd re-inserted under a shifted
+    key (added). The operator joins (key, xxhash64) rows — payload
+    never crosses the shuffle; the oracle classifies with column-wise
+    IS DISTINCT FROM, so parity also proves the hash classification
+    matches exact comparison on this data."""
+    from hawk_pack_spark.operators.diff import table_diff
+
+    orders = load_table(spark, "orders", sf_dir)
+    changed = F.when(
+        F.col("o_orderkey") % 101 == 1, F.lit("X")
+    ).otherwise(F.col("o_orderstatus"))
+    kept = orders.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_orderstatus", changed
+    )
+    added = orders.where(F.col("o_orderkey") % 103 == 2).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000_000)
+    )
+    new = kept.unionByName(added)
+    return table_diff(orders, new, ["o_orderkey"])
+
+
+TABLE_DIFF_SQL = """
+WITH newsnap AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 101 = 1 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000000, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 103 = 2
+), j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+         WHEN n.o_orderkey IS NULL THEN 'removed'
+         WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+           OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+           OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+           OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+           OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+         THEN 'changed' END AS change
+  FROM orders o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
+"""
+
+
 def q_knn_exact_cosine_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k under the two similarity orderings (cosine and raw
     inner product / MIPS) in one result, tagged by a metric column —
@@ -5302,6 +5351,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, NEAR_DUP_SQL, "cosine near-dup self-join"),
     "range_search_l2": QuerySpec(q_range_search_l2, RANGE_SEARCH_SQL, "radius query (set-valued is_match) through the LOSSLESS IVF cell-pruned path; data-level vs brute force"),
     "profile_lineitem": QuerySpec(q_profile_lineitem, PROFILE_SQL, "one-pass table profiling (count/nulls/distinct/min/max/mean per column in ONE agg job)"),
+    "table_diff_orders": QuerySpec(q_table_diff_orders, TABLE_DIFF_SQL, "snapshot diff (CDC added/removed/changed): hash-classified join vs column-wise IS DISTINCT FROM oracle"),
     "filtered_knn_label": QuerySpec(q_filtered_knn_label, FILTERED_KNN_SQL, "metadata-filtered vector search (predicate + top-k), selective pre-filter exact path, data-level"),
 }
 
@@ -5431,6 +5481,7 @@ _PINNED_NAMES = [
         # r7 debuts: radius query + filtered search (new serving
         # surfaces), enter via the pool never-recorded-first.
         "range_search_l2", "filtered_knn_label", "profile_lineitem",
+        "table_diff_orders",
     }
 ]
 
@@ -5494,7 +5545,7 @@ _DEBUT_ORDER = [
     "q22_dormant_customers",
     # r7 debuts
     "ivfsq8_ann_l2", "range_search_l2", "filtered_knn_label",
-    "profile_lineitem",
+    "profile_lineitem", "table_diff_orders",
 ]
 
 
