@@ -1204,6 +1204,33 @@ FROM lineitem
 """
 
 
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (sort-based, linear interpolation) of document
+    length per language — the distribution-shape row the window's KLL
+    sketch (engine-specific, error-bound-tested) cannot hash-check.
+    Spark `percentile` and DuckDB `quantile_cont` share the (n−1)·p
+    interpolation definition; on integer inputs the interpolated value
+    is one double op — bit-reproducible (verified before wiring)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.expr(f"percentile(n_chars, {p})"), 6).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ],
+    )
+
+
+DOC_QUANTILES_SQL = """
+SELECT lang, COUNT(*) AS n,
+  ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+  ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+  ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+  ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM documents GROUP BY lang
+"""
+
+
 def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (CDC change detection): orders vs a derived
     next-day snapshot — every 97th key dropped (removed), every 101st
@@ -5352,6 +5379,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "range_search_l2": QuerySpec(q_range_search_l2, RANGE_SEARCH_SQL, "radius query (set-valued is_match) through the LOSSLESS IVF cell-pruned path; data-level vs brute force"),
     "profile_lineitem": QuerySpec(q_profile_lineitem, PROFILE_SQL, "one-pass table profiling (count/nulls/distinct/min/max/mean per column in ONE agg job)"),
     "table_diff_orders": QuerySpec(q_table_diff_orders, TABLE_DIFF_SQL, "snapshot diff (CDC added/removed/changed): hash-classified join vs column-wise IS DISTINCT FROM oracle"),
+    "doc_length_quantiles": QuerySpec(q_doc_length_quantiles, DOC_QUANTILES_SQL, "EXACT per-lang percentiles (sort-based, shared interpolation definition) — the data-level complement of the KLL sketch row"),
     "filtered_knn_label": QuerySpec(q_filtered_knn_label, FILTERED_KNN_SQL, "metadata-filtered vector search (predicate + top-k), selective pre-filter exact path, data-level"),
 }
 
@@ -5481,7 +5509,7 @@ _PINNED_NAMES = [
         # r7 debuts: radius query + filtered search (new serving
         # surfaces), enter via the pool never-recorded-first.
         "range_search_l2", "filtered_knn_label", "profile_lineitem",
-        "table_diff_orders",
+        "table_diff_orders", "doc_length_quantiles",
     }
 ]
 
@@ -5545,7 +5573,7 @@ _DEBUT_ORDER = [
     "q22_dormant_customers",
     # r7 debuts
     "ivfsq8_ann_l2", "range_search_l2", "filtered_knn_label",
-    "profile_lineitem", "table_diff_orders",
+    "profile_lineitem", "table_diff_orders", "doc_length_quantiles",
 ]
 
 
