@@ -1204,6 +1204,104 @@ FROM lineitem
 """
 
 
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical arm + hash-embedding cosine
+    semantic arm, fused by reciprocal-rank fusion (1/(60+rank), Cormack
+    et al. 2009). Both arms reuse this catalog's proven oracle
+    renderings (BM25_SQL, HASH_EMB_SQL); the fused score is a sum of at
+    most two doubles (commutative → bit-reproducible), ranked on
+    round-9 score with doc_id ties."""
+    from hawk_pack_spark.operators.bm25 import bm25_build, bm25_search
+    from hawk_pack_spark.operators.retrieval import rrf_fuse
+    from hawk_pack_spark.operators.similarity import hash_embeddings
+
+    docs = load_table(spark, "documents", sf_dir)
+    qterms = spark.createDataFrame(
+        [(0, ["scan", "merge"]), (1, ["window", "join"])],
+        "query_id long, terms array<string>",
+    )
+    lex = bm25_search(bm25_build(docs), qterms, k=10, score_round=6).select(
+        "query_id", "doc_id", "rank"
+    )
+    qtexts = spark.createDataFrame(
+        [(0, "scan merge"), (1, "window join")], "query_id long, text string"
+    )
+    dvec = hash_embeddings(docs, "doc_id", "text", dim=32)
+    qvec = hash_embeddings(qtexts, "query_id", "text", dim=32).select(
+        "query_id", F.col("embedding").alias("qv")
+    )
+    pairs = dvec.crossJoin(F.broadcast(qvec))
+    sim = F.round(D.cosine_sim(F.col("qv"), F.col("embedding")), 6)
+    sem = topk_rows(
+        pairs.select("query_id", "doc_id", sim.alias("sim")),
+        ["query_id"], "sim", 10, ascending=False, tie_cols=["doc_id"],
+    ).select("query_id", "doc_id", "rank")
+    return rrf_fuse([lex, sem], k=10)
+
+
+HYBRID_RRF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+ex AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q AS (
+  SELECT 0 AS query_id, unnest(['scan', 'merge']) AS term
+  UNION ALL
+  SELECT 1 AS query_id, unnest(['window', 'join']) AS term),
+s AS (
+  SELECT q.query_id, tf.doc_id,
+    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, corpus),
+sc AS (SELECT query_id, doc_id, ROUND(SUM(s), 6) AS score
+       FROM s GROUP BY query_id, doc_id),
+lexr AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         FROM sc),
+v AS (
+  SELECT doc_id,
+    list_transform(range(0, 32), i -> CAST(len(list_filter(ts,
+      t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 32 = i)) AS DOUBLE)) AS v
+  FROM toks),
+qt AS (
+  SELECT 0 AS query_id, ['scan', 'merge'] AS ts
+  UNION ALL
+  SELECT 1 AS query_id, ['window', 'join'] AS ts),
+qv AS (
+  SELECT query_id,
+    list_transform(range(0, 32), i -> CAST(len(list_filter(ts,
+      t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 32 = i)) AS DOUBLE)) AS qv
+  FROM qt),
+d AS (
+  SELECT query_id, v.doc_id,
+    ROUND(list_sum(list_transform(range(1, 33), i -> qv[i] * v.v[i]))
+      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+         * sqrt(list_sum(list_transform(v.v, x -> x * x)))), 6) AS sim
+  FROM qv, v),
+semr AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rank
+         FROM d),
+u AS (
+  SELECT query_id, doc_id, rank FROM lexr WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM semr WHERE rank <= 10),
+f AS (SELECT query_id, doc_id, ROUND(SUM(1.0 / (60 + rank)), 9) AS rrf
+      FROM u GROUP BY query_id, doc_id),
+fr AS (SELECT query_id, doc_id, rrf, CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+       FROM f)
+SELECT query_id, doc_id, rrf, rank FROM fr WHERE rank <= 10
+"""
+
+
 def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentiles (sort-based, linear interpolation) of document
     length per language — the distribution-shape row the window's KLL
@@ -5380,6 +5478,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "profile_lineitem": QuerySpec(q_profile_lineitem, PROFILE_SQL, "one-pass table profiling (count/nulls/distinct/min/max/mean per column in ONE agg job)"),
     "table_diff_orders": QuerySpec(q_table_diff_orders, TABLE_DIFF_SQL, "snapshot diff (CDC added/removed/changed): hash-classified join vs column-wise IS DISTINCT FROM oracle"),
     "doc_length_quantiles": QuerySpec(q_doc_length_quantiles, DOC_QUANTILES_SQL, "EXACT per-lang percentiles (sort-based, shared interpolation definition) — the data-level complement of the KLL sketch row"),
+    "hybrid_rrf_retrieval": QuerySpec(q_hybrid_rrf_retrieval, HYBRID_RRF_SQL, "hybrid retrieval: BM25 + hash-embedding cosine arms fused by reciprocal-rank fusion, data-level"),
     "filtered_knn_label": QuerySpec(q_filtered_knn_label, FILTERED_KNN_SQL, "metadata-filtered vector search (predicate + top-k), selective pre-filter exact path, data-level"),
 }
 
@@ -5510,6 +5609,7 @@ _PINNED_NAMES = [
         # surfaces), enter via the pool never-recorded-first.
         "range_search_l2", "filtered_knn_label", "profile_lineitem",
         "table_diff_orders", "doc_length_quantiles",
+        "hybrid_rrf_retrieval",
     }
 ]
 
@@ -5574,6 +5674,7 @@ _DEBUT_ORDER = [
     # r7 debuts
     "ivfsq8_ann_l2", "range_search_l2", "filtered_knn_label",
     "profile_lineitem", "table_diff_orders", "doc_length_quantiles",
+    "hybrid_rrf_retrieval",
 ]
 
 
