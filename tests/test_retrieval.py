@@ -1,0 +1,37 @@
+"""RRF fusion unit semantics (the catalog row covers the end-to-end
+hybrid against the DuckDB oracle)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hawk_pack_spark.operators.retrieval import rrf_fuse
+
+
+def test_rrf_fuse_combines_ranks(spark):
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, doc_id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 10, 3)], "query_id long, doc_id long, rank int"
+    )
+    out = {r.doc_id: (r.rrf, r.rank) for r in rrf_fuse([lex, sem], k=4).collect()}
+    # doc 11: 1/62 + 1/61 > doc 10: 1/61 + 1/63 > 12: 1/63 > 13: 1/62
+    assert out[11][1] == 1 and out[10][1] == 2
+    assert out[13][1] == 3 and out[12][1] == 4  # 1/62 > 1/63
+    assert abs(out[11][0] - round(1 / 62 + 1 / 61, 9)) < 1e-12
+
+
+def test_rrf_fuse_single_arm_preserves_order(spark):
+    lex = spark.createDataFrame(
+        [(0, 5, 1), (0, 6, 2), (1, 7, 1)], "query_id long, doc_id long, rank int"
+    )
+    rows = rrf_fuse([lex], k=10).orderBy("query_id", "rank").collect()
+    assert [(r.query_id, r.doc_id, r.rank) for r in rows] == [
+        (0, 5, 1), (0, 6, 2), (1, 7, 1)
+    ]
+
+
+def test_rrf_fuse_empty_input_rejected(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
