@@ -1,0 +1,249 @@
+"""Product-analytics / pipeline-maintenance operators.
+
+Funnel conversion, cohort retention, calendar gap-fill (time-series
+resample), mergeable aggregate state (incremental materialized-view
+maintenance), derandomized weighted sampling, and z-score outlier
+flagging. Every operator is a declarative DataFrame composition — one
+shuffle per logical step, co-partitioned on the entity key, no driver
+collection, no Python row loop — so each survives a 1000-executor
+scale-up unchanged.
+
+Cross-engine float discipline (see queries/catalog.py header): event
+values are captured as exact integer cents/micro-units before any
+aggregation; derived doubles are produced by identical operand folds in
+both engines so comparisons (the z-score gate) are bit-deterministic.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash constants for the derandomized sampler:
+# multiplier is the golden-ratio 32-bit constant, modulus the largest
+# 32-bit prime. id*mult stays < 2^63 for ids < 3.4e9 — no overflow at
+# any TPC-H scale factor this repo targets.
+_SAMPLE_MULT = 2654435761
+_SAMPLE_MOD = 4294967291
+
+
+def funnel(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-stage conversion funnel: for each prefix of ``stages``,
+    the number of users with events matching the stages IN ORDER (stage
+    k weakly after the user's earliest completion of stage k-1).
+
+    Returns one row per stage: (stage_idx, stage, n_users) with
+    n_users non-increasing. Plan shape: stage k is a join of the
+    stage-k event slice against the (shrinking) reached-set of stage
+    k-1, both shuffled on the user key — the reached side only gets
+    smaller, so the deepest stages are the cheapest. No driver
+    round-trip; the per-stage counts union into one plan.
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    reached: DataFrame | None = None
+    outs: list[DataFrame] = []
+    for i, stage in enumerate(stages):
+        ev = df.where(F.col(type_col) == stage).select(
+            F.col(user_col).alias("_u"), sec.alias("_s")
+        )
+        if reached is None:
+            reached = ev.groupBy("_u").agg(F.min("_s").alias("_t"))
+        else:
+            reached = (
+                ev.join(reached, "_u")
+                .where(F.col("_s") >= F.col("_t"))
+                .groupBy("_u")
+                .agg(F.min("_s").alias("_t"))
+            )
+        outs.append(
+            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity
+    period (epoch // period_s), counted per (cohort_period,
+    period_offset) where they were active again.
+
+    All-integer arithmetic (epoch integer division) so the bucketing is
+    engine-exact. Two shuffles: distinct (user, period), then the
+    cohort join + final groupBy — both keyed on the user column.
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    period = ((sec - (sec % period_s)) / period_s).cast("long")
+    up = df.select(F.col(user_col).alias("_u"), period.alias("_p")).distinct()
+    firsts = up.groupBy("_u").agg(F.min("_p").alias("_c"))
+    return (
+        up.join(firsts, "_u")
+        .groupBy(
+            F.col("_c").alias("cohort_period"),
+            (F.col("_p") - F.col("_c")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def gapfill_daily(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    measures: Sequence[Column],
+    fill: dict[str, object],
+) -> DataFrame:
+    """Calendar-dense daily resample: every (key, day) combination in
+    the table's global [min(day), max(day)] span gets a row; days with
+    no events take the neutral element from ``fill`` (alias → literal).
+
+    The day spine is built with sequence()+explode from a 1-row agg (no
+    driver round-trip) and BROADCAST against the distinct key set —
+    days ≪ keys at scale, so the dense grid costs one broadcast
+    nested-loop over the key set, and the only real shuffle is the
+    groupBy of the actuals.
+    """
+    day = F.to_date(F.col(ts_col))
+    span = df.agg(F.min(day).alias("_d0"), F.max(day).alias("_d1"))
+    days = span.select(F.explode(F.sequence("_d0", "_d1")).alias("day"))
+    keys = df.select(*key_cols).distinct()
+    grid = keys.crossJoin(F.broadcast(days))
+    actual = df.groupBy(*key_cols, day.alias("day")).agg(*measures)
+    out = grid.join(actual, [*key_cols, "day"], "left")
+    return out.select(
+        *key_cols,
+        "day",
+        *[
+            F.coalesce(F.col(a), F.lit(v)).alias(a)
+            for a, v in fill.items()
+        ],
+    )
+
+
+def agg_state(
+    df: DataFrame, keys: Sequence[str], value_col: str, scale: int = 2
+) -> DataFrame:
+    """Mergeable aggregate state (count / exact-decimal sum / min / max)
+    for one measure — the materialized-view maintenance primitive.
+    Maintaining a 100 TB rollup then costs one pass over the DELTA plus
+    a state-sized merge, never a base-table rescan.
+    """
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v.cast(f"decimal(18,{scale})")).alias("_sum"),
+        F.min(v).alias("_min"),
+        F.max(v).alias("_max"),
+    )
+
+
+def merge_agg_states(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Combine aggregate states: counts and sums add, min/max fold.
+    Union + one state-sized groupBy (states are |groups| rows, not
+    |rows| — the merge never touches base data)."""
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys).agg(
+        F.sum("_n").alias("_n"),
+        F.sum("_sum").alias("_sum"),
+        F.min("_min").alias("_min"),
+        F.max("_max").alias("_max"),
+    )
+
+
+def finalize_agg(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Render a state into the user-facing aggregate row (the engine-
+    parity float discipline: exact decimal sum → double, avg as one
+    double division of the exact operands)."""
+    return state.select(
+        *keys,
+        F.col("_n").alias("n_rows"),
+        F.col("_sum").cast("double").alias("sum_value"),
+        F.col("_min").alias("min_value"),
+        F.col("_max").alias("max_value"),
+        F.round(F.col("_sum").cast("double") / F.col("_n"), 6).alias("avg_value"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame, n: int, id_col: str, weight_col: str
+) -> DataFrame:
+    """Efraimidis–Spirakis A-ES weighted sampling WITHOUT replacement,
+    derandomized: each row's uniform draw u comes from a Knuth
+    multiplicative hash of its id, so the sample is reproducible across
+    engines, retries, and cluster re-runs — the property a training-
+    data mixing pipeline actually needs (re-running the job yields the
+    same corpus, and the inclusion probability stays proportional to
+    the weight for n ≪ N).
+
+    A-ES key: u^(1/w) taken max-first ≡ ln(u)/w descending (monotone
+    transform, no pow). Global top-n by key is a TakeOrdered — no full
+    sort is materialized. Ties (hash collisions with equal weights)
+    break on the id for full determinism.
+    """
+    h = (F.col(id_col).cast("long") * F.lit(_SAMPLE_MULT)) % F.lit(_SAMPLE_MOD)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_SAMPLE_MOD + 1))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("_aes", key)
+        .orderBy(F.col("_aes").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_aes")
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    z: float = 2.5,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-group z-score outlier flag with bit-deterministic arithmetic:
+    values are captured as exact scaled integers (10^decimals units),
+    the group's (n, Σv, Σv²) are aggregated as exact decimals small
+    enough to convert to double losslessly (< 2^53 at every SF this
+    repo gates), and mean/variance/σ derive from those identical
+    doubles with one shared operand fold — so the |v−μ| > z·σ gate
+    selects the exact same rows in any engine, even at the boundary.
+
+    One shuffle (the group agg, broadcast back over the group key).
+    Returns the input rows flagged as outliers.
+    """
+    unit = 10 ** decimals
+    c = F.round(F.col(value_col) * unit).cast("decimal(19,0)")
+    stats = (
+        df.select(*keys, c.alias("_c"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_gn"),
+            F.sum("_c").cast("double").alias("_gs"),
+            F.sum((F.col("_c") * F.col("_c")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("_gss"),
+        )
+    )
+    mean = F.col("_gs") / F.col("_gn")
+    var = F.col("_gss") / F.col("_gn") - mean * mean
+    joined = df.withColumn("_c", c).join(F.broadcast(stats), list(keys))
+    return (
+        joined.where(
+            F.abs(F.col("_c").cast("double") - mean) > F.lit(z) * F.sqrt(var)
+        )
+        .drop("_c", "_gn", "_gs", "_gss")
+    )

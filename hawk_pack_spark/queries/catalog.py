@@ -5374,6 +5374,217 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# round-7 tail: product-analytics / pipeline-maintenance surface
+# (operators/analytics.py) — funnel, cohort retention, calendar
+# gap-fill, incremental aggregate maintenance, derandomized weighted
+# sampling, bit-deterministic z-score outliers. All data-level oracles.
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stage conversion funnel over the events table: users
+    progressing signup → view → click → purchase, each stage weakly
+    after the user's earliest completion of the previous one. The
+    classic product-analytics sequence query; plan is a chain of
+    user-key joins against a monotonically shrinking reached-set."""
+    from hawk_pack_spark.operators.analytics import funnel
+
+    ev = load_table(spark, "events", sf_dir)
+    return funnel(ev, ["signup", "view", "click", "purchase"])
+
+
+FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+  FROM events
+),
+s1 AS (SELECT user_id, MIN(sec) AS t FROM ev
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.sec) AS t FROM ev e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'view' AND e.sec >= s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.sec) AS t FROM ev e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'click' AND e.sec >= s2.t GROUP BY 1),
+s4 AS (SELECT e.user_id, MIN(e.sec) AS t FROM ev e
+       JOIN s3 ON e.user_id = s3.user_id
+       WHERE e.event_type = 'purchase' AND e.sec >= s3.t GROUP BY 1)
+SELECT 1 AS stage_idx, 'signup' AS stage,
+       (SELECT COUNT(*) FROM s1) AS n_users
+UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users bucketed by
+    first-activity week, counted per (cohort_week, week_offset) they
+    were active again — all-integer epoch bucketing, engine-exact."""
+    from hawk_pack_spark.operators.analytics import cohort_retention
+
+    ev = load_table(spark, "events", sf_dir)
+    return cohort_retention(ev, period_s=7 * 86400)
+
+
+COHORT_SQL = """
+WITH up AS (
+  SELECT DISTINCT user_id,
+    CAST((sec - (sec % 604800)) / 604800 AS BIGINT) AS p
+  FROM (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+        FROM events)
+),
+f AS (SELECT user_id, MIN(p) AS c FROM up GROUP BY 1)
+SELECT f.c AS cohort_period, up.p - f.c AS period_offset,
+       COUNT(*) AS n_users
+FROM up JOIN f ON up.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+def q_user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with calendar densification: per-user daily
+    event count + exact micro-unit value sum over the users' global
+    [min, max] day span, zero-filled on inactive days. The day spine is
+    sequence()+explode from a one-row agg, broadcast against the key
+    set — no driver round-trip, one real shuffle (the actuals agg)."""
+    from hawk_pack_spark.operators.analytics import gapfill_daily
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") < 20)
+    return gapfill_daily(
+        ev,
+        ["user_id"],
+        "ts",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+                "sum_value_micro"
+            ),
+        ],
+        {"n_events": 0, "sum_value_micro": 0},
+    )
+
+
+GAPFILL_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+  FROM events WHERE user_id < 20
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+days AS (
+  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+keys AS (SELECT DISTINCT user_id FROM ev),
+actual AS (
+  SELECT user_id, day, COUNT(*) AS n_events, SUM(vm) AS sum_value_micro
+  FROM ev GROUP BY 1, 2
+)
+SELECT k.user_id, d.day,
+       COALESCE(a.n_events, 0) AS n_events,
+       COALESCE(a.sum_value_micro, 0) AS sum_value_micro
+FROM keys k CROSS JOIN days d
+LEFT JOIN actual a ON a.user_id = k.user_id AND a.day = d.day
+"""
+
+
+def q_incremental_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the orders rollup per
+    priority is computed as agg_state(base before 1998) merged with
+    agg_state(delta from 1998) — one pass over the DELTA plus a
+    state-sized merge, never a base rescan — and must equal the oracle's
+    full recompute over the union. The 100 TB story: a daily delta
+    updates a petabyte rollup at delta cost."""
+    from hawk_pack_spark.operators.analytics import (
+        agg_state,
+        finalize_agg,
+        merge_agg_states,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    split = F.lit("1998-01-01").cast("timestamp")
+    base = orders.where(F.col("o_orderdate") < split)
+    delta = orders.where(F.col("o_orderdate") >= split)
+    keys = ["o_orderpriority"]
+    merged = merge_agg_states(
+        [
+            agg_state(base, keys, "o_totalprice"),
+            agg_state(delta, keys, "o_totalprice"),
+        ],
+        keys,
+    )
+    return finalize_agg(merged, keys)
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  MIN(o_totalprice) AS min_value, MAX(o_totalprice) AS max_value,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        / COUNT(*), 6) AS avg_value
+FROM orders GROUP BY 1
+"""
+
+
+def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized A-ES weighted sampling without replacement: 100
+    orders drawn with probability proportional to o_totalprice, the
+    uniform draw coming from a Knuth multiplicative hash of the order
+    key — reproducible across engines/retries, global top-n by
+    ln(u)/w is a TakeOrdered (no full sort)."""
+    from hawk_pack_spark.operators.analytics import weighted_sample
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    return weighted_sample(orders, 100, "o_orderkey", "o_totalprice")
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+    LN(((o_orderkey * 2654435761) % 4294967291 + 1) / 4294967292.0)
+      / o_totalprice AS k
+  FROM orders
+) ORDER BY k DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flag (|v − μ| > 2.5σ) with
+    bit-deterministic arithmetic: cents captured exactly, (n, Σ, Σ²)
+    aggregated as sub-2^53 decimals, μ/σ derived by the identical
+    operand fold in both engines — the boundary comparison is exact, so
+    the flagged row set is engine-identical by construction."""
+    from hawk_pack_spark.operators.analytics import zscore_outliers
+
+    ev = load_table(spark, "events", sf_dir)
+    return zscore_outliers(ev, ["event_type"], "value", z=2.5).select(
+        "event_type", "event_id", "value"
+    )
+
+
+OUTLIERS_SQL = """
+WITH s AS (
+  SELECT event_type, event_id, value,
+         CAST(ROUND(value * 100) AS DECIMAL(19,0)) AS c
+  FROM events
+),
+a AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS svv
+  FROM s GROUP BY 1
+)
+SELECT s.event_type, s.event_id, s.value
+FROM s JOIN a ON s.event_type = a.event_type
+WHERE ABS(CAST(s.c AS DOUBLE) - sv / n)
+      > 2.5 * SQRT(svv / n - (sv / n) * (sv / n))
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -5480,6 +5691,13 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "doc_length_quantiles": QuerySpec(q_doc_length_quantiles, DOC_QUANTILES_SQL, "EXACT per-lang percentiles (sort-based, shared interpolation definition) — the data-level complement of the KLL sketch row"),
     "hybrid_rrf_retrieval": QuerySpec(q_hybrid_rrf_retrieval, HYBRID_RRF_SQL, "hybrid retrieval: BM25 + hash-embedding cosine arms fused by reciprocal-rank fusion, data-level"),
     "filtered_knn_label": QuerySpec(q_filtered_knn_label, FILTERED_KNN_SQL, "metadata-filtered vector search (predicate + top-k), selective pre-filter exact path, data-level"),
+    # -- r7 tail: product-analytics / pipeline-maintenance surface
+    "funnel_conversion": QuerySpec(q_funnel_conversion, FUNNEL_SQL, "ordered-stage conversion funnel (signup→view→click→purchase), shrinking user-key join chain, data-level"),
+    "cohort_retention_weekly": QuerySpec(q_cohort_retention, COHORT_SQL, "weekly cohort-retention triangle, all-integer epoch bucketing, data-level"),
+    "user_daily_gapfill": QuerySpec(q_user_daily_gapfill, GAPFILL_SQL, "calendar-dense daily resample (sequence+explode spine, broadcast grid, zero-fill), data-level"),
+    "incremental_orders_agg": QuerySpec(q_incremental_orders_agg, INCREMENTAL_AGG_SQL, "incremental materialized-view maintenance: base⊕delta state merge ≡ full recompute, data-level"),
+    "weighted_sample_orders": QuerySpec(q_weighted_sample_orders, WEIGHTED_SAMPLE_SQL, "derandomized A-ES weighted sampling without replacement (hash-uniform, TakeOrdered), data-level"),
+    "events_value_outliers": QuerySpec(q_events_value_outliers, OUTLIERS_SQL, "per-group z-score anomaly flag with bit-deterministic μ/σ arithmetic, data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -5610,6 +5828,11 @@ _PINNED_NAMES = [
         "range_search_l2", "filtered_knn_label", "profile_lineitem",
         "table_diff_orders", "doc_length_quantiles",
         "hybrid_rrf_retrieval",
+        # r7 tail debuts: the analytics/maintenance block enters via the
+        # pool (never-recorded-first), queued in _DEBUT_ORDER.
+        "funnel_conversion", "cohort_retention_weekly",
+        "user_daily_gapfill", "incremental_orders_agg",
+        "weighted_sample_orders", "events_value_outliers",
     }
 ]
 
@@ -5675,6 +5898,10 @@ _DEBUT_ORDER = [
     "ivfsq8_ann_l2", "range_search_l2", "filtered_knn_label",
     "profile_lineitem", "table_diff_orders", "doc_length_quantiles",
     "hybrid_rrf_retrieval",
+    # r7 tail — analytics / pipeline-maintenance block
+    "funnel_conversion", "cohort_retention_weekly", "user_daily_gapfill",
+    "incremental_orders_agg", "weighted_sample_orders",
+    "events_value_outliers",
 ]
 
 
