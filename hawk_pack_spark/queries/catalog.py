@@ -5607,6 +5607,56 @@ WHERE levenshtein(a.key, b.key) <= 2
 """
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact PCA over the embeddings table
+    (operators/linalg.py): one mapInPandas moment scan (mergeable
+    (n, Σx, ΣxxT) partials), d×d eigh on the driver, vectorized
+    projection. Invariant row (the ANN-row pattern — approximate/
+    engine-specific numerics can't hash data-level): orthonormal basis,
+    variance-descending eigenvalues, DISTRIBUTED per-coordinate
+    projection variance equal to the eigenvalues (the spectral
+    contract, verified against the data, not the fit), and an explained-
+    variance ratio inside (0, 1]. Any violation flips a boolean and
+    fails the driver hash."""
+    import numpy as np
+
+    from hawk_pack_spark.operators.linalg import fit_pca, pca_project
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    model = fit_pca(emb, "embedding", k=8)
+    c = model.components
+    orth = bool(np.max(np.abs(c @ c.T - np.eye(len(c)))) < 1e-8)
+    desc = bool(np.all(np.diff(model.eigenvalues) <= 1e-12))
+    pj = pca_project(emb, model).select(F.posexplode("proj").alias("j", "p"))
+    var_rows = (
+        pj.groupBy("j")
+        .agg(
+            (F.sum(F.col("p") * F.col("p")) / F.count(F.lit(1))).alias("ex2"),
+            F.avg("p").alias("m"),
+        )
+        .collect()
+    )
+    var_ok = all(
+        abs((r["ex2"] - r["m"] ** 2) - model.eigenvalues[r["j"]])
+        <= 1e-6 * max(model.eigenvalues[r["j"]], 1e-9)
+        for r in var_rows
+    ) and len(var_rows) == len(model.eigenvalues)
+    explained = float(model.eigenvalues.sum() / model.total_variance)
+    expl_ok = 0.0 < explained <= 1.0 + 1e-12
+    return spark.createDataFrame(
+        [(model.n, orth, desc, var_ok, expl_ok)],
+        "n_vectors long, orthonormal_ok boolean, eigs_desc_ok boolean, "
+        "var_match_ok boolean, explained_ok boolean",
+    )
+
+
+EMBEDDING_PCA_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS orthonormal_ok,
+       TRUE AS eigs_desc_ok, TRUE AS var_match_ok, TRUE AS explained_ok
+FROM embeddings
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -5721,6 +5771,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "weighted_sample_orders": QuerySpec(q_weighted_sample_orders, WEIGHTED_SAMPLE_SQL, "derandomized A-ES weighted sampling without replacement (hash-uniform, TakeOrdered), data-level"),
     "events_value_outliers": QuerySpec(q_events_value_outliers, OUTLIERS_SQL, "per-group z-score anomaly flag with bit-deterministic μ/σ arithmetic, data-level"),
     "edit_distance_join_docs": QuerySpec(q_edit_distance_join_docs, EDIT_DIST_JOIN_SQL, "PassJoin pigeonhole edit-distance join (lossless segment candidates) ≡ brute-force cross join, data-level"),
+    "embedding_pca": QuerySpec(q_embedding_pca, EMBEDDING_PCA_SQL, "distributed one-pass PCA (mergeable moment partials, d×d driver eigh): spectral contract verified against the data"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -5856,7 +5907,7 @@ _PINNED_NAMES = [
         "funnel_conversion", "cohort_retention_weekly",
         "user_daily_gapfill", "incremental_orders_agg",
         "weighted_sample_orders", "events_value_outliers",
-        "edit_distance_join_docs",
+        "edit_distance_join_docs", "embedding_pca",
     }
 ]
 
@@ -5926,6 +5977,7 @@ _DEBUT_ORDER = [
     "funnel_conversion", "cohort_retention_weekly", "user_daily_gapfill",
     "incremental_orders_agg", "weighted_sample_orders",
     "events_value_outliers", "edit_distance_join_docs",
+    "embedding_pca",
 ]
 
 
