@@ -5657,6 +5657,104 @@ FROM embeddings
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: one window (lag over the user key, deterministic
+    (ts, event_id) order) + one groupBy — the sequence-mining primitive
+    behind next-action prediction and anomaly scoring."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    t = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    return (
+        t.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH t AS (
+  SELECT event_type AS next_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, next_type, COUNT(*) AS n_transitions
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (operators/expectations.py):
+    five row-local rules fold into ONE aggregate pass over orders,
+    uniqueness adds one groupBy, and the lineitem→orders foreign key is
+    one anti-join — exact violation counts, the dbt-test/Great-
+    Expectations shape at 1-scan cost. Mixed outcome by design: some
+    rules pass (0), the range/domain rules count real violations."""
+    from hawk_pack_spark.operators.expectations import (
+        accepted_values,
+        check_expectations,
+        foreign_key,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    rep_orders = check_expectations(
+        orders,
+        [
+            not_null("orderkey_not_null", "o_orderkey"),
+            in_range("totalprice_range", "o_totalprice", 0, 300000),
+            accepted_values("status_domain", "o_orderstatus", ["O", "F"]),
+            matches("priority_format", "o_orderpriority", "^[1-5]-"),
+            unique("orderkey_unique", "o_orderkey"),
+        ],
+    )
+    rep_li = check_expectations(
+        lineitem,
+        [foreign_key("lineitem_fk_orders", "l_orderkey", orders, "o_orderkey")],
+    )
+    return rep_orders.unionByName(rep_li)
+
+
+DQ_EXPECTATIONS_SQL = """
+SELECT 'orderkey_not_null' AS rule,
+       SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'totalprice_range',
+       SUM(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 300000
+                THEN 0 ELSE 1 END)
+FROM orders
+UNION ALL
+SELECT 'status_domain',
+       SUM(CASE WHEN o_orderstatus IN ('O', 'F') THEN 0 ELSE 1 END)
+FROM orders
+UNION ALL
+SELECT 'priority_format',
+       SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                THEN 0 ELSE 1 END)
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique', COALESCE(SUM(n - 1), 0)
+FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'lineitem_fk_orders', COUNT(*)
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -5772,6 +5870,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "events_value_outliers": QuerySpec(q_events_value_outliers, OUTLIERS_SQL, "per-group z-score anomaly flag with bit-deterministic μ/σ arithmetic, data-level"),
     "edit_distance_join_docs": QuerySpec(q_edit_distance_join_docs, EDIT_DIST_JOIN_SQL, "PassJoin pigeonhole edit-distance join (lossless segment candidates) ≡ brute-force cross join, data-level"),
     "embedding_pca": QuerySpec(q_embedding_pca, EMBEDDING_PCA_SQL, "distributed one-pass PCA (mergeable moment partials, d×d driver eigh): spectral contract verified against the data"),
+    "event_transitions": QuerySpec(q_event_transitions, EVENT_TRANSITIONS_SQL, "first-order Markov transition counts (lag window + groupBy), deterministic sequence order, data-level"),
+    "dq_expectations": QuerySpec(q_dq_expectations, DQ_EXPECTATIONS_SQL, "data-quality expectations report: row-local rules in ONE pass + uniqueness groupBy + FK anti-join, exact violation counts, data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -5908,6 +6008,7 @@ _PINNED_NAMES = [
         "user_daily_gapfill", "incremental_orders_agg",
         "weighted_sample_orders", "events_value_outliers",
         "edit_distance_join_docs", "embedding_pca",
+        "event_transitions", "dq_expectations",
     }
 ]
 
@@ -5977,7 +6078,7 @@ _DEBUT_ORDER = [
     "funnel_conversion", "cohort_retention_weekly", "user_daily_gapfill",
     "incremental_orders_agg", "weighted_sample_orders",
     "events_value_outliers", "edit_distance_join_docs",
-    "embedding_pca",
+    "embedding_pca", "event_transitions", "dq_expectations",
 ]
 
 
