@@ -1,0 +1,85 @@
+"""Graph analytics over co-occurrence structures.
+
+Frequent item-pair mining (the market-basket primitive) and exact
+triangle counting with degree orientation — the two building blocks
+behind "bought-together" recommendation candidates and graph clustering
+coefficients. Connected components live in operators/components.py.
+
+Scale shapes:
+- copurchase_pairs: the pair fan-out is per-basket (w choose 2) with w
+  the basket width — bounded by the data model, never by corpus size;
+  the pair groupBy is the only wide shuffle, and hot items are ordinary
+  AQE skew-join territory.
+- triangle_count: orienting every edge from its lower-(degree, id)
+  endpoint to the higher makes the graph a DAG whose max out-degree is
+  O(√m) regardless of the original degree skew (a celebrity node of
+  degree 10M contributes wedges only through its HIGHER-degree
+  neighbors, of which there are at most O(√m)) — the standard trick
+  that keeps the wedge join's fan-out bounded at 100 TB. Each triangle
+  is counted exactly once at its lowest-ordered apex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def copurchase_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Item pairs co-occurring in at least ``min_support`` baskets.
+    Returns (item_a, item_b, n_baskets) with item_a < item_b."""
+    t = df.select(
+        F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
+    ).distinct()
+    a = t.select("_basket", F.col("_item").alias("item_a"))
+    b = t.select("_basket", F.col("_item").alias("item_b"))
+    return (
+        a.join(b, "_basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_support)
+    )
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Exact triangle count of an undirected simple graph given as
+    unique (a, b) pairs. One-row result (n_triangles).
+
+    Degree orientation: each edge is directed from its lower-(degree,
+    id) endpoint to the higher, making a DAG with out-degree O(√m);
+    triangles are closed wedges a→b→c with a→c present, each counted
+    exactly once at its minimal apex."""
+    e = edges.select(
+        F.col(a_col).alias("_x"), F.col(b_col).alias("_y")
+    ).where(F.col(a_col) != F.col(b_col)).distinct()
+    deg = (
+        e.select(F.col("_x").alias("node"))
+        .unionAll(e.select(F.col("_y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dx = deg.select(F.col("node").alias("_x"), F.col("deg").alias("_dx"))
+    dy = deg.select(F.col("node").alias("_y"), F.col("deg").alias("_dy"))
+    ed = e.join(dx, "_x").join(dy, "_y")
+    x_first = (F.col("_dx") < F.col("_dy")) | (
+        (F.col("_dx") == F.col("_dy")) & (F.col("_x") < F.col("_y"))
+    )
+    o = ed.select(
+        F.when(x_first, F.col("_x")).otherwise(F.col("_y")).alias("src"),
+        F.when(x_first, F.col("_y")).otherwise(F.col("_x")).alias("dst"),
+    )
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b")
+    return wedges.join(e3, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -5755,6 +5755,54 @@ WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
 """
 
 
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (operators/graph.py): parts appearing
+    together in ≥2 orders. Fan-out is per-basket (w choose 2), bounded
+    by the order width — never by corpus size."""
+    from hawk_pack_spark.operators.graph import copurchase_pairs
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2).select(
+        F.col("item_a").alias("part_a"),
+        F.col("item_b").alias("part_b"),
+        "n_baskets",
+    )
+
+
+COPURCHASE_SQL = """
+WITH t AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_baskets
+FROM t a JOIN t b ON a.o = b.o AND a.p < b.p
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the co-purchase graph (support ≥ 2
+    edges) via degree orientation — out-degree O(√m) regardless of item
+    skew, every triangle counted once at its minimal apex. The oracle
+    counts with the plain a<b<c triple join: the two orientations must
+    agree exactly."""
+    from hawk_pack_spark.operators.graph import copurchase_pairs, triangle_count
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return triangle_count(edges, "item_a", "item_b")
+
+
+COPURCHASE_TRI_SQL = """
+WITH t AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM t a JOIN t b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT COUNT(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -5872,6 +5920,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "embedding_pca": QuerySpec(q_embedding_pca, EMBEDDING_PCA_SQL, "distributed one-pass PCA (mergeable moment partials, d×d driver eigh): spectral contract verified against the data"),
     "event_transitions": QuerySpec(q_event_transitions, EVENT_TRANSITIONS_SQL, "first-order Markov transition counts (lag window + groupBy), deterministic sequence order, data-level"),
     "dq_expectations": QuerySpec(q_dq_expectations, DQ_EXPECTATIONS_SQL, "data-quality expectations report: row-local rules in ONE pass + uniqueness groupBy + FK anti-join, exact violation counts, data-level"),
+    "copurchase_pairs": QuerySpec(q_copurchase_pairs, COPURCHASE_SQL, "market-basket pair mining (per-basket bounded fan-out), data-level"),
+    "copurchase_triangles": QuerySpec(q_copurchase_triangles, COPURCHASE_TRI_SQL, "exact triangle count, degree-oriented wedge join ≡ plain a<b<c triple-join oracle, data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -6009,6 +6059,7 @@ _PINNED_NAMES = [
         "weighted_sample_orders", "events_value_outliers",
         "edit_distance_join_docs", "embedding_pca",
         "event_transitions", "dq_expectations",
+        "copurchase_pairs", "copurchase_triangles",
     }
 ]
 
@@ -6079,6 +6130,7 @@ _DEBUT_ORDER = [
     "incremental_orders_agg", "weighted_sample_orders",
     "events_value_outliers", "edit_distance_join_docs",
     "embedding_pca", "event_transitions", "dq_expectations",
+    "copurchase_pairs", "copurchase_triangles",
 ]
 
 
