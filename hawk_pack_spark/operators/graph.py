@@ -83,3 +83,50 @@ def triangle_count(
     return wedges.join(e3, ["a", "c"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank in the unnormalized per-node-base form:
+    r(v) ← (1−d) + d·Σ_{u→v} r(u)/outdeg(u), all nodes starting at 1.
+
+    Contract: every node has out-degree ≥ 1 (a symmetric edge list
+    satisfies this automatically); pass both directions for an
+    undirected graph. Each iteration is one equi-join (ranks onto the
+    edge source) + one groupBy on the destination — the degree table
+    joins once and both sides stay partitioned on the node key, so an
+    N-iteration run is N co-partitioned shuffles, no driver state.
+    Fixed iteration count (not convergence polling) keeps the plan
+    static and the result engine-reproducible.
+    """
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionAll(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    ed = e.join(deg, "_s")
+    r = nodes.select("node", F.lit(1.0).alias("rank"))
+    base = 1.0 - damping
+    for _ in range(iters):
+        contrib = (
+            ed.join(r, ed["_s"] == r["node"])
+            .groupBy("_d")
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
+        )
+        r = nodes.join(
+            contrib, nodes["node"] == contrib["_d"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return r

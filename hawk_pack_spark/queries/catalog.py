@@ -5803,6 +5803,52 @@ JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
 """
 
 
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (10 rounds, d=0.85) over the symmetrized
+    co-purchase graph — the iterative-dataflow row: each round is one
+    co-partitioned join + groupBy, plan static, no driver state. The
+    oracle UNROLLS the same ten iterations as chained CTEs; doubles
+    diverge only by summation order (≈1e-14), rounded once at the
+    output (catalog derived-double convention)."""
+    from hawk_pack_spark.operators.graph import copurchase_pairs, pagerank
+
+    li = load_table(spark, "lineitem", sf_dir)
+    und = copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    edges = und.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionAll(
+        und.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    r = pagerank(edges, iters=10, damping=0.85)
+    return r.select(
+        F.col("node").alias("part"), F.round("rank", 6).alias("pr")
+    )
+
+
+def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
+    # literals via repr so the SQL uses the EXACT doubles Spark computes
+    # with (1.0 - 0.85 is 0.15000000000000002, not 0.15)
+    base, d = repr(1.0 - damping), repr(damping)
+    sql = """
+WITH t AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS (
+  SELECT a.p AS pa, b.p AS pb FROM t a JOIN t b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS (SELECT pa AS s, pb AS dd FROM und UNION ALL SELECT pb, pa FROM und),
+deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+it0 AS (SELECT node, 1.0 AS r FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+c{i} AS (SELECT e.dd AS node, SUM(it{i - 1}.r / deg.deg) AS c
+  FROM e JOIN it{i - 1} ON e.s = it{i - 1}.node JOIN deg ON e.s = deg.s
+  GROUP BY 1),
+it{i} AS (SELECT n.node, {base} + {d} * COALESCE(c{i}.c, 0.0) AS r
+  FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node)"""
+    sql += f"\nSELECT node AS part, ROUND(r, 6) AS pr FROM it{iters}"
+    return sql
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -5922,6 +5968,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "dq_expectations": QuerySpec(q_dq_expectations, DQ_EXPECTATIONS_SQL, "data-quality expectations report: row-local rules in ONE pass + uniqueness groupBy + FK anti-join, exact violation counts, data-level"),
     "copurchase_pairs": QuerySpec(q_copurchase_pairs, COPURCHASE_SQL, "market-basket pair mining (per-basket bounded fan-out), data-level"),
     "copurchase_triangles": QuerySpec(q_copurchase_triangles, COPURCHASE_TRI_SQL, "exact triangle count, degree-oriented wedge join ≡ plain a<b<c triple-join oracle, data-level"),
+    "copurchase_pagerank": QuerySpec(q_copurchase_pagerank, _pagerank_sql(), "fixed-iteration PageRank (iterative dataflow, co-partitioned join+groupBy per round) ≡ 10-round unrolled-CTE oracle, data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -6060,6 +6107,7 @@ _PINNED_NAMES = [
         "edit_distance_join_docs", "embedding_pca",
         "event_transitions", "dq_expectations",
         "copurchase_pairs", "copurchase_triangles",
+        "copurchase_pagerank",
     }
 ]
 
@@ -6130,7 +6178,7 @@ _DEBUT_ORDER = [
     "incremental_orders_agg", "weighted_sample_orders",
     "events_value_outliers", "edit_distance_join_docs",
     "embedding_pca", "event_transitions", "dq_expectations",
-    "copurchase_pairs", "copurchase_triangles",
+    "copurchase_pairs", "copurchase_triangles", "copurchase_pagerank",
 ]
 
 

@@ -66,3 +66,29 @@ def test_copurchase_pairs_support(spark):
         for r in copurchase_pairs(df, "basket", "item", min_support=2).collect()
     }
     assert got == {("x", "y"): 3, ("x", "z"): 2, ("y", "z"): 2}
+
+
+def test_pagerank_matches_local_power_iteration(spark):
+    from hawk_pack_spark.operators.graph import pagerank
+
+    # small directed graph, every node with out-degree >= 1
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()
+    }
+    # local reference: identical recurrence
+    nodes = sorted({u for e in edges for u in e})
+    out = {u: [v for a, v in edges if a == u] for u in nodes}
+    r = {u: 1.0 for u in nodes}
+    for _ in range(10):
+        c = {u: 0.0 for u in nodes}
+        for u in nodes:
+            for v in out[u]:
+                c[v] += r[u] / len(out[u])
+        r = {u: (1.0 - 0.85) + 0.85 * c[u] for u in nodes}
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert abs(got[u] - r[u]) < 1e-9
+    # hub dominance sanity: node 0 and 1 receive more than the base
+    assert got[0] > 0.16 and got[1] > 0.16
