@@ -92,6 +92,12 @@ HEADLINE = [
     "quality_classifier",
     "pii_scrub",
     "perplexity_filter",
+    # round-7 tail: analytics / linkage / graph / linear-algebra block
+    "funnel_conversion",
+    "dq_expectations",
+    "edit_distance_join_docs",
+    "copurchase_pagerank",
+    "embedding_pca",
 ]
 
 SAMPLES: dict[str, list[float]] = {}
