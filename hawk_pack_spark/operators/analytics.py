@@ -19,7 +19,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Knuth multiplicative hash constants for the derandomized sampler:
@@ -246,4 +246,41 @@ def zscore_outliers(
             F.abs(F.col("_c").cast("double") - mean) > F.lit(z) * F.sqrt(var)
         )
         .drop("_c", "_gn", "_gs", "_gss")
+    )
+
+
+def scd2(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    valid_from_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: one
+    row per (key, state change) with [valid_from, valid_to) bounds,
+    valid_to NULL on the current state. Consecutive rows whose tracked
+    attributes are unchanged collapse into one interval (null-safe
+    compare, so NULL→NULL is "no change").
+
+    ``order_cols`` must be a deterministic total order per key (e.g.
+    (ts, event_id)); ``valid_from_col`` defaults to the first order
+    column. Two window passes over the same (key, order) sort — Spark
+    reuses the sort, so the operator costs ONE shuffle.
+    """
+    from operator import or_
+
+    vf = valid_from_col or order_cols[0]
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    first = F.row_number().over(w) == 1
+    diffs = [~F.col(a).eqNullSafe(F.lag(a).over(w)) for a in attr_cols]
+    change = first | reduce(or_, diffs)
+    ch = df.withColumn("_chg", change).where(F.col("_chg"))
+    w2 = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return ch.select(
+        *key_cols,
+        *attr_cols,
+        F.col(vf).alias("valid_from"),
+        F.lead(vf).over(w2).alias("valid_to"),
     )

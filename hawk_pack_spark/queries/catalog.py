@@ -5849,6 +5849,108 @@ it{i} AS (SELECT n.node, {base} + {d} * COALESCE(c{i}.c, 0.0) AS r
     return sql
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build (analytics.scd2): each user's event-type
+    change log becomes [valid_from, valid_to) intervals, consecutive
+    unchanged states collapsed null-safely, valid_to open on the current
+    state — the dimension-history primitive of warehouse maintenance.
+    One shuffle: both window passes share the (user, sec, event_id)
+    sort."""
+    from hawk_pack_spark.operators.analytics import scd2
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    out = scd2(
+        ev,
+        ["user_id"],
+        ["sec", "event_id"],
+        ["event_type"],
+        valid_from_col="sec",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+
+
+SCD2_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+  FROM events
+),
+m AS (
+  SELECT *, LAG(event_type) OVER (
+    PARTITION BY user_id ORDER BY sec, event_id
+  ) AS prev
+  FROM ev
+),
+ch AS (
+  SELECT user_id, sec, event_id, event_type
+  FROM m WHERE prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type AS state, sec AS valid_from,
+       LEAD(sec) OVER (
+         PARTITION BY user_id ORDER BY sec, event_id
+       ) AS valid_to
+FROM ch
+"""
+
+
+def q_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance
+    (streaming/maintenance.py): orders stream as three micro-batches;
+    foreachBatch merges each batch's agg_state into the running rollup
+    (state-sized merge, delta cost per trigger, base never rescanned).
+    The final view must equal the oracle's full recompute — the
+    streaming twin of `incremental_orders_agg`."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.streaming.maintenance import StreamingAggMaintenance
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    tmp = tempfile.mkdtemp(prefix="hps_q_stream_mv_")
+    try:
+        splits = ["1996-01-01", "1999-01-01"]
+        lo = orders.where(F.col("o_orderdate") < F.lit(splits[0]).cast("timestamp"))
+        mid = orders.where(
+            (F.col("o_orderdate") >= F.lit(splits[0]).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(splits[1]).cast("timestamp"))
+        )
+        hi = orders.where(F.col("o_orderdate") >= F.lit(splits[1]).cast("timestamp"))
+        for i, part in enumerate([lo, mid, hi]):
+            part.coalesce(1).write.parquet(f"{tmp}/src/b{i}")
+        m = StreamingAggMaintenance(spark, ["o_orderpriority"], "o_totalprice")
+        schema = spark.read.parquet(f"{tmp}/src/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src/*")
+        )
+        q = (
+            m.attach(stream)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming_incremental_agg exceeded 600s")
+        assert m.n_batches >= 3, f"expected >=3 micro-batches, got {m.n_batches}"
+        return m.view()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -5969,6 +6071,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "copurchase_pairs": QuerySpec(q_copurchase_pairs, COPURCHASE_SQL, "market-basket pair mining (per-basket bounded fan-out), data-level"),
     "copurchase_triangles": QuerySpec(q_copurchase_triangles, COPURCHASE_TRI_SQL, "exact triangle count, degree-oriented wedge join ≡ plain a<b<c triple-join oracle, data-level"),
     "copurchase_pagerank": QuerySpec(q_copurchase_pagerank, _pagerank_sql(), "fixed-iteration PageRank (iterative dataflow, co-partitioned join+groupBy per round) ≡ 10-round unrolled-CTE oracle, data-level"),
+    "scd2_user_state": QuerySpec(q_scd2_user_state, SCD2_SQL, "type-2 SCD interval build (null-safe change collapse, one shared sort), data-level"),
+    "streaming_incremental_agg": QuerySpec(q_streaming_incremental_agg, INCREMENTAL_AGG_SQL, "streaming materialized-view maintenance: foreachBatch state merge at delta cost ≡ full-recompute oracle, data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -6107,7 +6211,8 @@ _PINNED_NAMES = [
         "edit_distance_join_docs", "embedding_pca",
         "event_transitions", "dq_expectations",
         "copurchase_pairs", "copurchase_triangles",
-        "copurchase_pagerank",
+        "copurchase_pagerank", "scd2_user_state",
+        "streaming_incremental_agg",
     }
 ]
 
@@ -6179,6 +6284,7 @@ _DEBUT_ORDER = [
     "events_value_outliers", "edit_distance_join_docs",
     "embedding_pca", "event_transitions", "dq_expectations",
     "copurchase_pairs", "copurchase_triangles", "copurchase_pagerank",
+    "scd2_user_state", "streaming_incremental_agg",
 ]
 
 

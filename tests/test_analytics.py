@@ -144,3 +144,57 @@ def test_zscore_outliers_flags_planted_spike(spark):
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     out = zscore_outliers(df, ["event_type"], "value", z=3.0).collect()
     assert {r["event_id"] for r in out} == {900}
+
+
+def test_scd2_collapses_and_bounds(spark):
+    rows = [
+        # u1: a a b a  -> intervals a[0,2) b[2,3) a[3,None)
+        (0, 1, "a", 0), (1, 1, "a", 1), (2, 1, "b", 2), (3, 1, "a", 3),
+        # u2: single state, two events -> one open interval
+        (4, 2, "x", 5), (5, 2, "x", 9),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, st string, sec long")
+    from hawk_pack_spark.operators.analytics import scd2
+
+    out = scd2(df, ["user_id"], ["sec", "event_id"], ["st"], valid_from_col="sec")
+    got = {
+        (r["user_id"], r["st"], r["valid_from"]): r["valid_to"]
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "a", 0): 2, (1, "b", 2): 3, (1, "a", 3): None,
+        (2, "x", 5): None,
+    }
+
+
+def test_streaming_agg_maintenance_equals_direct(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from hawk_pack_spark.operators.analytics import agg_state, finalize_agg
+    from hawk_pack_spark.streaming.maintenance import StreamingAggMaintenance
+
+    df = spark.range(999).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") % 83).cast("double").alias("v")
+    )
+    for i in range(3):
+        df.where(F.col("id") % 3 == i).coalesce(1).write.parquet(
+            str(tmp_path / "src" / f"b{i}")
+        )
+    m = StreamingAggMaintenance(spark, ["k"], "v")
+    schema = spark.read.parquet(str(tmp_path / "src" / "b0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src" / "*"))
+    )
+    q = (
+        m.attach(stream)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert m.n_batches >= 3
+    got = sorted(map(tuple, m.view().collect()))
+    want = sorted(map(tuple, finalize_agg(agg_state(df, ["k"], "v"), ["k"]).collect()))
+    assert got == want
