@@ -39,39 +39,83 @@ def funnel(
 ) -> DataFrame:
     """Ordered-stage conversion funnel: for each prefix of ``stages``,
     the number of users with events matching the stages IN ORDER (stage
-    k weakly after the user's earliest completion of stage k-1).
+    k weakly after the user's earliest completion of stage k-1 —
+    formally t_k = min sec of stage-k events with sec ≥ t_{k-1}).
 
     Returns one row per stage: (stage_idx, stage, n_users) with
-    n_users non-increasing. Plan shape: stage k is a join of the
-    stage-k event slice against the (shrinking) reached-set of stage
-    k-1, both shuffled on the user key — the reached side only gets
-    smaller, so the deepest stages are the cheapest. No driver
-    round-trip; the per-stage counts union into one plan.
+    n_users non-increasing; stages nobody reaches still report 0.
+
+    Plan shape: ONE scan of the (stage-filtered) events and ONE shuffle
+    — per-user events are collected sorted by (sec, stage_idx) and the
+    chained-min recurrence runs as a JVM-side higher-order fold
+    (F.aggregate over the sorted array). Processing lower stage indexes
+    first at timestamp ties makes the greedy fold EXACTLY the
+    chained-min semantics, including the weakly-after equality case.
+    Per-user state is the event list (the sessionization boundedness
+    argument); a join-chain alternative was measured at k(k+1)/2 scans
+    — 10 scans of the source for 4 stages — because AQE union branches
+    don't reuse exchanges.
     """
+    k = len(stages)
     sec = F.unix_timestamp(F.col(ts_col))
-    reached: DataFrame | None = None
-    outs: list[DataFrame] = []
-    for i, stage in enumerate(stages):
-        ev = df.where(F.col(type_col) == stage).select(
-            F.col(user_col).alias("_u"), sec.alias("_s")
+    stage_idx = F.lit(None).cast("int")
+    for i, s in reversed(list(enumerate(stages))):
+        stage_idx = F.when(F.col(type_col) == s, F.lit(i)).otherwise(stage_idx)
+    ev = df.where(F.col(type_col).isin(list(stages))).select(
+        F.col(user_col).alias("_u"),
+        sec.alias("_s"),
+        stage_idx.alias("_j"),
+    )
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+
+    def step(st, e):
+        return F.transform(
+            st,
+            lambda t, i: F.when(
+                (e["_j"] == i)
+                & t.isNull()
+                & ((i == F.lit(0)) | F.get(st, i - 1).isNotNull()),
+                e["_s"],
+            ).otherwise(t),
         )
-        if reached is None:
-            reached = ev.groupBy("_u").agg(F.min("_s").alias("_t"))
-        else:
-            reached = (
-                ev.join(reached, "_u")
-                .where(F.col("_s") >= F.col("_t"))
-                .groupBy("_u")
-                .agg(F.min("_s").alias("_t"))
-            )
-        outs.append(
-            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(i + 1).alias("stage_idx"),
-                F.lit(stage).alias("stage"),
-                "n_users",
-            )
+
+    per_user = ev.groupBy("_u").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_s", "_j"))), init, step
+        ).alias("_st")
+    )
+    counts = (
+        per_user.select(F.posexplode("_st").alias("_i", "_t"))
+        .where(F.col("_t").isNotNull())
+        .groupBy("_i")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    spine = (
+        df.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("_i"),
+                            F.lit(i + 1).alias("stage_idx"),
+                            F.lit(s).alias("stage"),
+                        )
+                        for i, s in enumerate(stages)
+                    ]
+                )
+            ).alias("g")
         )
-    return reduce(lambda a, b: a.unionByName(b), outs)
+        .select("g.*")
+    )
+    return (
+        spine.join(counts, "_i", "left")
+        .select(
+            "stage_idx",
+            "stage",
+            F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
+        )
+    )
 
 
 def cohort_retention(

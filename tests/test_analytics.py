@@ -198,3 +198,14 @@ def test_streaming_agg_maintenance_equals_direct(spark, tmp_path):
     got = sorted(map(tuple, m.view().collect()))
     want = sorted(map(tuple, finalize_agg(agg_state(df, ["k"], "v"), ["k"]).collect()))
     assert got == want
+
+
+def test_funnel_single_scan_plan(spark):
+    ev = _ev(spark, [(1, "signup", 0, 0.0), (1, "view", 1, 0.0)])
+    plan = (
+        funnel(ev, ["signup", "view", "click"])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the chained-min fold reads the source exactly once (the join-chain
+    # alternative scanned it k(k+1)/2 times)
+    assert plan.count("LogicalRDD") == 1
