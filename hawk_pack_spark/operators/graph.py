@@ -91,6 +91,7 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Fixed-iteration PageRank in the unnormalized per-node-base form:
     r(v) ← (1−d) + d·Σ_{u→v} r(u)/outdeg(u), all nodes starting at 1.
@@ -103,6 +104,12 @@ def pagerank(
     N-iteration run is N co-partitioned shuffles, no driver state.
     Fixed iteration count (not convergence polling) keeps the plan
     static and the result engine-reproducible.
+
+    ``checkpoint_every`` > 0 truncates lineage every N rounds with an
+    eager localCheckpoint — at tens of iterations the accumulated plan
+    otherwise grows linearly and analysis time dominates; values are
+    bit-identical either way (the recurrence is unchanged, only the
+    plan is cut).
     """
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
@@ -114,7 +121,7 @@ def pagerank(
     ed = e.join(deg, "_s")
     r = nodes.select("node", F.lit(1.0).alias("rank"))
     base = 1.0 - damping
-    for _ in range(iters):
+    for _ in range(iters):  # noqa: B007 — index used for checkpoint cadence
         contrib = (
             ed.join(r, ed["_s"] == r["node"])
             .groupBy("_d")
@@ -129,4 +136,6 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))
             ).alias("rank"),
         )
+        if checkpoint_every and (_ + 1) % checkpoint_every == 0:
+            r = r.localCheckpoint(eager=True)
     return r

@@ -92,3 +92,16 @@ def test_pagerank_matches_local_power_iteration(spark):
         assert abs(got[u] - r[u]) < 1e-9
     # hub dominance sanity: node 0 and 1 receive more than the base
     assert got[0] > 0.16 and got[1] > 0.16
+
+
+def test_pagerank_checkpoint_identical(spark):
+    from hawk_pack_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    plain = {r["node"]: r["rank"] for r in pagerank(df, iters=9).collect()}
+    ckpt = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=9, checkpoint_every=3).collect()
+    }
+    assert plain == ckpt  # bit-identical: only the plan is truncated
