@@ -142,3 +142,28 @@ def random_project(df: DataFrame, out_dim: int, vec_col: str = "embedding",
         dim = len(df.select(vec_col).first()[0])
     basis = random_projection_basis(dim, out_dim, seed)
     return project(df, np.zeros(dim), basis, vec_col, out_col)
+
+
+def balanced_subspace_permutation(variances: np.ndarray, m: int) -> np.ndarray:
+    """OPQ-lite dimension allocation: distribute PCA-rotated dims across
+    the m PQ subspaces so each gets (nearly) equal total log-variance.
+
+    Plain PCA rotation CONCENTRATES energy in the first dims — exactly
+    wrong for product quantization, whose per-subspace codebooks want
+    BALANCED information. Greedy: dims in descending variance, each to
+    the least-loaded (Σ log var) bucket that still has room; buckets
+    hold exactly d/m dims. Returns the permutation (bucket-major dim
+    order) to apply to the rotated basis rows."""
+    v = np.asarray(variances, dtype=np.float64)
+    d = len(v)
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    cap = d // m
+    loads = np.zeros(m)
+    fill: list[list[int]] = [[] for _ in range(m)]
+    for dim in np.argsort(-v):
+        open_b = [b for b in range(m) if len(fill[b]) < cap]
+        b = min(open_b, key=lambda i: loads[i])
+        fill[b].append(int(dim))
+        loads[b] += np.log(max(v[dim], 1e-30))
+    return np.concatenate([np.asarray(f, dtype=np.int64) for f in fill])

@@ -77,3 +77,15 @@ def test_random_projection_deterministic_and_jl(vec_df):
         d_lo = np.sum((p[:50, None] - p[None, :50]) ** 2, axis=-1).mean()
         ratios.append(d_lo / d_hi)
     assert 0.7 < np.mean(ratios) < 1.3
+
+
+def test_balanced_subspace_permutation():
+    from hawk_pack_spark.operators.linalg import balanced_subspace_permutation
+
+    v = np.array([100.0, 50.0, 10.0, 5.0, 2.0, 1.0, 0.5, 0.1])
+    perm = balanced_subspace_permutation(v, m=4)
+    assert sorted(perm.tolist()) == list(range(8))
+    # per-bucket log-variance loads are closer than the naive split's
+    loads = [np.log(v[perm[2 * i : 2 * i + 2]]).sum() for i in range(4)]
+    naive = [np.log(v[2 * i : 2 * i + 2]).sum() for i in range(4)]
+    assert max(loads) - min(loads) < max(naive) - min(naive)
