@@ -5385,8 +5385,9 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-stage conversion funnel over the events table: users
     progressing signup → view → click → purchase, each stage weakly
     after the user's earliest completion of the previous one. The
-    classic product-analytics sequence query; plan is a chain of
-    user-key joins against a monotonically shrinking reached-set."""
+    classic product-analytics sequence query; plan is ONE scan + ONE
+    shuffle (per-user sorted fold of the chained-min recurrence — the
+    join-chain alternative scanned the source k(k+1)/2 times)."""
     from hawk_pack_spark.operators.analytics import funnel
 
     ev = load_table(spark, "events", sf_dir)
@@ -5827,23 +5828,30 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
     # literals via repr so the SQL uses the EXACT doubles Spark computes
-    # with (1.0 - 0.85 is 0.15000000000000002, not 0.15)
+    # with (1.0 - 0.85 is 0.15000000000000002, not 0.15). Multi-referenced
+    # CTEs are MATERIALIZED: inlining re-evaluates the 6M-row self-join
+    # once per reference (20+ recomputes over 10 iterations — measured
+    # blowing DuckDB's temp storage at sf1); values are unchanged (the
+    # single output ROUND(6) absorbs any summation-order ULPs).
     base, d = repr(1.0 - damping), repr(damping)
     sql = """
-WITH t AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-und AS (
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS MATERIALIZED (
   SELECT a.p AS pa, b.p AS pb FROM t a JOIN t b ON a.o = b.o AND a.p < b.p
   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-e AS (SELECT pa AS s, pb AS dd FROM und UNION ALL SELECT pb, pa FROM und),
-deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY 1),
-nodes AS (SELECT DISTINCT s AS node FROM e),
+e AS MATERIALIZED (
+  SELECT pa AS s, pb AS dd FROM und UNION ALL SELECT pb, pa FROM und),
+deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY 1),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM e),
 it0 AS (SELECT node, 1.0 AS r FROM nodes)"""
     for i in range(1, iters + 1):
         sql += f""",
 c{i} AS (SELECT e.dd AS node, SUM(it{i - 1}.r / deg.deg) AS c
   FROM e JOIN it{i - 1} ON e.s = it{i - 1}.node JOIN deg ON e.s = deg.s
   GROUP BY 1),
-it{i} AS (SELECT n.node, {base} + {d} * COALESCE(c{i}.c, 0.0) AS r
+it{i} AS MATERIALIZED (
+  SELECT n.node, {base} + {d} * COALESCE(c{i}.c, 0.0) AS r
   FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node)"""
     sql += f"\nSELECT node AS part, ROUND(r, 6) AS pr FROM it{iters}"
     return sql
