@@ -48,6 +48,29 @@ def _canon_rows(cols, rows) -> list[str]:
     )
 
 
+# DuckDB result types the driver canonicalizes differently from Spark's
+# (Arrow decimal128 vs int64): SUM(BIGINT) is typed HUGEINT by DuckDB, so
+# any oracle emitting one of these hash-mismatches even when the VALUES
+# are identical (r7 root cause: user_daily_gapfill / dq_expectations).
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def lint_oracle_types(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> list[str]:
+    """Return ``col:type`` offenders whose DuckDB result type the driver
+    cannot hash-compare against Spark. Uses the lazy relation's type
+    plan — no execution — so the full ALL_SPECS sweep is cheap. Fix
+    offenders with ``CAST(… AS BIGINT)`` (or DOUBLE) in the oracle SQL.
+    """
+    rel = con.sql(sql)
+    return [
+        f"{name}:{t}"
+        for name, t in zip(rel.columns, rel.types)
+        if any(b in str(t).upper() for b in _BANNED_ORACLE_TYPES)
+    ]
+
+
 @dataclass
 class ParityResult:
     name: str
@@ -66,6 +89,14 @@ def compare(
     max_mismatch_report: int = 5,
 ) -> ParityResult:
     s_cols = list(spark_df.columns)
+    bad_types = lint_oracle_types(con, oracle_sql)
+    if bad_types:
+        return ParityResult(
+            name,
+            False,
+            "oracle emits driver-unhashable types (CAST to BIGINT/DOUBLE): "
+            + ", ".join(bad_types),
+        )
     s_rows = [tuple(r) for r in spark_df.collect()]
     cur = con.execute(oracle_sql)
     o_cols = [d[0] for d in cur.description]

@@ -5481,12 +5481,13 @@ days AS (
 ),
 keys AS (SELECT DISTINCT user_id FROM ev),
 actual AS (
-  SELECT user_id, day, COUNT(*) AS n_events, SUM(vm) AS sum_value_micro
+  SELECT user_id, day, COUNT(*) AS n_events,
+         CAST(SUM(vm) AS BIGINT) AS sum_value_micro
   FROM ev GROUP BY 1, 2
 )
 SELECT k.user_id, d.day,
-       COALESCE(a.n_events, 0) AS n_events,
-       COALESCE(a.sum_value_micro, 0) AS sum_value_micro
+       CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(a.sum_value_micro, 0) AS BIGINT) AS sum_value_micro
 FROM keys k CROSS JOIN days d
 LEFT JOIN actual a ON a.user_id = k.user_id AND a.day = d.day
 """
@@ -5739,29 +5740,33 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DQ_EXPECTATIONS_SQL = """
 SELECT 'orderkey_not_null' AS rule,
-       SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS n_violations
+       CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_violations
 FROM orders
 UNION ALL
 SELECT 'totalprice_range',
-       SUM(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 300000
-                THEN 0 ELSE 1 END)
+       CAST(SUM(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 300000
+                     THEN 0 ELSE 1 END) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'status_domain',
-       SUM(CASE WHEN o_orderstatus IN ('O', 'F') THEN 0 ELSE 1 END)
+       CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F') THEN 0 ELSE 1 END)
+            AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'priority_format',
-       SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
-                THEN 0 ELSE 1 END)
+       CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                     THEN 0 ELSE 1 END) AS BIGINT)
 FROM orders
 UNION ALL
-SELECT 'orderkey_unique', COALESCE(SUM(n - 1), 0)
+SELECT 'orderkey_unique', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
 FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
 UNION ALL
+-- NOT EXISTS (not NOT IN): a NULL child key must COUNT as an orphan, matching
+-- the operator's left_anti contract (expectations.py) -- NOT IN would drop it.
 SELECT 'lineitem_fk_orders', COUNT(*)
-FROM lineitem
-WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 """
 
 

@@ -31,6 +31,25 @@ def test_rows_only_queries_run(spark, sf_dir):
             assert spec.fn(spark, sf_dir).count() >= 0, name
 
 
+def test_no_oracle_emits_hugeint_or_decimal(sf_dir, duck):
+    """VERDICT r7 #1: DuckDB types SUM(BIGINT) as HUGEINT, which the
+    driver canonicalizes as Arrow decimal128 — hash-mismatching Spark's
+    BIGINT even on identical values. Lint EVERY oracle in ALL_SPECS
+    (not just the live window) via the lazy type plan so the class of
+    bug is dead, not just the two r7 instances."""
+    from hawk_pack_spark.oracle import lint_oracle_types
+    from hawk_pack_spark.queries import ALL_SPECS
+
+    offenders = {}
+    for name, spec in ALL_SPECS.items():
+        if spec.oracle is None:
+            continue
+        bad = lint_oracle_types(duck, spec.oracle)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracles emitting HUGEINT/DECIMAL: {offenders}"
+
+
 def test_check_catalog_unknown_names_raise_descriptive_error(spark, sf_dir):
     """ADVICE r4: a stale rotation name or typo must abort up front with
     the offending names listed, not crash mid-sweep with a bare KeyError
