@@ -105,3 +105,29 @@ def test_pagerank_checkpoint_identical(spark):
         for r in pagerank(df, iters=9, checkpoint_every=3).collect()
     }
     assert plain == ckpt  # bit-identical: only the plan is truncated
+
+
+def test_pagerank_loop_invariants_scanned_once(spark, tmp_path):
+    """VERDICT r7 #2: before the fix, a 5-iteration plan over a parquet
+    edge list held 32 FileScans (edges⋈degree, degree, and the distinct
+    node set all re-derived inside every iteration). After the eager
+    localCheckpoint of the two loop invariants, the returned plan must
+    contain ZERO parquet scans — the base table is read exactly twice,
+    at checkpoint time, independent of the iteration count."""
+    from hawk_pack_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3), (3, 1)]
+    path = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(edges, "src long, dst long").write.parquet(path)
+    df = spark.read.parquet(path)
+
+    plan = (
+        pagerank(df, iters=5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Relation" not in plan or "parquet" not in plan.lower(), plan
+    # every iteration joins against the checkpointed RDDs, nothing else
+    assert plan.count("LogicalRDD") >= 2
+    assert "parquet" not in plan.lower()
