@@ -245,8 +245,9 @@ def ivfpq_search(
             f"query batch exceeds max_driver_queries={max_driver_queries}: "
             "ivfpq_search routes queries driver-side (a serving surface). "
             "Split the batch, raise max_driver_queries explicitly, or use "
-            "the distributed paths (l2_topk_numpy / hnsw.search) for bulk "
-            "batches."
+            "the fully-distributed exact path (knn_exact, which never "
+            "collects the query side) for bulk batches — l2_topk_numpy "
+            "also accepts oversized batches and falls back to it."
         )
     qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
     qx = np.asarray([r[1] for r in q_rows], dtype=np.float64)

@@ -409,6 +409,27 @@ def all_pairs_cosine_numpy(
     )
 
 
+def _bounded_query_rows(
+    queries: DataFrame,
+    query_id: str,
+    query_col: str,
+    max_driver_queries: int,
+):
+    """Collect the query side with the serving-surface bound shared by
+    the PQ/HNSW family (VERDICT r7 #4: these primitives previously
+    collected unbounded). Returns None on overflow — the caller falls
+    back to the fully-distributed expression-join exact path instead of
+    erroring, because the *_topk_numpy scans ARE the bulk fallbacks."""
+    rows = (
+        queries.select(query_id, query_col)
+        .limit(max_driver_queries + 1)
+        .collect()
+    )
+    if len(rows) > max_driver_queries:
+        return None
+    return rows
+
+
 def l2_topk_numpy(
     vectors: DataFrame,
     queries: DataFrame,
@@ -417,6 +438,7 @@ def l2_topk_numpy(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     query_col: str = "query_vec",
+    max_driver_queries: int = 100_000,
     _pre: tuple | None = None,
 ) -> DataFrame:
     """Exact L2² top-k via one BLAS product per partition:
@@ -425,13 +447,28 @@ def l2_topk_numpy(
     each vector partition emits its local top-k; a Window merges —
     the strongest exact baseline for the ANN crossover bench.
     ``_pre``: (q_ids, q_mat) already collected by `ann_search` — skips
-    the driver collect (the batch must not be materialized twice)."""
+    the driver collect (the batch must not be materialized twice).
+    Query batches beyond ``max_driver_queries`` never reach the driver:
+    they route to the expression-join exact scan (`knn_exact`), which
+    keeps both sides distributed."""
     import pandas as pd
 
     if _pre is not None:
         q_ids, q_mat = _pre
     else:
-        q_rows = queries.select(query_id, query_col).collect()
+        q_rows = _bounded_query_rows(queries, query_id, query_col, max_driver_queries)
+        if q_rows is None:
+            from hawk_pack_spark.operators.knn_exact import knn_exact
+
+            return knn_exact(
+                vectors, queries, k, "l2_sq", vec_id, vec_col,
+                query_id, query_col, broadcast_queries=False,
+            ).select(
+                F.col(query_id).alias("query_id"),
+                F.col(vec_id).alias("vec_id"),
+                "dist",
+                "rank",
+            )
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     sc = vectors.sparkSession.sparkContext
@@ -477,6 +514,7 @@ def hamming_topk_numpy(
     vec_col: str = "code",
     query_id: str = "query_id",
     query_col: str = "query_vec",
+    max_driver_queries: int = 100_000,
     _pre: tuple | None = None,
 ) -> DataFrame:
     """Exact Hamming top-k over 64-bit codes — the vectorized LinearDb
@@ -501,7 +539,19 @@ def hamming_topk_numpy(
     if _pre is not None:
         q_ids, q_codes = _pre
     else:
-        q_rows = queries.select(query_id, query_col).collect()
+        q_rows = _bounded_query_rows(queries, query_id, query_col, max_driver_queries)
+        if q_rows is None:
+            from hawk_pack_spark.operators.knn_exact import knn_exact
+
+            return knn_exact(
+                vectors, queries, k, "hamming", vec_id, vec_col,
+                query_id, query_col, broadcast_queries=False,
+            ).select(
+                F.col(query_id).alias("query_id"),
+                F.col(vec_id).alias("vec_id"),
+                F.col("dist").cast("double").alias("dist"),
+                "rank",
+            )
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         q_codes = np.array([r[1] for r in q_rows], dtype=np.int64).view(np.uint64)
     sc = vectors.sparkSession.sparkContext
@@ -596,15 +646,30 @@ def cosine_topk_numpy(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     query_col: str = "query_vec",
+    max_driver_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k with a BLAS matrix product per partition:
-    queries are collected (small side) and broadcast; each vector
-    partition computes sims for all queries in one matmul via
+    queries are collected (small side, BOUNDED) and broadcast; each
+    vector partition computes sims for all queries in one matmul via
     mapInPandas, emitting its local top-k; a Window merges. ~10-100×
-    faster than the fold-expression path at large n."""
+    faster than the fold-expression path at large n. Oversized query
+    batches fall back to the distributed expression-join scan (sim
+    recovered as 1 − cosine_dist; identical ranking and tie order)."""
     import pandas as pd
 
-    q_rows = queries.select(query_id, query_col).collect()
+    q_rows = _bounded_query_rows(queries, query_id, query_col, max_driver_queries)
+    if q_rows is None:
+        from hawk_pack_spark.operators.knn_exact import knn_exact
+
+        return knn_exact(
+            vectors, queries, k, "cosine", vec_id, vec_col,
+            query_id, query_col, broadcast_queries=False,
+        ).select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_id).alias("vec_id"),
+            (F.lit(1.0) - F.col("dist")).alias("sim"),
+            "rank",
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_unit = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1), 1e-30)[:, None]

@@ -196,3 +196,50 @@ def test_l2_topk_numpy_exact_zero_for_identical_vectors(spark):
     got = l2_topk_numpy(vecs, q, k=1).collect()
     assert len(got) == 2000
     assert all(r.query_id == r.vec_id and r.dist == 0.0 for r in got)
+
+
+def test_exact_scan_overflow_falls_back_distributed(spark, embeddings):
+    """VERDICT r7 #5: the *_topk_numpy primitives are the bulk exact
+    fallbacks, so an oversized query batch must NOT be driver-collected
+    (and must not error): it routes to the expression-join path with
+    identical rows. Verified by setting max_driver_queries below the
+    batch size and comparing against the in-bound result."""
+    from hawk_pack_spark.operators.similarity import (
+        cosine_topk_numpy,
+        hamming_topk_numpy,
+        l2_topk_numpy,
+    )
+
+    vecs = embeddings.limit(200).localCheckpoint()
+    queries = vecs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    small = l2_topk_numpy(vecs, queries, k=5)
+    big = l2_topk_numpy(vecs, queries, k=5, max_driver_queries=3)
+    s = {(r.query_id, r.rank): (r.vec_id, r.dist) for r in small.collect()}
+    b = {(r.query_id, r.rank): (r.vec_id, r.dist) for r in big.collect()}
+    assert s.keys() == b.keys()
+    for key in s:  # same neighbors; dists differ only by fold associativity
+        assert s[key][0] == b[key][0]
+        assert abs(s[key][1] - b[key][1]) < 1e-9
+    # the fallback plan really is the distributed join, not a collect
+    assert "mapInPandas" not in big._jdf.queryExecution().optimizedPlan().toString()
+
+    small_c = cosine_topk_numpy(vecs, queries, k=5)
+    big_c = cosine_topk_numpy(vecs, queries, k=5, max_driver_queries=3)
+    sc = {(r.query_id, r.rank): r.vec_id for r in small_c.collect()}
+    bc = {(r.query_id, r.rank): r.vec_id for r in big_c.collect()}
+    assert sc == bc
+
+    codes = vecs.select(
+        "vec_id", F.xxhash64(F.col("embedding").cast("string")).alias("code")
+    ).localCheckpoint()
+    qc = codes.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec")
+    )
+    small_h = hamming_topk_numpy(codes, qc, k=5, vec_col="code")
+    big_h = hamming_topk_numpy(codes, qc, k=5, vec_col="code", max_driver_queries=3)
+    sh = {(r.query_id, r.rank): (r.vec_id, r.dist) for r in small_h.collect()}
+    bh = {(r.query_id, r.rank): (r.vec_id, r.dist) for r in big_h.collect()}
+    assert sh == bh
