@@ -6182,8 +6182,12 @@ _ROTATING_SLOTS = 50 - len(_PINNED_NAMES)
 
 def _last_driver_rows() -> dict[str, int]:
     """name → latest round whose committed CORRECTNESS_r{N}.json recorded
-    it (the driver commits the artifact at round end, so the set is fixed
-    for the whole current round — deterministic, no out-of-band signal)."""
+    it GREEN (the driver commits the artifact at round end, so the set is
+    fixed for the whole current round — deterministic, no out-of-band
+    signal). Only fully-green rows count: a recorded FAIL must keep the
+    spec at the front of the queue so it re-enters the window the very
+    next round (r7's two hash failures would otherwise have rotated out
+    unfixed, still never-green)."""
     import glob
     import json
     import os
@@ -6198,11 +6202,19 @@ def _last_driver_rows() -> dict[str, int]:
         rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                names = list(json.load(f))
+                rows = json.load(f)
         except Exception:
             continue
-        for name in names:
-            last[name] = max(last.get(name, -1), rnd)
+        for name, row in rows.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("rows_match", False)
+                and row.get("schema_match", False)
+                and row.get("hash_match", True)  # rows-only checks lack it
+                and row.get("err") in (None, "")
+            )
+            if green:
+                last[name] = max(last.get(name, -1), rnd)
     return last
 
 
