@@ -276,11 +276,30 @@ def zscore_outliers(
         .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("_gn"),
+            F.count("_c").alias("_gnn"),
             F.sum("_c").cast("double").alias("_gs"),
             F.sum((F.col("_c") * F.col("_c")).cast("decimal(38,0)"))
             .cast("double")
             .alias("_gss"),
         )
+    )
+    # ADVICE r7: with ANSI off, a decimal(38,0) sum OVERFLOW comes back
+    # NULL silently, which would make σ NULL and the operator return
+    # zero outliers with no error. A NULL sum alongside non-null values
+    # can only be overflow — fail loudly instead of silently-empty.
+    # (A group whose values are ALL NULL keeps NULL sums legitimately
+    # and never matches the |v−μ| gate, same as before.)
+    not_overflowed = ~(
+        (F.col("_gnn") > 0)
+        & (F.col("_gs").isNull() | F.col("_gss").isNull())
+    )
+    stats = stats.where(
+        F.assert_true(
+            not_overflowed,
+            "zscore_outliers: decimal stats overflowed (NULL sum over "
+            "non-null values) — lower `decimals` or the per-group "
+            "value-magnitude envelope",
+        ).isNull()
     )
     mean = F.col("_gs") / F.col("_gn")
     var = F.col("_gss") / F.col("_gn") - mean * mean
@@ -289,7 +308,7 @@ def zscore_outliers(
         joined.where(
             F.abs(F.col("_c").cast("double") - mean) > F.lit(z) * F.sqrt(var)
         )
-        .drop("_c", "_gn", "_gs", "_gss")
+        .drop("_c", "_gn", "_gnn", "_gs", "_gss")
     )
 
 

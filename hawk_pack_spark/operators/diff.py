@@ -23,12 +23,22 @@ def table_diff(
     new: DataFrame,
     keys: list[str],
     compare_cols: list[str] | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Rows (key..., change) with change ∈ added | removed | changed;
     unchanged keys are absent. ``compare_cols`` defaults to every
     non-key column present in BOTH sides (schema drift: a column only
     one side has would mark every row changed — name it explicitly if
-    that is intended)."""
+    that is intended).
+
+    Contract (ADVICE r7): the default path compares one 64-bit xxhash64
+    per side, so a changed row whose old/new payloads collide is
+    reported unchanged with probability 2⁻⁶⁴ per row — negligible for
+    monitoring, not for parity-critical gates; set ``exact=True`` to
+    compare the payload columns null-safely instead (the join then
+    moves the full compared payload, not 8 bytes). Both modes require
+    ``keys`` to be unique on each side: duplicate keys fan out through
+    the full_outer join and are classified per fanned-out pair."""
     if compare_cols is None:
         compare_cols = [
             c for c in new.columns if c not in keys and c in old.columns
@@ -36,14 +46,35 @@ def table_diff(
     missing = [c for c in keys + compare_cols if c not in old.columns or c not in new.columns]
     if missing:
         raise ValueError(f"columns absent from a side: {missing}")
-    oh = old.select(*keys, F.xxhash64(*compare_cols).alias("_h_old"))
-    nh = new.select(*keys, F.xxhash64(*compare_cols).alias("_h_new"))
-    j = oh.join(nh, keys, "full_outer")
-    change = (
-        F.when(F.col("_h_old").isNull(), F.lit("added"))
-        .when(F.col("_h_new").isNull(), F.lit("removed"))
-        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
-    )
+    if exact:
+        oh = old.select(
+            *keys,
+            F.lit(True).alias("_in_old"),
+            *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        )
+        nh = new.select(
+            *keys,
+            F.lit(True).alias("_in_new"),
+            *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        )
+        j = oh.join(nh, keys, "full_outer")
+        differs = F.lit(False)
+        for c in compare_cols:  # null-safe: NULL != value counts as changed
+            differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        change = (
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(differs, F.lit("changed"))
+        )
+    else:
+        oh = old.select(*keys, F.xxhash64(*compare_cols).alias("_h_old"))
+        nh = new.select(*keys, F.xxhash64(*compare_cols).alias("_h_new"))
+        j = oh.join(nh, keys, "full_outer")
+        change = (
+            F.when(F.col("_h_old").isNull(), F.lit("added"))
+            .when(F.col("_h_new").isNull(), F.lit("removed"))
+            .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        )
     return (
         j.select(*keys, change.alias("change"))
         .where(F.col("change").isNotNull())

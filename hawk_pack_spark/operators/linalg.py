@@ -113,9 +113,16 @@ def project(df: DataFrame, model_mean: np.ndarray, basis: np.ndarray,
             out[out_col] = list(p)
             yield out
 
+    # exclude a pre-existing out_col from the carried fields (the pandas
+    # side drops then re-adds it — listing it twice would be a runtime
+    # schema/arity mismatch; ADVICE r7)
     schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
-        + [f"{out_col} array<double>"]
+        [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != out_col
+        ]
+        + [f"`{out_col}` array<double>"]
     )
     return df.mapInPandas(gen, schema)
 

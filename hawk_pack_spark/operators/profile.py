@@ -20,10 +20,15 @@ from pyspark.sql import functions as F
 
 _NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float",
             "decimal", "long"}
+_INTEGRAL = {"int", "bigint", "smallint", "tinyint", "long"}
 
 
 def _is_numeric(dtype: str) -> bool:
     return dtype.split("(")[0] in _NUMERIC
+
+
+def _is_integral(dtype: str) -> bool:
+    return dtype.split("(")[0] in _INTEGRAL
 
 
 def profile_table(
@@ -52,17 +57,30 @@ def profile_table(
         aggs.append(nd.alias(f"{c}__nd"))
         aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
-        if _is_numeric(dtypes[c]):
+        if _is_integral(dtypes[c]):
+            # ADVICE r7: F.avg accumulates an integral sum in a double,
+            # which rounds (and becomes summation-order dependent) once
+            # the running sum passes 2^53 — e.g. SUM(l_orderkey) at
+            # sf100. An exact decimal(38,0) SUM divided by the count
+            # keeps integer means bit-reproducible at any SF.
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(38,0)")).alias(f"{c}__sum")
+            )
+        elif _is_numeric(dtypes[c]):
             aggs.append(F.avg(F.col(c)).alias(f"{c}__mean"))
     wide = df.agg(*aggs)
     # pivot the single wide row into one row per column — an explode of
     # per-column structs over the 1-row frame, no second scan
     rows = []
     for c in cols:
-        mean = (
-            F.round(F.col(f"{c}__mean"), 6) if _is_numeric(dtypes[c])
-            else F.lit(None).cast("double")
-        )
+        if _is_integral(dtypes[c]):
+            mean = F.round(
+                (F.col(f"{c}__sum").cast("double") / F.col(f"{c}__nn")), 6
+            )
+        elif _is_numeric(dtypes[c]):
+            mean = F.round(F.col(f"{c}__mean"), 6)
+        else:
+            mean = F.lit(None).cast("double")
         rows.append(
             F.struct(
                 F.lit(c).alias("column"),

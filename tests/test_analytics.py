@@ -209,3 +209,17 @@ def test_funnel_single_scan_plan(spark):
     # the chained-min fold reads the source exactly once (the join-chain
     # alternative scanned it k(k+1)/2 times)
     assert plan.count("LogicalRDD") == 1
+
+
+def test_zscore_outliers_all_null_group_is_quietly_empty(spark):
+    """The overflow guard (ADVICE r7) fails loudly on NULL sums over
+    non-null values; a group whose values are ALL NULL is not overflow
+    and must pass through silently with zero outliers."""
+    from hawk_pack_spark.operators.analytics import zscore_outliers
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", None), ("h", 1.0), ("h", 1.2), ("h", 99.0)],
+        "k string, v double",
+    )
+    got = zscore_outliers(df, ["k"], "v", z=1.0)
+    assert {r.k for r in got.collect()} <= {"h"}

@@ -50,3 +50,24 @@ def test_table_diff_joins_hashes_not_payload(spark, sf_dir):
     assert "xxhash64" in plan
     assert d.count() > 0
     assert {r.change for r in d.select("change").distinct().collect()} == {"removed"}
+
+
+def test_table_diff_exact_mode_matches_hash_mode(spark):
+    from hawk_pack_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    want = {(2, "changed"), (3, "removed"), (4, "changed"), (5, "added")}
+    got_hash = {(r.k, r.change) for r in table_diff(old, new, ["k"]).collect()}
+    got_exact = {
+        (r.k, r.change) for r in table_diff(old, new, ["k"], exact=True).collect()
+    }
+    assert got_hash == want
+    # exact mode: column-wise null-safe compare, no collision contract
+    assert got_exact == want

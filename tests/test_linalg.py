@@ -89,3 +89,21 @@ def test_balanced_subspace_permutation():
     loads = [np.log(v[perm[2 * i : 2 * i + 2]]).sum() for i in range(4)]
     naive = [np.log(v[2 * i : 2 * i + 2]).sum() for i in range(4)]
     assert max(loads) - min(loads) < max(naive) - min(naive)
+
+
+def test_project_overwrites_existing_out_col(spark):
+    """ADVICE r7: an input already carrying `out_col` used to list the
+    field twice in the mapInPandas schema while the pandas frame had it
+    once — a runtime arity mismatch. It must overwrite cleanly."""
+    import numpy as np
+
+    from hawk_pack_spark.operators.linalg import project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [9.0]), (2, [3.0, 4.0], [9.0])],
+        "id long, embedding array<double>, proj array<double>",
+    )
+    basis = np.array([[1.0, 0.0]])
+    got = {r.id: r.proj for r in
+           project(df, np.zeros(2), basis, "embedding", "proj").collect()}
+    assert got == {1: [1.0], 2: [3.0]}
