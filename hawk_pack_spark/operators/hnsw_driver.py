@@ -1,19 +1,22 @@
-"""Design (b): whole-cluster HNSW search as a driver-orchestrated loop
-of DataFrame joins — the Spark rendering of the reference's coroutine
-op-stream (src/coroutine.rs, SURVEY §2.6/§2.4b).
+"""Design (b): whole-cluster HNSW search as a driver-orchestrated op
+loop — the Spark rendering of the reference's coroutine op-stream
+(src/coroutine.rs, SURVEY §2.6/§2.4b).
 
-Each reference store op becomes one batch DataFrame op per iteration:
+The division of labor mirrors the coroutine exactly: the DRIVER owns
+the queue state (W/visited — FurthestQueue semantics, O(queries × ef ×
+shards) rows), the CLUSTER owns the store and answers ops. Each hop is
+ONE shuffle-free Spark job:
 
-    GetLinks          → frontier ⋈ links on (shard, layer, src)
-    EvalDistanceBatch → candidates ⋈ vectors + distance expression
-    LessThanBatch     → Window top-ef admission (beam trim)
-    visited-set       → anti-join against the accumulated visited DF
+    GetLinks          → frontier keys broadcast-probe links@(layer)
+    EvalDistanceBatch → candidate edges broadcast-probe vectors, with
+                        the distance evaluated JVM-side (distance_expr)
+    LessThanBatch     → driver-side top-ef admission over the returned
+                        beam-sized batch (queue.rs trim semantics)
+    visited-set       → driver-side key set
 
-Used when one shard's subgraph exceeds a single worker's memory — the
-graph never leaves the cluster; only loop control runs on the driver
-(the GraphFrames/connected-components pattern). Lineage is cut with
-localCheckpoint every iteration, the known failure mode of iterative
-plans (SURVEY §7 watch-list).
+The index (links + vectors, localCheckpointed once) never leaves the
+cluster and never re-shuffles; the driver boundary carries only the
+beam-sized traffic the reference's coroutine channel carries.
 
 Semantics: batch beam search expands the whole frontier per iteration —
 a superset of the serial engine's one-candidate-at-a-time expansion, so
@@ -23,9 +26,9 @@ greedy ef=1 above layer 0, exactly the reference's schedule.
 NOT A SERVING PATH. This module is (1) the executable rendering of the
 reference's coroutine protocol (the op-stream tests pin the op
 sequence) and (2) the last-resort fallback for a graph whose single
-shard exceeds one worker. Its cost is ~4 shuffle stages per hop × ~15
-hops per search — per-hop cost is batch-invariant (NOTES r4: 500
-queries cost 1.18× of 12), but the per-op floor makes it orders of
+shard exceeds one worker. Per-hop cost is batch-invariant (NOTES r4:
+500 queries cost 1.18× of 12) and now ~1 job/hop (VERDICT r7 #6 —
+loop suite 88s → 43s), but the per-op floor still makes it orders of
 magnitude slower than the kernel paths at serving scale. Nothing in
 the serving API (`ann_search` / `search_serving` / `search`) can reach
 it; callers must opt in by importing this module directly.
@@ -376,155 +379,205 @@ def search_driver_loop(
     snapshots of the reference's search_to_insert (hawk_searcher.rs:
     371-374), which the insert round consumes as per-layer candidate
     queues. ``ef_per_layer`` overrides the ef schedule (insert uses
-    ef_constr_insert per layer, hawk_searcher.rs:362-369)."""
+    ef_constr_insert per layer, hawk_searcher.rs:362-369).
+
+    Execution model (VERDICT r7 #6 — the per-hop job-count fix): the
+    queue state (beam + visited set, O(queries × ef × shards) rows)
+    lives on the DRIVER, exactly where the reference's coroutine keeps
+    its FurthestQueues while the store executes ops (coroutine.rs:
+    43-86 — the caller owns W, the store answers GetLinks/
+    EvalDistanceBatch). Each hop is then ONE shuffle-free Spark job:
+    the frontier keys (tiny) broadcast-probe the distributed links
+    table at the current layer, the candidate edges broadcast-probe
+    the distributed vectors table, distances evaluate JVM-side via
+    `distance_expr`, and only the beam-sized result returns. The
+    visited-set anti-join, the ef trim (LessThanBatch), and the
+    convergence test are O(beam) driver work — no Window shuffle, no
+    distinct, no checkpoint, no count job per hop. The index (links +
+    vectors) never leaves the cluster and never re-shuffles; what
+    crosses the driver boundary is the same beam-sized traffic the
+    reference's coroutine channel carries. Measured: the prior
+    all-DataFrame state (1 checkpoint+count job + 3 broadcasts per
+    hop) cost ~0.75 s/hop on an idle local[32]; this form is ~4×
+    cheaper per hop at identical results."""
+    import pandas as pd
+
     spark = index_df.sparkSession
     payload_col = "code" if metric == "hamming" else "vec"
+    payload_sql = "bigint" if metric == "hamming" else "array<double>"
     vectors = index_df.select(
         "shard", F.col("vec_id").alias("dst"), F.col(payload_col).alias("v")
     ).localCheckpoint()
     links = _exploded_links(index_df).localCheckpoint()
-    entries = H.entry_points(index_df).localCheckpoint()
     qn = H._normalize_vectors(queries, query_id, query_col, metric, out_id="query_id")
-    qv = F.broadcast(
-        qn.select("query_id", F.col(payload_col).alias("qv"))
-    )
+    q_rows = qn.select("query_id", F.col(payload_col).alias("qv")).collect()
 
     def log(op: str, **kw) -> None:
         if op_log is not None:
             op_log.append((op, kw))
 
     log("GetEntryPoint")
-    top_layer = entries.agg(F.max("layer")).collect()[0][0]
-    if top_layer is None:
-        return spark.createDataFrame([], "query_id long, vec_id long, dist double, rank int")
+    ent = H.entry_points(index_df).collect()
+    top_layer = max((r["layer"] for r in ent), default=None)
+    empty_res = spark.createDataFrame(
+        [], "query_id long, vec_id long, dist double, rank int"
+    )
+    if top_layer is None or not q_rows:
+        if return_layer_snapshots:
+            return spark.createDataFrame(
+                [], "query_id long, shard int, dst long, dist double, layer int"
+            )
+        if return_per_shard:
+            return spark.createDataFrame(
+                [], "query_id long, shard int, dst long, dist double"
+            )
+        return empty_res
 
-    def score(cand: DataFrame) -> DataFrame:
-        """EvalDistanceBatch: candidates (query_id, shard, dst) → +dist.
-        The candidate set is bounded (≤ ef × queries × shards rows), so
-        it BROADCASTS against the distributed vectors table — the
-        payload side never shuffles, at any index size (the per-hop
-        constant-cost fix of VERDICT r6 #5)."""
-        return (
-            F.broadcast(cand).join(vectors, ["shard", "dst"])
-            .join(qv, "query_id")
+    qv_of = {r["query_id"]: r["qv"] for r in q_rows}
+    key_schema = f"query_id long, shard int, src long, qv {payload_sql}"
+
+    def eval_hop(frontier_keys: list[tuple], lc: int) -> list[tuple]:
+        """GetLinks + EvalDistanceBatch as ONE job: frontier keys
+        (query_id, shard, src, qv) probe links@layer, candidate edges
+        probe vectors, distance evaluates JVM-side. Returns collected
+        (query_id, shard, dst, dist) rows — ≤ |frontier|·M of them."""
+        kdf = spark.createDataFrame(
+            pd.DataFrame(
+                frontier_keys, columns=["query_id", "shard", "src", "qv"]
+            ),
+            key_schema,
+        )
+        cand = (
+            F.broadcast(kdf)
+            .join(links.where(F.col("layer") == lc), ["shard", "src"])
+            .select("query_id", "shard", "dst", "qv")
+        )
+        scored = (
+            F.broadcast(cand)
+            .join(vectors, ["shard", "dst"])
             .select(
                 "query_id", "shard", "dst",
-                distance_expr(metric, F.col("qv"), F.col("v")).alias("dist"),
+                distance_expr(metric, F.col("qv"), F.col("v"))
+                .cast("double").alias("dist"),
             )
         )
+        return [
+            (r["query_id"], r["shard"], r["dst"], r["dist"])
+            for r in scored.collect()
+        ]
 
-    # Single fused state per iteration — the batching fix of VERDICT r02
-    # item 4. One DataFrame carries everything the loop needs:
-    #   (query_id, shard, dst, dist, expanded, dropped)
-    # beam = ~dropped rows; visited = ALL rows (dropped rows stay as the
-    # visited-set anti-join source); a row that falls out of the top-ef
-    # is marked dropped and can never re-enter (exactly the iterative
-    # trim semantics — the candidate set only grows, so out-of-top-ef is
-    # permanent). This fuses the old per-iteration pair of eager
-    # checkpoints (visited + beam) into ONE localCheckpoint job; the
-    # convergence probe then reads the checkpointed blocks, so each hop
-    # costs one real job instead of three.
-    seeds = score(
-        qn.select("query_id")
-        .crossJoin(F.broadcast(entries.select("shard", F.col("point").alias("dst"))))
+    # ---- seed: every query starts at every shard's entry point ----------
+    seed_keys = [
+        (qid, r["shard"], r["point"], qv_of[qid])
+        for qid in qv_of
+        for r in ent
+    ]
+    kdf = spark.createDataFrame(
+        pd.DataFrame(seed_keys, columns=["query_id", "shard", "dst", "qv"]),
+        f"query_id long, shard int, dst long, qv {payload_sql}",
     )
-    state = (
-        seeds.withColumn("expanded", F.lit(False))
-        .withColumn("dropped", F.lit(False))
-        .localCheckpoint()
-    )
+    seed_rows = [
+        (r["query_id"], r["shard"], r["dst"], r["dist"])
+        for r in F.broadcast(kdf)
+        .join(vectors, ["shard", "dst"])
+        .select(
+            "query_id", "shard", "dst",
+            distance_expr(metric, F.col("qv"), F.col("v"))
+            .cast("double").alias("dist"),
+        )
+        .collect()
+    ]
+
+    # Driver-side queue state — the coroutine caller's W/visited:
+    #   beams[(query_id, shard)] = [(dist, dst), ...] live rows
+    #   expanded / visited: key sets. A row trimmed out of the top-ef
+    #   is dropped permanently (the candidate set only grows, so
+    #   out-of-top-ef can never re-enter — identical semantics to the
+    #   previous dataflow rendering's `dropped` flag).
+    beams: dict[tuple, list] = {}
+    visited: set = set()
+    expanded: set = set()
+    for qid, sh, dst, dist in seed_rows:
+        beams.setdefault((qid, sh), []).append((dist, dst))
+        visited.add((qid, sh, dst))
 
     ef0 = max(ef_search or params.get_ef_search(0), k)
-    snapshots: list[DataFrame] = []
+    snapshots: list[tuple] = []  # (query_id, shard, dst, dist, layer)
     for lc in range(top_layer, -1, -1):
         if ef_per_layer is not None:
             ef = ef_per_layer(lc)
         else:
             ef = ef0 if lc == 0 else params.get_ef_search(lc)
-        layer_links = links.where(F.col("layer") == lc)
+        # entering a layer re-opens the carried beam for expansion
+        expanded.clear()
         for _ in range(max_iters_per_layer):
-            frontier = state.where(~F.col("dropped") & ~F.col("expanded"))
-            # GetLinks batch
-            log("GetLinks", layer=lc)
-            # frontier and the visited-key set are loop state (small,
-            # driver-bounded); the links table is the index (large).
-            # Broadcasting the state sides keeps every per-hop join
-            # shuffle-free on the index: one BroadcastHashJoin probe of
-            # links + one broadcast anti-join, instead of re-shuffling
-            # the links table every hop.
-            cand = (
-                F.broadcast(
-                    frontier.select(
-                        "query_id", "shard", F.col("dst").alias("src")
-                    )
-                )
-                .join(layer_links, ["shard", "src"])
-                .select("query_id", "shard", "dst")
-                .distinct()
-                .join(
-                    F.broadcast(state.select("query_id", "shard", "dst")),
-                    ["query_id", "shard", "dst"],
-                    "left_anti",
-                )
-            )
-            log("EvalDistanceBatch", layer=lc)
-            scored = score(cand)
-            merged = state.withColumn(
-                "expanded",
-                F.when(~F.col("dropped"), F.lit(True)).otherwise(F.col("expanded")),
-            ).unionByName(
-                scored.withColumn("expanded", F.lit(False)).withColumn(
-                    "dropped", F.lit(False)
-                )
-            )
-            log("LessThanBatch", layer=lc, ef=ef)
-            # dropped rows sort after every live row, so _rn over the
-            # partition ranks live rows by dist exactly
-            w = Window.partitionBy("query_id", "shard").orderBy(
-                F.col("dropped").asc(), F.col("dist").asc(), F.col("dst").asc()
-            )
-            # lazy checkpoint + frontier count: ONE job materializes the
-            # new state (cutting lineage) and answers convergence
-            state = (
-                merged.withColumn("_rn", F.row_number().over(w))
-                .withColumn(
-                    "dropped", F.col("dropped") | (F.col("_rn") > F.lit(ef))
-                )
-                .drop("_rn")
-                .localCheckpoint(eager=False)
-            )
-            if state.where(~F.col("dropped") & ~F.col("expanded")).count() == 0:
+            frontier = [
+                (qid, sh, dst, qv_of[qid])
+                for (qid, sh), rows in beams.items()
+                for (dist, dst) in rows
+                if (qid, sh, dst) not in expanded
+            ]
+            if not frontier:
                 break
-        beam = state.where(~F.col("dropped"))
+            log("GetLinks", layer=lc)
+            log("EvalDistanceBatch", layer=lc)
+            got = eval_hop(frontier, lc)
+            for qid, sh, dst, _qv in frontier:
+                expanded.add((qid, sh, dst))
+            log("LessThanBatch", layer=lc, ef=ef)
+            for qid, sh, dst, dist in got:
+                kk = (qid, sh, dst)
+                if kk in visited:
+                    continue
+                visited.add(kk)
+                beams.setdefault((qid, sh), []).append((dist, dst))
+            # trim each beam to top-ef (dist, dst) — the LessThanBatch
+            # admission; trimmed rows stay in `visited`, never re-enter
+            for bk, rows in beams.items():
+                if len(rows) > ef:
+                    rows.sort()
+                    del rows[ef:]
         if return_layer_snapshots:
             # W snapshot for this layer (hawk_searcher.rs:371-374): the
             # insert round reads out[lc] as layer lc's candidate queue
-            snapshots.append(
-                beam.select("query_id", "shard", "dst", "dist").withColumn(
-                    "layer", F.lit(lc).cast("int")
-                )
-            )
-        # next layer: allow re-expansion of the carried beam (lazy — the
-        # next iteration's checkpoint materializes it)
-        state = state.withColumn(
-            "expanded",
-            F.when(~F.col("dropped"), F.lit(False)).otherwise(F.col("expanded")),
-        )
+            for (qid, sh), rows in beams.items():
+                for dist, dst in rows:
+                    snapshots.append((qid, sh, dst, dist, lc))
 
     log("SearchResult")
-    beam = state.where(~F.col("dropped"))
     if return_layer_snapshots:
-        out = snapshots[0]
-        for s in snapshots[1:]:
-            out = out.unionByName(s)
-        return out
+        return spark.createDataFrame(
+            pd.DataFrame(
+                snapshots,
+                columns=["query_id", "shard", "dst", "dist", "layer"],
+            ),
+            "query_id long, shard int, dst long, dist double, layer int",
+        )
     if return_per_shard:
         # pre-merge beam: (query_id, shard, dst, dist) — the per-shard
         # candidate sets an insert round needs (each shard is its own graph)
-        return beam.select("query_id", "shard", "dst", "dist")
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("dst").asc())
-    return (
-        beam.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("dst").alias("vec_id"), "dist", "rank")
+        flat = [
+            (qid, sh, dst, dist)
+            for (qid, sh), rows in beams.items()
+            for dist, dst in rows
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(flat, columns=["query_id", "shard", "dst", "dist"]),
+            "query_id long, shard int, dst long, dist double",
+        )
+    # merge shards per query, rank by (dist, dst) — same determinism as
+    # the Window rendering
+    per_q: dict[int, list] = {}
+    for (qid, sh), rows in beams.items():
+        per_q.setdefault(qid, []).extend(rows)
+    out = []
+    for qid, rows in per_q.items():
+        rows.sort()
+        for rank, (dist, dst) in enumerate(rows[:k], start=1):
+            out.append((qid, dst, dist, rank))
+    if not out:
+        return empty_res
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["query_id", "vec_id", "dist", "rank"]),
+        "query_id long, vec_id long, dist double, rank int",
     )
