@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hawk_pack_spark.functions import text as T
@@ -308,3 +308,46 @@ def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in docs.schema)
     _ = cols
     return docs.mapInPandas(run, schema)
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain token-budget sampling: within each stratum, order the
+    docs by a derandomized uniform key (Knuth multiplicative hash of the
+    id — same discipline as `weighted_sample`/`stratified_keep`: pure
+    function of the id, so a retry, replay, or repartition yields the
+    SAME corpus) and keep the longest prefix whose cumulative
+    whitespace-token count stays within ``budget_tokens``.
+
+    This is the data-mixing primitive a pretraining pipeline runs after
+    the quality gates: "N billion tokens per domain", not "p% of
+    documents" — rate-based gates (`stratified_keep`) overshoot on
+    domains with long documents, a token budget does not.
+
+    One shuffle (the per-stratum window); the running SUM is a window
+    cumulative over docs already sorted by the hash key, so the plan is
+    sort + running-total — no self-join, no second scan. Returns the
+    kept rows + (n_tokens, cum_tokens) for auditability.
+    """
+    from hawk_pack_spark.functions.text import token_count
+
+    mult, mod = 2654435761, 4294967291  # Knuth multiplicative hash
+    h = (F.col(id_col).cast("long") * F.lit(mult)) % F.lit(mod)
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .where(F.col("cum_tokens") <= F.lit(budget_tokens))
+    )

@@ -21,7 +21,7 @@ fixpoint raises instead of silently returning split components.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -112,3 +112,41 @@ def dedup_clusters(
         .withColumn("keep", (F.col(id_col) == F.col("rep")).cast("boolean"))
     )
     return out
+
+
+def keep_best_per_cluster(
+    pairs: DataFrame,
+    docs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Canonical-document selection: every doc → its near-dup cluster
+    plus a ``canonical`` flag marking the HIGHEST-QUALITY member (ties
+    break on lowest id; unpaired docs are their own cluster and always
+    canonical). The retention policy real training pipelines want on
+    top of `dedup_clusters`: instead of keeping the min-id member of a
+    duplicate group, keep the best one by an explicit quality signal.
+
+    Cost: connected components over the pair list (pairs-sized, the
+    corpus never enters the iteration) + ONE window shuffle on the
+    cluster key over the corpus. Scale-safe at 100 TB: cluster sizes
+    are near-dup group sizes (small by construction), so the window
+    partitions are tiny regardless of corpus size.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    labeled = (
+        docs.join(comp, docs[id_col] == comp["node"], "left")
+        .drop("node")
+        .withColumn(
+            "cluster", F.coalesce(F.col("component"), F.col(id_col))
+        )
+        .drop("component")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return labeled.withColumn(
+        "canonical", (F.row_number().over(w) == 1).cast("boolean")
+    )

@@ -48,3 +48,48 @@ def rrf_fuse(
     return topk_rows(
         scored, [query_id], "rrf", k, ascending=False, tie_cols=[doc_id]
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    metric: str = "l2_sq",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id: str = "anchor_id",
+    anchor_vec: str = "anchor_vec",
+    anchor_label: str = "anchor_label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, the k NEAREST
+    vectors whose label differs from the anchor's — the negatives that
+    sit right at the decision boundary, which is what an embedding /
+    reranker trainer actually wants (random negatives are too easy).
+
+    Exact semantics (this is also the recall oracle): anchors broadcast
+    against the distributed vector table, the per-anchor dynamic label
+    predicate fuses into the scan, and a Window keeps the top-k per
+    anchor (ties on vec_id). The corpus side never shuffles. At serving
+    scale substitute an ANN over-fetch (`ann_search` with k·oversample,
+    post-filter label≠anchor, exact completeness fallback — the
+    `filtered_knn` dispatch pattern, knn_exact.py); the label filter is
+    per-anchor, so pre-filtering the index is not an option.
+
+    Returns (anchor_id, vec_id, label, dist, rank).
+    """
+    from hawk_pack_spark.functions.distance import distance_expr
+    from hawk_pack_spark.operators.topk import topk_rows
+
+    pairs = vectors.crossJoin(F.broadcast(anchors)).where(
+        F.col(label_col) != F.col(anchor_label)
+    )
+    scored = pairs.select(
+        F.col(anchor_id),
+        F.col(vec_id),
+        F.col(label_col).alias("label"),
+        distance_expr(metric, F.col(anchor_vec), F.col(vec_col)).alias("dist"),
+    )
+    return topk_rows(
+        scored, [anchor_id], "dist", k, ascending=True, tie_cols=[vec_id]
+    )

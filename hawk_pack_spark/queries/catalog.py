@@ -5973,6 +5973,136 @@ def q_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+
+
+# ---------------------------------------------------------------------------
+# round-8 additions: canonical-doc selection, hard-negative mining,
+# per-domain token-budget sampling — the three curation decisions a
+# pretraining pipeline makes after gates/dedup, each data-level.
+
+
+def q_neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection on top of near-dup clustering
+    (operators/components.py keep_best_per_cluster): every doc gets its
+    MinHash-LSH cluster plus a flag marking the highest-quality member
+    (quality = n_chars here; ties break on lowest doc_id). The
+    retention policy real pipelines want: keep the BEST duplicate, not
+    the min-id one. Same capped pair generation as minhash_near_dup, so
+    the oracle reuses the dedup_clusters recursive-CTE closure."""
+    from hawk_pack_spark.operators.components import keep_best_per_cluster
+    from hawk_pack_spark.operators.dedup import minhash_near_dup
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_near_dup(
+        docs, num_hashes=8, bands=4, threshold=0.9, max_bucket=20
+    )
+    out = keep_best_per_cluster(pairs, docs, "n_chars")
+    return out.select("doc_id", "cluster", "canonical")
+
+
+def _neardup_canonical_sql() -> str:
+    minhash = _minhash_capped_sql().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({minhash}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, LEAST(MIN(b), a) AS component FROM reach GROUP BY a
+),
+lab AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(comp.component, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+)
+SELECT doc_id, cluster,
+  (ROW_NUMBER() OVER (PARTITION BY cluster
+                      ORDER BY n_chars DESC, doc_id ASC) = 1) AS canonical
+FROM lab
+"""
+
+
+def q_hard_negatives_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/retrieval.py
+    hard_negatives): per anchor, the 5 nearest vectors whose label
+    differs from the anchor's — the boundary negatives an embedding
+    trainer mines after each epoch. Exact path is the oracle; the
+    per-anchor dynamic label predicate fuses into the broadcast scan
+    (corpus side never shuffles)."""
+    from hawk_pack_spark.operators.retrieval import hard_negatives
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    anchors = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    out = hard_negatives(emb, anchors, k=5)
+    return out.select(
+        "anchor_id", "vec_id", "label",
+        F.round(F.col("dist"), 6).alias("dist"), "rank",
+    )
+
+
+HARD_NEGATIVES_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS anchor_id, v AS qv, label AS al FROM e WHERE vec_id < 10),
+d AS (
+  SELECT anchor_id, e.vec_id, e.label,
+    list_sum(list_transform(range(1, 65), i -> (qv[i] - v[i]) * (qv[i] - v[i]))) AS dist
+  FROM q, e WHERE e.label <> q.al
+), r AS (
+  SELECT anchor_id, vec_id, label, dist,
+    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d)
+SELECT anchor_id, vec_id, label, ROUND(dist, 6) AS dist, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget sampling (functions/curation.py
+    sample_to_token_budget): within each source, docs ordered by the
+    derandomized Knuth-hash key are kept while the running token count
+    stays within 500 — 'N tokens per domain', the mixing contract a
+    pretraining run actually specifies (rate gates overshoot on
+    long-doc domains). Fully deterministic: same corpus on any retry,
+    replay, or partitioning."""
+    from hawk_pack_spark.functions.curation import sample_to_token_budget
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = sample_to_token_budget(docs, budget_tokens=500,
+                                 stratum_col="source")
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+TOKEN_BUDGET_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x != '')) AS BIGINT) AS n_tokens,
+    (doc_id * 2654435761) % 4294967291 AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 500
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -6095,6 +6225,10 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "copurchase_pagerank": QuerySpec(q_copurchase_pagerank, _pagerank_sql(), "fixed-iteration PageRank (iterative dataflow, co-partitioned join+groupBy per round) ≡ 10-round unrolled-CTE oracle, data-level"),
     "scd2_user_state": QuerySpec(q_scd2_user_state, SCD2_SQL, "type-2 SCD interval build (null-safe change collapse, one shared sort), data-level"),
     "streaming_incremental_agg": QuerySpec(q_streaming_incremental_agg, INCREMENTAL_AGG_SQL, "streaming materialized-view maintenance: foreachBatch state merge at delta cost ≡ full-recompute oracle, data-level"),
+    # -- round-8 additions: post-dedup curation decisions
+    "neardup_canonical_docs": QuerySpec(q_neardup_canonical_docs, _neardup_canonical_sql(), "canonical-doc selection per near-dup cluster (keep best-quality member, not min-id), data-level"),
+    "hard_negatives_l2": QuerySpec(q_hard_negatives_l2, HARD_NEGATIVES_SQL, "contrastive hard-negative mining: per-anchor top-k nearest with label != anchor, data-level"),
+    "token_budget_sample": QuerySpec(q_token_budget_sample, TOKEN_BUDGET_SQL, "per-domain token-budget sampling (derandomized hash order + running token sum), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -6252,6 +6386,8 @@ _DEBUT_ORDER = [
     "embedding_pca", "event_transitions", "dq_expectations",
     "copurchase_pairs", "copurchase_triangles", "copurchase_pagerank",
     "scd2_user_state", "streaming_incremental_agg",
+    # r8 debuts
+    "neardup_canonical_docs", "hard_negatives_l2", "token_budget_sample",
 ]
 
 

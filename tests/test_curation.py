@@ -182,3 +182,51 @@ def test_clean_text_and_nfc_normalize(spark):
     # after clean + NFC the two encodings are byte-identical -> exact
     # dedup sees them as the same document
     assert out[1] == out[2] == composed
+
+
+def test_keep_best_per_cluster_picks_highest_quality(spark):
+    from hawk_pack_spark.operators.components import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 5), (9, 7)],
+        "doc_id long, n_chars long",
+    )
+    # cluster {1,2,3} (via pairs), {4} and {9} singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {
+        r.doc_id: (r.cluster, r.canonical)
+        for r in keep_best_per_cluster(pairs, docs, "n_chars").collect()
+    }
+    assert got[2] == (1, True)   # best quality in cluster min-id 1
+    assert got[1] == (1, False) and got[3] == (1, False)
+    assert got[4] == (4, True) and got[9] == (9, True)
+
+
+def test_keep_best_per_cluster_tie_breaks_on_min_id(spark):
+    from hawk_pack_spark.operators.components import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(7, 10), (8, 10)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    got = {
+        r.doc_id: r.canonical
+        for r in keep_best_per_cluster(pairs, docs, "n_chars").collect()
+    }
+    assert got == {7: True, 8: False}
+
+
+def test_sample_to_token_budget_prefix_and_determinism(spark):
+    from hawk_pack_spark.functions.curation import sample_to_token_budget
+
+    rows = [(i, "s%d" % (i % 2), "w " * (i + 1)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sample_to_token_budget(docs, 30, stratum_col="source")
+    b = sample_to_token_budget(docs.repartition(7), 30, stratum_col="source")
+    ra = sorted((r.doc_id, r.cum_tokens) for r in a.collect())
+    rb = sorted((r.doc_id, r.cum_tokens) for r in b.collect())
+    assert ra == rb and ra  # partitioning-independent, non-empty
+    # prefix property: every kept row's cumulative total is within budget
+    assert all(c <= 30 for _, c in ra)
+    # and the budget actually excluded something
+    assert len(ra) < 20

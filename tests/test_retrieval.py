@@ -35,3 +35,31 @@ def test_rrf_fuse_single_arm_preserves_order(spark):
 def test_rrf_fuse_empty_input_rejected(spark):
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_hard_negatives_excludes_same_label_and_ranks_by_dist(spark):
+    from hawk_pack_spark.operators.retrieval import hard_negatives
+    from pyspark.sql import functions as F
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [0.1, 0.0], 0),   # same label as anchor — excluded
+            (3, [0.2, 0.0], 1),   # nearest cross-label
+            (4, [0.9, 0.0], 1),
+            (5, [0.5, 0.0], 2),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    anchors = vecs.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    got = [
+        (r.vec_id, r.rank)
+        for r in hard_negatives(vecs, anchors, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(3, 1), (5, 2), (4, 3)]
