@@ -98,6 +98,10 @@ HEADLINE = [
     "edit_distance_join_docs",
     "copurchase_pagerank",
     "embedding_pca",
+    # round-8: post-dedup curation decisions
+    "neardup_canonical_docs",
+    "hard_negatives_l2",
+    "token_budget_sample",
 ]
 
 SAMPLES: dict[str, list[float]] = {}

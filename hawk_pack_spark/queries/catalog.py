@@ -2911,14 +2911,19 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_WINDOW_SQL = """
 WITH g AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
     CASE WHEN lag(ts) OVER w IS NULL
            OR EPOCH(ts) - EPOCH(lag(ts) OVER w) >= 1800
          THEN 1 ELSE 0 END AS brk
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts, value,
-    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+    -- tie key (event_id) in BOTH windows: with duplicate timestamps the
+    -- two windows would otherwise order the tie group independently and
+    -- the brk flag could land mid-group, splitting a session Spark's
+    -- value-based session_window never splits (caught at the sf1 gate,
+    -- whose 10x replication creates exact-tie timestamps)
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS sid
   FROM g
 )
