@@ -4523,12 +4523,21 @@ def q_hnsw_rebuild_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     n_shards = _hnsw_num_shards(spark, sf_dir)
     frag = hnsw.fragmented_shards(churned, _HNSW_PARAMS)
+    # neighbor_heuristic=True on BOTH builds, matching _hnsw_index: the
+    # r8 sf1 gate caught this spec rebuilding WITHOUT Algorithm 4 while
+    # the shared index uses it — plain M-nearest trim loses self-recall
+    # on the scaled fixture's near-dup clusters (15996/17142 at sf1),
+    # the exact pathology the r6 heuristic fix measured. rebuild ≡
+    # fresh stays bit-exact either way; recall only holds with the
+    # heuristic the serving build actually uses.
     rebuilt = hnsw.rebuild_shards(
-        churned, list(range(n_shards)), metric="l2_sq", params=_HNSW_PARAMS
+        churned, list(range(n_shards)), metric="l2_sq", params=_HNSW_PARAMS,
+        neighbor_heuristic=True,
     ).localCheckpoint()
     survivors = emb.join(dels, "vec_id", "left_anti")
     fresh = hnsw.build_index(
-        survivors, metric="l2_sq", params=_HNSW_PARAMS, num_shards=n_shards
+        survivors, metric="l2_sq", params=_HNSW_PARAMS, num_shards=n_shards,
+        neighbor_heuristic=True,
     )
     canon = lambda df: df.select(  # noqa: E731
         "shard", "vec_id", "layer",
