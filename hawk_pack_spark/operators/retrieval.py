@@ -61,35 +61,95 @@ def hard_negatives(
     anchor_id: str = "anchor_id",
     anchor_vec: str = "anchor_vec",
     anchor_label: str = "anchor_label",
+    index_df: DataFrame | None = None,
+    overfetch: int = 4,
+    max_rounds: int = 3,
+    decision_out: dict | None = None,
+    **ann_kwargs,
 ) -> DataFrame:
     """Contrastive hard-negative mining: per anchor, the k NEAREST
     vectors whose label differs from the anchor's — the negatives that
     sit right at the decision boundary, which is what an embedding /
     reranker trainer actually wants (random negatives are too easy).
 
-    Exact semantics (this is also the recall oracle): anchors broadcast
-    against the distributed vector table, the per-anchor dynamic label
-    predicate fuses into the scan, and a Window keeps the top-k per
-    anchor (ties on vec_id). The corpus side never shuffles. At serving
-    scale substitute an ANN over-fetch (`ann_search` with k·oversample,
-    post-filter label≠anchor, exact completeness fallback — the
-    `filtered_knn` dispatch pattern, knn_exact.py); the label filter is
-    per-anchor, so pre-filtering the index is not an option.
+    Without an index (exact — also the recall oracle): anchors
+    broadcast against the distributed vector table, the per-anchor
+    dynamic label predicate fuses into the scan, a Window keeps the
+    top-k per anchor (ties on vec_id). The corpus side never shuffles.
+
+    With ``index_df`` (an HNSW index over the vectors): ANN over-fetch
+    — `ann_search` with k·overfetch, drop same-label hits, double the
+    fetch for starved anchors only (up to ``max_rounds``), then an
+    exact completeness fallback for any anchor still short. Same
+    dispatch discipline as `filtered_knn` (knn_exact.py), except the
+    predicate is PER-ANCHOR (label ≠ anchor's), so pre-filtering the
+    index is never an option — post-filter is the only index path.
 
     Returns (anchor_id, vec_id, label, dist, rank).
     """
     from hawk_pack_spark.functions.distance import distance_expr
     from hawk_pack_spark.operators.topk import topk_rows
 
-    pairs = vectors.crossJoin(F.broadcast(anchors)).where(
-        F.col(label_col) != F.col(anchor_label)
-    )
-    scored = pairs.select(
-        F.col(anchor_id),
-        F.col(vec_id),
-        F.col(label_col).alias("label"),
-        distance_expr(metric, F.col(anchor_vec), F.col(vec_col)).alias("dist"),
-    )
+    def exact(a: DataFrame) -> DataFrame:
+        pairs = vectors.crossJoin(F.broadcast(a)).where(
+            F.col(label_col) != F.col(anchor_label)
+        )
+        return topk_rows(
+            pairs.select(
+                F.col(anchor_id),
+                F.col(vec_id),
+                F.col(label_col).alias("label"),
+                distance_expr(
+                    metric, F.col(anchor_vec), F.col(vec_col)
+                ).alias("dist"),
+            ),
+            [anchor_id], "dist", k, ascending=True, tie_cols=[vec_id],
+        )
+
+    if index_df is None:
+        if decision_out is not None:
+            decision_out["path"] = "exact"
+        return exact(anchors)
+
+    from hawk_pack_spark.operators.hnsw import ann_search
+
+    if decision_out is not None:
+        decision_out["path"] = "index_postfilter"
+    labels = vectors.select(F.col(vec_id), F.col(label_col).alias("label"))
+    a_labels = anchors.select(F.col(anchor_id), F.col(anchor_label).alias("_alab"))
+    pending = anchors
+    kept_parts: list[DataFrame] = []
+    fetch = k * overfetch
+    for _ in range(max_rounds):
+        hits = ann_search(
+            index_df,
+            pending.select(anchor_id, anchor_vec),
+            k=fetch, metric=metric,
+            query_id=anchor_id, query_col=anchor_vec, **ann_kwargs,
+        )
+        if anchor_id != "query_id":  # ann_search emits literal query_id
+            hits = hits.withColumnRenamed("query_id", anchor_id)
+        surv = (
+            hits.join(labels, vec_id)
+            .join(F.broadcast(a_labels), anchor_id)
+            .where(F.col("label") != F.col("_alab"))
+            .select(anchor_id, vec_id, "label", "dist")
+        )
+        got = surv.groupBy(anchor_id).agg(F.count(F.lit(1)).alias("_got"))
+        full_q = got.where(F.col("_got") >= k).select(anchor_id)
+        kept_parts.append(surv.join(full_q, anchor_id, "leftsemi"))
+        pending = pending.join(full_q, anchor_id, "leftanti")
+        if pending.limit(1).count() == 0:
+            pending = None
+            break
+        fetch *= 2
+    if pending is not None and pending.limit(1).count() > 0:
+        # completeness fallback: the starved remainder goes exact
+        kept_parts.append(exact(pending).drop("rank"))
+    out = kept_parts[0]
+    for p in kept_parts[1:]:
+        out = out.unionByName(p)
     return topk_rows(
-        scored, [anchor_id], "dist", k, ascending=True, tie_cols=[vec_id]
+        out.select(anchor_id, vec_id, "label", "dist"),
+        [anchor_id], "dist", k, ascending=True, tie_cols=[vec_id],
     )

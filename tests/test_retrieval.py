@@ -63,3 +63,41 @@ def test_hard_negatives_excludes_same_label_and_ranks_by_dist(spark):
         .collect()
     ]
     assert got == [(3, 1), (5, 2), (4, 3)]
+
+
+def test_hard_negatives_index_postfilter_recall(spark, sf_dir):
+    """The ANN over-fetch path: every anchor gets exactly k cross-label
+    negatives (doubling rounds + exact fallback fill), no same-label
+    hit survives, and recall vs the exact path is >= 0.9."""
+    from pyspark.sql import functions as F
+
+    from hawk_pack_spark.operators.hnsw import build_index
+    from hawk_pack_spark.operators.retrieval import hard_negatives
+    from hawk_pack_spark.sources import load_table
+
+    vecs = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    ).localCheckpoint()
+    anchors = vecs.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    index = build_index(vecs.select("vec_id", "embedding"), num_shards=2)
+    dec = {}
+    got = hard_negatives(
+        vecs, anchors, k=5, index_df=index, decision_out=dec
+    ).collect()
+    assert dec["path"] == "index_postfilter"
+    per_a = {}
+    for r in got:
+        per_a.setdefault(r.anchor_id, []).append(r)
+    assert all(len(v) == 5 for v in per_a.values()) and len(per_a) == 6
+    alab = {r.anchor_id: r.anchor_label for r in anchors.collect()}
+    assert all(r.label != alab[r.anchor_id] for r in got)
+    want = hard_negatives(vecs, anchors, k=5)
+    ws = {(r.anchor_id, r.vec_id) for r in want.collect()}
+    gs = {(r.anchor_id, r.vec_id) for r in got}
+    assert len(gs & ws) / len(ws) >= 0.9
