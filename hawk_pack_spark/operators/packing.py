@@ -29,6 +29,7 @@ from typing import Iterable
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def pack_sequences(
@@ -82,3 +83,62 @@ def pack_reference(rows: Iterable[tuple[int, int]], budget: int) -> list[int]:
             fill += t
         bins.append(b)
     return bins
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token-window chunking with optional overlap — the
+    windowing stage BEFORE packing: long documents become
+    ``chunk_tokens``-sized pieces whose starts step by
+    ``chunk_tokens − overlap``, so consecutive chunks share ``overlap``
+    tokens of context (the standard pretraining / RAG-ingest split).
+
+    Pure column algebra, zero Python: tokenize once, explode a
+    `sequence()` of chunk starts (stride arithmetic — no window
+    function, no per-row UDF), `slice` + `array_join` per chunk. The
+    fan-out per document is ceil(n_tokens/stride) rows — bounded by
+    document length, never corpus size, so the operator is a flat map
+    at 100 TB. A document shorter than one chunk yields exactly one
+    chunk (itself); the final partial chunk is kept (standard:
+    truncation is the packer's decision, not the chunker's).
+
+    Returns (id, chunk_id, chunk_text, n_tokens) with chunk_id 0-based
+    in token order; deterministic for oracle hashing.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    from hawk_pack_spark.functions.text import tokens
+
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_ts")
+    ).withColumn("_n", F.size("_ts"))
+    # chunk starts: 0, stride, 2*stride, …, while start ≤ n−overlap−1 —
+    # the −overlap excludes a trailing chunk that would be fully
+    # contained in its predecessor (every chunk must contribute ≥1 new
+    # token); the greatest(…, 0) keeps empty docs as one empty chunk
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("_n") - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    exploded = toks.select(
+        F.col(id_col), "_ts", "_n",
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_ts"), F.col("_start") + 1, F.lit(chunk_tokens))
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.col("_n") - F.col("_start")
+        ).cast("long").alias("n_tokens"),
+    )

@@ -6117,6 +6117,45 @@ SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 500
 """
 
 
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (operators/packing.py chunk_documents):
+    32-token chunks, 4-token overlap — the windowing stage before
+    packing. Pure column algebra (tokenize once, posexplode a stride
+    sequence, slice+join); fan-out bounded by document length."""
+    from hawk_pack_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = chunk_documents(docs, chunk_tokens=32, overlap=4)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        "n_tokens",
+    )
+
+
+CHUNK_DOCS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents
+), n AS (
+  SELECT doc_id, ts, len(ts) AS nt FROM t
+), st AS (
+  SELECT doc_id, ts, nt,
+    unnest(generate_series(0, greatest(nt - 4 - 1, 0), 28)) AS start
+  FROM n
+)
+SELECT doc_id,
+  CAST(start / 28 AS BIGINT) AS chunk_id,
+  array_to_string(list_slice(ts, start + 1, start + 32), ' ') AS chunk_text,
+  CAST(least(32, nt - start) AS BIGINT) AS n_tokens
+FROM st
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -6243,6 +6282,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "neardup_canonical_docs": QuerySpec(q_neardup_canonical_docs, _neardup_canonical_sql(), "canonical-doc selection per near-dup cluster (keep best-quality member, not min-id), data-level"),
     "hard_negatives_l2": QuerySpec(q_hard_negatives_l2, HARD_NEGATIVES_SQL, "contrastive hard-negative mining: per-anchor top-k nearest with label != anchor, data-level"),
     "token_budget_sample": QuerySpec(q_token_budget_sample, TOKEN_BUDGET_SQL, "per-domain token-budget sampling (derandomized hash order + running token sum), data-level"),
+    "chunk_documents": QuerySpec(q_chunk_documents, CHUNK_DOCS_SQL, "token-window chunking (32-token chunks, 4-token overlap, stride sequence explode), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -6402,6 +6442,7 @@ _DEBUT_ORDER = [
     "scd2_user_state", "streaming_incremental_agg",
     # r8 debuts
     "neardup_canonical_docs", "hard_negatives_l2", "token_budget_sample",
+    "chunk_documents",
 ]
 
 

@@ -230,3 +230,33 @@ def test_sample_to_token_budget_prefix_and_determinism(spark):
     assert all(c <= 30 for _, c in ra)
     # and the budget actually excluded something
     assert len(ra) < 20
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from hawk_pack_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # 10 tokens
+            (2, "x y"),                   # shorter than one chunk
+            (3, "   "),                   # whitespace-only -> one empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    # stride 3: starts 0,3,6 for doc 1 (start 9 would add no new token
+    # beyond the overlap and is excluded)
+    assert got[(1, 0)] == ("a b c d", 4)
+    assert got[(1, 1)] == ("d e f g", 4)
+    assert got[(1, 2)] == ("g h i j", 4)
+    assert (1, 3) not in got
+    assert got[(2, 0)] == ("x y", 2)
+    assert got[(3, 0)] == ("", 0)
+    # overlap >= chunk is an error
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
