@@ -98,10 +98,11 @@ HEADLINE = [
     "edit_distance_join_docs",
     "copurchase_pagerank",
     "embedding_pca",
-    # round-8: post-dedup curation decisions
+    # round-8: post-dedup curation decisions + chunking
     "neardup_canonical_docs",
     "hard_negatives_l2",
     "token_budget_sample",
+    "chunk_documents",
 ]
 
 SAMPLES: dict[str, list[float]] = {}
