@@ -103,7 +103,6 @@ HEADLINE = [
     "hard_negatives_l2",
     "token_budget_sample",
     "chunk_documents",
-    "topk_events_salted",
 ]
 
 SAMPLES: dict[str, list[float]] = {}

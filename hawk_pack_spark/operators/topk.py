@@ -66,42 +66,3 @@ def trim_sorted_array(nbrs: Column | str, k: int) -> Column:
     c = F.col(nbrs) if isinstance(nbrs, str) else nbrs
     return F.slice(c, 1, k)
 
-
-def topk_rows_salted(
-    df: DataFrame,
-    group_cols: Sequence[str],
-    order_col: str | Column,
-    k: int,
-    ascending: bool = True,
-    tie_cols: Sequence[str] = (),
-    rank_name: str = "rank",
-    n_salts: int = 16,
-) -> DataFrame:
-    """`topk_rows` computed skew-safely in two stages — the hot-group
-    fix for the window top-k: ``row_number() OVER (PARTITION BY group)``
-    ships EVERY row of a group to one reducer, so a group holding 20%
-    of a 100 TB table serializes 20 TB through one task. Stage 1 takes
-    the top-k within (group, salt) — the hot group's rows spread over
-    ``n_salts`` reducers; stage 2 re-ranks the ≤ k·n_salts survivors
-    per group. Stage 1 only PRUNES rows provably outside the global
-    top-k under the same (order, tie) total order, so the result is
-    EXACTLY `topk_rows`' — same rows, same ranks — for any salt
-    assignment (the salt is a row hash: deterministic, replay-stable,
-    unlike a partition id).
-
-    Same contract as `topk_rows`: deterministic iff (order, ties) is a
-    total order per group — pass ``tie_cols``.
-    """
-    salt_src = [F.col(c) for c in tie_cols] if tie_cols else [
-        order_col if isinstance(order_col, Column) else F.col(order_col)
-    ]
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
-    )
-    survivors = topk_rows(
-        salted, list(group_cols) + ["_salt"], order_col, k,
-        ascending, tie_cols, "_r1",
-    ).drop("_r1", "_salt")
-    return topk_rows(
-        survivors, group_cols, order_col, k, ascending, tie_cols, rank_name
-    )

@@ -6158,40 +6158,6 @@ FROM st
 
 
 
-def q_topk_events_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe two-stage top-k (operators/topk.py topk_rows_salted)
-    on the degenerate key distribution it exists for: events has FIVE
-    event types, so the plain window top-k would serialize ~20% of the
-    table through one reducer at any scale. Values as exact micro-units
-    (engine-exact ordering); result provably identical to the plain
-    window — which is exactly what the oracle runs."""
-    from hawk_pack_spark.operators.topk import topk_rows_salted
-
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_type", "event_id",
-        F.round(F.col("value") * 1000000).cast("long").alias("vm"),
-    )
-    out = topk_rows_salted(
-        ev, ["event_type"], "vm", 5,
-        ascending=False, tie_cols=["event_id"],
-    )
-    return out.select("event_type", "event_id", "vm", "rank")
-
-
-TOPK_SALTED_SQL = """
-WITH e AS (
-  SELECT event_type, event_id,
-         CAST(ROUND(value * 1000000) AS BIGINT) AS vm
-  FROM events
-), r AS (
-  SELECT event_type, event_id, vm,
-    ROW_NUMBER() OVER (PARTITION BY event_type
-                       ORDER BY vm DESC, event_id ASC) AS rank
-  FROM e
-)
-SELECT event_type, event_id, vm, rank FROM r WHERE rank <= 5
-"""
-
 
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
@@ -6320,7 +6286,6 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "hard_negatives_l2": QuerySpec(q_hard_negatives_l2, HARD_NEGATIVES_SQL, "contrastive hard-negative mining: per-anchor top-k nearest with label != anchor, data-level"),
     "token_budget_sample": QuerySpec(q_token_budget_sample, TOKEN_BUDGET_SQL, "per-domain token-budget sampling (derandomized hash order + running token sum), data-level"),
     "chunk_documents": QuerySpec(q_chunk_documents, CHUNK_DOCS_SQL, "token-window chunking (32-token chunks, 4-token overlap, stride sequence explode), data-level"),
-    "topk_events_salted": QuerySpec(q_topk_events_salted, TOPK_SALTED_SQL, "skew-safe two-stage top-k on a 5-key table (hot group spread over salts, exact-equal to the plain window), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -6480,7 +6445,7 @@ _DEBUT_ORDER = [
     "scd2_user_state", "streaming_incremental_agg",
     # r8 debuts
     "neardup_canonical_docs", "hard_negatives_l2", "token_budget_sample",
-    "chunk_documents", "topk_events_salted",
+    "chunk_documents",
 ]
 
 

@@ -69,31 +69,3 @@ def test_queue_trim_invariants(pairs):
         assert trimmed == sorted(pairs)[:k]
         assert all(trimmed[i][0] <= trimmed[i + 1][0] for i in range(len(trimmed) - 1))
 
-
-def test_topk_rows_salted_equals_plain_on_skew(spark):
-    """The two-stage skew-safe top-k returns EXACTLY the plain window
-    top-k — same rows, same ranks — on a fixture where one group holds
-    ~90% of all rows (the case the salt exists for)."""
-    from pyspark.sql import functions as F
-
-    from hawk_pack_spark.operators.topk import topk_rows, topk_rows_salted
-
-    df = (
-        spark.range(20000)
-        .select(
-            F.when(F.col("id") % 10 != 0, F.lit("hot"))
-            .otherwise(F.concat(F.lit("g"), (F.col("id") % 7).cast("string")))
-            .alias("g"),
-            (F.xxhash64("id") % 1000).alias("v"),
-            F.col("id"),
-        )
-    )
-    plain = topk_rows(df, ["g"], "v", 5, ascending=True, tie_cols=["id"])
-    salted = topk_rows_salted(df, ["g"], "v", 5, ascending=True, tie_cols=["id"])
-    a = sorted(map(tuple, plain.collect()))
-    b = sorted(map(tuple, salted.collect()))
-    assert a == b and a
-    # stage-1 shuffle is on (group, salt): the first window in the plan
-    # partitions by both columns
-    plan = salted._jdf.queryExecution().optimizedPlan().toString()
-    assert "_salt" in plan
