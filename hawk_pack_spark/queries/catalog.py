@@ -6159,6 +6159,113 @@ FROM st
 
 
 
+
+
+def q_ivf_manifest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-family restartable-serving story as one driver row (the
+    IVF analog of serving_restart_dispatch; graph_io.py save_ivf_index/
+    load_ivf_index): build IVF-SQ8 over the embeddings, persist the
+    serving unit (cell-partitioned codes + routing/quantizer model),
+    reload, and search through the LOADED bundle. Booleans computed
+    live; any violation flips one and fails the hash:
+    - rows_equal_ok: loaded-bundle search returns EXACTLY the in-memory
+      search's (query, vec, rank) rows (re-ranked, so dist ties too);
+    - pruned_ok: the loaded scan is partition-pruned to the probed
+      cells (PartitionFilters — the mechanism cluster scan pruning
+      consumes, asserted on the EXECUTED plan);
+    - kind_ok: the quantizer model survives the round-trip.
+    Reference analog: GraphPg's restartable-store premise
+    (graph_pg.rs:24-50) applied to the cell-pruned index family."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.operators.pq import ivfsq8_build, ivfsq8_search
+    from hawk_pack_spark.sources.graph_io import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    vecs = _embeddings_vectors(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    encoded, centers, lo, scale = ivfsq8_build(vecs, n_clusters=8)
+    direct = ivfsq8_search(
+        encoded, centers, lo, scale, queries, kth=5, nprobe=4,
+        rerank_with=vecs,
+    )
+    mdir = tempfile.mkdtemp(prefix="hawk_ivf_manifest_cat_")
+    try:
+        save_ivf_index(mdir, encoded, centers, "ivfsq8", lo=lo, scale=scale)
+        idx = load_ivf_index(spark, mdir)
+        reloaded = idx.search(queries, k=5, nprobe=4, rerank_with=vecs)
+        rows = lambda df: {  # noqa: E731
+            (r.query_id, r.vec_id, r.rank) for r in df.collect()
+        }
+        a, b = rows(direct), rows(reloaded)
+        rows_equal_ok = bool(a) and a == b
+        plan = reloaded._jdf.queryExecution().executedPlan().toString()
+        pruned_ok = "PartitionFilters: [" in plan and "cell" in plan
+        kind_ok = idx.kind == "ivfsq8" and idx.lo is not None
+    finally:
+        shutil.rmtree(mdir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(len(a), bool(rows_equal_ok), bool(pruned_ok), bool(kind_ok))],
+        "n_results long, rows_equal_ok boolean, pruned_ok boolean, kind_ok boolean",
+    )
+
+
+IVF_MANIFEST_SQL = """
+SELECT CAST(40 AS BIGINT) AS n_results, TRUE AS rows_equal_ok,
+       TRUE AS pruned_ok, TRUE AS kind_ok
+"""
+
+
+def q_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded JL random projection as one invariant row (operators/
+    linalg.py random_project): 64-d embeddings project to 16-d with a
+    seed-deterministic Gaussian basis. Booleans computed live:
+    - deterministic_ok: two independent runs (same seed) produce
+      IDENTICAL projected rows — the executor-identical-basis contract;
+    - dims_ok: every output vector has exactly 16 dims;
+    - ratio_ok: mean pairwise L2² among a fixed 40-vector sample is
+      preserved in expectation — projected/original ratio within
+      [0.6, 1.4] (JL scaling 1/√out_dim; wide bound because one seed is
+      one draw, the in-expectation contract is tested statistically in
+      tests/test_linalg.py over seeds)."""
+    import numpy as np
+
+    from hawk_pack_spark.operators.linalg import random_project
+
+    vecs = _embeddings_vectors(spark, sf_dir).where(F.col("vec_id") < 40)
+    p1 = random_project(vecs, 16, seed=7).select("vec_id", "proj")
+    p2 = random_project(vecs, 16, seed=7).select("vec_id", "proj")
+    r1 = {r.vec_id: tuple(r.proj) for r in p1.collect()}
+    r2 = {r.vec_id: tuple(r.proj) for r in p2.collect()}
+    deterministic_ok = r1 == r2 and len(r1) > 0
+    dims_ok = all(len(v) == 16 for v in r1.values())
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in vecs.select("vec_id", "embedding").collect()}
+    ids = sorted(orig)
+    om = np.array([orig[i] for i in ids])
+    pm = np.array([r1[i] for i in ids])
+    d_o = ((om[:, None, :] - om[None, :, :]) ** 2).sum(-1)
+    d_p = ((pm[:, None, :] - pm[None, :, :]) ** 2).sum(-1)
+    iu = np.triu_indices(len(ids), 1)
+    ratio = float(d_p[iu].mean() / d_o[iu].mean())
+    ratio_ok = 0.6 <= ratio <= 1.4
+    return spark.createDataFrame(
+        [(len(r1), bool(deterministic_ok), bool(dims_ok), bool(ratio_ok))],
+        "n_vectors long, deterministic_ok boolean, dims_ok boolean, ratio_ok boolean",
+    )
+
+
+RANDOM_PROJECTION_SQL = """
+SELECT CAST(40 AS BIGINT) AS n_vectors, TRUE AS deterministic_ok,
+       TRUE AS dims_ok, TRUE AS ratio_ok
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -6286,6 +6393,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "hard_negatives_l2": QuerySpec(q_hard_negatives_l2, HARD_NEGATIVES_SQL, "contrastive hard-negative mining: per-anchor top-k nearest with label != anchor, data-level"),
     "token_budget_sample": QuerySpec(q_token_budget_sample, TOKEN_BUDGET_SQL, "per-domain token-budget sampling (derandomized hash order + running token sum), data-level"),
     "chunk_documents": QuerySpec(q_chunk_documents, CHUNK_DOCS_SQL, "token-window chunking (32-token chunks, 4-token overlap, stride sequence explode), data-level"),
+    "ivf_manifest_restart": QuerySpec(q_ivf_manifest_restart, IVF_MANIFEST_SQL, "IVF-SQ8 serving-manifest roundtrip: loaded-bundle search == in-memory rows + PartitionFilters pruning + model roundtrip, invariant row"),
+    "random_projection_jl": QuerySpec(q_random_projection_jl, RANDOM_PROJECTION_SQL, "seeded JL projection: determinism + dims + in-expectation distance preservation, invariant row"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -6445,7 +6554,7 @@ _DEBUT_ORDER = [
     "scd2_user_state", "streaming_incremental_agg",
     # r8 debuts
     "neardup_canonical_docs", "hard_negatives_l2", "token_budget_sample",
-    "chunk_documents",
+    "chunk_documents", "ivf_manifest_restart", "random_projection_jl",
 ]
 
 
