@@ -434,59 +434,67 @@ def search_driver_loop(
         return empty_res
 
     qv_of = {r["query_id"]: r["qv"] for r in q_rows}
-    key_schema = f"query_id long, shard int, src long, qv {payload_sql}"
+    # the query payloads travel as ONE small broadcast table joined by
+    # query_id at the end of each hop's plan — never per-frontier-row
+    # (carrying a 512-byte vector on every candidate edge was the 500-
+    # query batch's driver-OOM: frontier×M payload copies per hop)
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            [(qid, qv) for qid, qv in qv_of.items()],
+            columns=["query_id", "qv"],
+        ),
+        f"query_id long, qv {payload_sql}",
+    ).localCheckpoint()
+    # above this frontier size, dedupe candidate keys IN-PLAN before the
+    # vectors probe: a big batch reaches the same dst from many frontier
+    # nodes, and the duplicates would multiply both the second broadcast
+    # and the collect (3-int rows, AQE-coalesced — cheap); tiny op-
+    # protocol batches skip the extra shuffle
+    dedupe_above = 2000
 
-    def eval_hop(frontier_keys: list[tuple], lc: int) -> list[tuple]:
-        """GetLinks + EvalDistanceBatch as ONE job: frontier keys
-        (query_id, shard, src, qv) probe links@layer, candidate edges
-        probe vectors, distance evaluates JVM-side. Returns collected
-        (query_id, shard, dst, dist) rows — ≤ |frontier|·M of them."""
+    def _score_keys(keys_pdf, dst_col: str, lc: int | None) -> "pd.DataFrame":
+        """GetLinks (when lc is not None) + EvalDistanceBatch as ONE
+        job: key rows broadcast-probe links@layer, candidate keys
+        broadcast-probe vectors, the query payload joins as its own
+        broadcast, distance evaluates JVM-side. Arrow-collects
+        (query_id, shard, dst, dist) — keys and dists only, no
+        payloads ever reach the driver."""
+        in_cols = ["query_id", "shard", dst_col]
         kdf = spark.createDataFrame(
-            pd.DataFrame(
-                frontier_keys, columns=["query_id", "shard", "src", "qv"]
-            ),
-            key_schema,
+            keys_pdf[in_cols],
+            f"query_id long, shard int, {dst_col} long",
         )
-        cand = (
-            F.broadcast(kdf)
-            .join(links.where(F.col("layer") == lc), ["shard", "src"])
-            .select("query_id", "shard", "dst", "qv")
-        )
+        if lc is not None:
+            cand = (
+                F.broadcast(kdf)
+                .join(links.where(F.col("layer") == lc), ["shard", "src"])
+                .select("query_id", "shard", "dst")
+            )
+            if len(keys_pdf) > dedupe_above:
+                cand = cand.dropDuplicates(["query_id", "shard", "dst"])
+        else:
+            cand = kdf
         scored = (
             F.broadcast(cand)
             .join(vectors, ["shard", "dst"])
+            .join(F.broadcast(qdf), "query_id")
             .select(
                 "query_id", "shard", "dst",
                 distance_expr(metric, F.col("qv"), F.col("v"))
                 .cast("double").alias("dist"),
             )
         )
-        return [
-            (r["query_id"], r["shard"], r["dst"], r["dist"])
-            for r in scored.collect()
-        ]
+        return scored.toPandas()
 
     # ---- seed: every query starts at every shard's entry point ----------
-    seed_keys = [
-        (qid, r["shard"], r["point"], qv_of[qid])
-        for qid in qv_of
-        for r in ent
-    ]
-    kdf = spark.createDataFrame(
-        pd.DataFrame(seed_keys, columns=["query_id", "shard", "dst", "qv"]),
-        f"query_id long, shard int, dst long, qv {payload_sql}",
+    seed_pdf = pd.DataFrame(
+        [(qid, r["shard"], r["point"]) for qid in qv_of for r in ent],
+        columns=["query_id", "shard", "dst"],
     )
-    seed_rows = [
-        (r["query_id"], r["shard"], r["dst"], r["dist"])
-        for r in F.broadcast(kdf)
-        .join(vectors, ["shard", "dst"])
-        .select(
-            "query_id", "shard", "dst",
-            distance_expr(metric, F.col("qv"), F.col("v"))
-            .cast("double").alias("dist"),
-        )
-        .collect()
-    ]
+    seeds = _score_keys(seed_pdf, "dst", None)
+    seed_rows = list(
+        zip(seeds["query_id"], seeds["shard"], seeds["dst"], seeds["dist"])
+    )
 
     # Driver-side queue state — the coroutine caller's W/visited:
     #   beams[(query_id, shard)] = [(dist, dst), ...] live rows
@@ -512,7 +520,7 @@ def search_driver_loop(
         expanded.clear()
         for _ in range(max_iters_per_layer):
             frontier = [
-                (qid, sh, dst, qv_of[qid])
+                (qid, sh, dst)
                 for (qid, sh), rows in beams.items()
                 for (dist, dst) in rows
                 if (qid, sh, dst) not in expanded
@@ -521,11 +529,15 @@ def search_driver_loop(
                 break
             log("GetLinks", layer=lc)
             log("EvalDistanceBatch", layer=lc)
-            got = eval_hop(frontier, lc)
-            for qid, sh, dst, _qv in frontier:
-                expanded.add((qid, sh, dst))
+            got = _score_keys(
+                pd.DataFrame(frontier, columns=["query_id", "shard", "src"]),
+                "src", lc,
+            )
+            expanded.update(frontier)
             log("LessThanBatch", layer=lc, ef=ef)
-            for qid, sh, dst, dist in got:
+            for qid, sh, dst, dist in zip(
+                got["query_id"], got["shard"], got["dst"], got["dist"]
+            ):
                 kk = (qid, sh, dst)
                 if kk in visited:
                     continue
