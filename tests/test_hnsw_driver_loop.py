@@ -155,3 +155,34 @@ def test_insert_op_stream_protocol(spark, code_index):
     assert names.index("SearchResult") < names.index("SetLinks")
     if "SetEntryPoint" in names:
         assert names.index("SearchResult") < names.index("SetEntryPoint")
+
+
+def test_driver_loop_large_batch_dedupe_path(spark):
+    """A batch big enough to cross the in-plan dedupe threshold (the
+    batch-traffic fix: payloads never per-edge, keys dedupe before the
+    vectors probe) returns the same rows as per-query small batches —
+    the hop plan variant must not change results."""
+    import pyspark.sql.functions as F
+
+    from hawk_pack_spark.operators import hnsw
+    from hawk_pack_spark.operators.hnsw_driver import search_driver_loop
+    from hawk_pack_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    idx = hnsw.build_index(emb, num_shards=2).localCheckpoint()
+    big = emb.where(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = search_driver_loop(idx, big, k=3)
+    rows = got.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert len(per_q) == big.count()
+    assert all(len(v) == 3 for v in per_q.values())
+    # self-recall through the big batch: every query's own vector is in
+    # the index, so rank-1 must be itself at distance 0
+    assert all(
+        any(r.vec_id == q and r.dist == 0.0 for r in v)
+        for q, v in per_q.items()
+    )
