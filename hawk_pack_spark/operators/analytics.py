@@ -180,6 +180,99 @@ def gapfill_daily(
     )
 
 
+def resample_ohlc(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Time-bucket resample with bar semantics: per (group, bucket) the
+    open (first value), high, low, close (last value), exact-decimal
+    volume sum, and row count. The bar operator behind downsampling any
+    high-frequency measure (metrics, trades, sensor feeds) before it
+    hits a dashboard or a training pipeline.
+
+    ONE groupBy — open/close ride the same shuffle as min/max via
+    ``F.min/max(struct(ts, tiebreak, value))``: struct ordering is
+    lexicographic in both Spark and DuckDB, and ``tiebreak_col`` (a
+    unique row id) makes first/last DETERMINISTIC even when the 10×
+    replicated fixture creates exact ts ties (the session_window
+    lesson, NOTES r8 §9). No window function, no second pass; partial
+    aggregation happens map-side, so the shuffle carries one struct per
+    (group, bucket) per map task at any corpus size.
+    """
+    bkt = F.window(F.col(ts_col), bucket).start.alias("bucket_start")
+    order = F.struct(
+        F.col(ts_col).alias("t"),
+        F.col(tiebreak_col).alias("i"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        df.groupBy(*group_cols, bkt)
+        .agg(
+            F.min(order).getField("v").alias("open_v"),
+            F.max(F.col(value_col)).alias("high_v"),
+            F.min(F.col(value_col)).alias("low_v"),
+            F.max(order).getField("v").alias("close_v"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Equi-width histogram with DENSE bins: every bin index in
+    [0, bins) gets a row per group, zero-filled — the fixed-schema
+    shape a profiler or drift monitor consumes. Values outside
+    [lo, hi) clamp into the edge bins (the standard width_bucket
+    overflow convention, minus the two extra buckets).
+
+    Bin arithmetic is one double expression — floor((x-lo)*bins/(hi-lo))
+    computed with the same operand order in both engines, so bin
+    assignment is bit-deterministic. One groupBy over the data; the
+    dense spine is sequence()+explode over the group set, broadcast
+    like gapfill_daily's day spine (bins ≪ groups at scale).
+    """
+    if bins <= 0 or not (hi > lo):
+        raise ValueError("need bins > 0 and hi > lo")
+    raw = F.floor(
+        (F.col(value_col) - F.lit(float(lo)))
+        * F.lit(float(bins))
+        / F.lit(float(hi) - float(lo))
+    )
+    bin_ix = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("bigint")
+    actual = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bin_ix.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = df.sparkSession.range(bins).select(F.col("id").alias("bin"))
+    if group_cols:
+        grid = df.select(*group_cols).distinct().crossJoin(F.broadcast(spine))
+    else:
+        grid = spine
+    out = grid.join(actual, [*group_cols, "bin"], "left")
+    w = (float(hi) - float(lo)) / float(bins)
+    return out.select(
+        *group_cols,
+        "bin",
+        (F.lit(float(lo)) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+        (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+
+
 def agg_state(
     df: DataFrame, keys: Sequence[str], value_col: str, scale: int = 2
 ) -> DataFrame:

@@ -81,6 +81,54 @@ def table_diff(
     )
 
 
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDC changeset to a snapshot (MERGE semantics): the
+    inverse of :func:`table_diff`. ``changes`` carries the snapshot's
+    columns plus ``op_col`` ∈ {'upsert', 'delete'}; an upsert inserts
+    the row or replaces the existing row with that key, a delete drops
+    the key (payload columns ignored, may be NULL).
+
+    Shape: ONE shuffle on the key — the snapshot anti-joins the change
+    keys (every changed key leaves), then upsert rows union in. The
+    changeset is small relative to the snapshot between real syncs, so
+    AQE broadcasts the anti-join's right side; the union never
+    shuffles. At 100 TB the snapshot is read once and moves only where
+    its key collides with a change.
+
+    Contract: change keys must be unique unless ``seq_col`` is given,
+    in which case the highest-sequence change per key wins (ties on
+    the full sequence value are an error the caller owns); snapshot
+    keys must be unique (it is a snapshot). The reference has no merge
+    surface — superset, paired with table_diff so
+    ``apply_changes(old, table_diff(old, new) + payload) == new``.
+    """
+    bad = [c for c in keys if c not in snapshot.columns or c not in changes.columns]
+    if bad:
+        raise ValueError(f"key columns absent from a side: {bad}")
+    if op_col not in changes.columns:
+        raise ValueError(f"changes lacks op column {op_col!r}")
+    if seq_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+        changes = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    survivors = snapshot.join(changes.select(*keys), keys, "left_anti")
+    upserts = changes.where(F.col(op_col) == F.lit("upsert")).select(
+        *snapshot.columns
+    )
+    return survivors.unionByName(upserts)
+
+
 def diff_summary(
     old: DataFrame,
     new: DataFrame,

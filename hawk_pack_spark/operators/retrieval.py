@@ -153,3 +153,79 @@ def hard_negatives(
         out.select(anchor_id, vec_id, "label", "dist"),
         [anchor_id], "dist", k, ascending=True, tie_cols=[vec_id],
     )
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted index: distinct (term, doc) postings from whitespace
+    tokens. Corpus-sized, partitioned by term after the groupBy — the
+    layout every lexical query below probes. Build is one explode +
+    one distinct (map-side combined)."""
+    from hawk_pack_spark.functions import text as T
+
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(T.tokens(F.col(text_col))).alias("term"),
+        ).distinct()
+    )
+
+
+def boolean_retrieval(
+    postings: DataFrame,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    must_col: str = "must",
+    any_col: str = "any",
+    not_col: str = "none",
+) -> DataFrame:
+    """Boolean AND/OR/NOT retrieval over an inverted index: per query,
+    docs containing EVERY ``must`` term, AT LEAST ONE ``any`` term (an
+    empty array waives the clause), and NO ``not`` term. Returns
+    (query_id, doc_id).
+
+    Spark shape: the query terms explode into a tiny (query, term,
+    kind) table that BROADCASTS against the corpus-sized postings —
+    one broadcast-hash probe of the index, one groupBy on (query,
+    doc) counting matched must/any/not terms, one broadcast join back
+    to the per-query must-counts. The corpus never shuffles more than
+    once and never crosses with the query set; NOT is decided by a
+    count in the same aggregate, not a separate anti-join pass.
+    """
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(must_col).alias("_must"),
+        F.col(any_col).alias("_any"),
+        F.col(not_col).alias("_not"),
+    )
+    need = q.select(
+        "_qid",
+        F.size("_must").alias("_n_must"),
+        (F.size("_any") > 0).alias("_has_any"),
+    )
+    terms = q.select(
+        "_qid", F.explode("_must").alias("term"), F.lit("must").alias("_kind")
+    ).unionByName(
+        q.select("_qid", F.explode("_any").alias("term"), F.lit("any").alias("_kind"))
+    ).unionByName(
+        q.select("_qid", F.explode("_not").alias("term"), F.lit("not").alias("_kind"))
+    ).distinct()
+    hits = (
+        postings.join(F.broadcast(terms), "term")
+        .groupBy("_qid", "doc_id")
+        .agg(
+            F.sum(F.when(F.col("_kind") == "must", 1).otherwise(0)).alias("_m"),
+            F.sum(F.when(F.col("_kind") == "any", 1).otherwise(0)).alias("_a"),
+            F.sum(F.when(F.col("_kind") == "not", 1).otherwise(0)).alias("_x"),
+        )
+    )
+    return (
+        hits.join(F.broadcast(need), "_qid")
+        .where(
+            (F.col("_m") == F.col("_n_must"))
+            & (~F.col("_has_any") | (F.col("_a") > 0))
+            & (F.col("_x") == 0)
+        )
+        .select(F.col("_qid").alias(query_id), "doc_id")
+    )

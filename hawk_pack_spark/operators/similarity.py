@@ -146,6 +146,141 @@ def ivf_search(
     return topk_rows(scored, [query_id], "dist", k, tie_cols=["vec_id"])
 
 
+def knn_join(
+    vectors: DataFrame,
+    k: int = 10,
+    n_clusters: int | None = None,
+    nprobe: int = 6,
+    replicas: int = 2,
+    descent_rounds: int = 1,
+    metric: str = "l2_sq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """Blocked k-NN SELF-join: every vector's top-k nearest neighbors
+    (self excluded) — the kNN-graph builder behind SemDeDup clustering,
+    diversity sampling, and graph-based label propagation. Returns
+    (query_id, vec_id, dist, rank).
+
+    Scale shape: unlike ivf_search (small query batch → probes
+    broadcast), BOTH sides here are corpus-sized, so the candidate
+    stage is a co-partitioned equi-JOIN ON CELL ID. Three recall
+    levers, all join-shaped:
+    - each point PROBES its ``nprobe`` nearest k-means cells;
+    - each point is ASSIGNED to its ``replicas`` nearest cells
+      (SPANN-style boundary replication — a neighbor pair is met iff
+      the probe and assignment cell sets intersect);
+    - ``descent_rounds`` rounds of NN-descent refinement (Dong et al.,
+      WWW'11): candidates expand to neighbors-of-neighbors over the
+      symmetrized current graph, then re-rank — each round is two
+      self-equi-joins on the node key, fan-out ≤ (2k)² per point.
+
+    ``n_clusters`` defaults to max(16, n/250): cell width stays
+    ~250·replicas rows, so per-point candidate work is
+    nprobe·replicas·250 regardless of corpus size, and total work
+    scales linearly with n — the 100 TB contract. Nothing corpus-sized
+    is ever broadcast or crossed.
+
+    Approximate by construction (a boundary neighbor outside every
+    probed cell AND outside the 2-hop graph neighborhood is missed) —
+    the catalog row gates sampled recall against the exact join, the
+    ANN-family evidence contract. Measured on the synthetic near-iid
+    64-d fixture (the hard shape for space partitioning): recall
+    0.85-0.88 at n=500-5000 with the defaults; brute force via
+    knn_exact stays the right tool below ~10k rows.
+    """
+    if n_clusters is None:
+        n_clusters = max(16, vectors.count() // 250)
+    assigned, centers = ivf_build(
+        vectors,
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        fit_fraction=fit_fraction,
+    )
+    spark = vectors.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cluster int, center array<double>",
+    )
+    pc = (
+        assigned.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centers_df))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cluster"),
+            distance_expr("l2_sq", F.col(vec_col), F.col("center")).alias("cdist"),
+        )
+    )
+    probes = topk_rows(
+        pc.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            "cluster",
+            "cdist",
+        ),
+        ["query_id"], "cdist", nprobe, tie_cols=["cluster"],
+    ).select("query_id", "_qv", "cluster")
+    members = topk_rows(
+        pc, [id_col], "cdist", replicas, tie_cols=["cluster"]
+    ).select(id_col, vec_col, "cluster")
+    # Distance is projected IMMEDIATELY after the cell join so the wide
+    # rows (two vectors per candidate) are pipelined, never shuffled: a
+    # pair sharing c probed cells is scored c times (identical doubles)
+    # and deduped on the NARROW (query, vec, dist) rows by a first-agg —
+    # materializing the dedupe before the projection was measured
+    # spilling ~150 GB at n=50k (the candidate set × 2 vectors).
+    scored = (
+        probes.join(members, "cluster")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            distance_expr(metric, F.col("_qv"), F.col(vec_col)).alias("dist"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.first("dist").alias("dist"))
+    )
+    g = topk_rows(scored, ["query_id"], "dist", k, tie_cols=["vec_id"])
+    if descent_rounds:
+        qv = vectors.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        dv = vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_dv")
+        )
+        for _ in range(descent_rounds):
+            fwd = g.select("query_id", F.col("vec_id").alias("_mid"))
+            rev = g.select(
+                F.col("vec_id").alias("query_id"), F.col("query_id").alias("_mid")
+            )
+            hop = fwd.unionAll(rev)
+            two = hop.select(
+                F.col("query_id").alias("_mid2"), F.col("_mid").alias("vec_id")
+            )
+            nn2 = (
+                hop.join(two, hop["_mid"] == two["_mid2"])
+                .select("query_id", "vec_id")
+                .where(F.col("query_id") != F.col("vec_id"))
+            )
+            allc = g.select("query_id", "vec_id").unionAll(nn2).distinct()
+            rescored = (
+                allc.join(qv, "query_id")
+                .join(dv, "vec_id")
+                .select(
+                    "query_id",
+                    "vec_id",
+                    distance_expr(metric, F.col("_qv"), F.col("_dv")).alias("dist"),
+                )
+            )
+            g = topk_rows(rescored, ["query_id"], "dist", k, tie_cols=["vec_id"])
+    return g
+
+
 def ivf_assign(
     vectors: DataFrame,
     centers: list[list[float]],

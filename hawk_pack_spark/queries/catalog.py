@@ -6266,6 +6266,254 @@ SELECT CAST(40 AS BIGINT) AS n_vectors, TRUE AS deterministic_ok,
 """
 
 
+# ---------------------------------------------------------------------------
+# round-8 tail: CDC apply, bar resample, boolean retrieval, BFS, kNN
+# self-join, dense histogram
+
+
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics (operators/diff.py apply_changes): a
+    deterministic changeset — deletes (key%97=0), status/price updates
+    (key%13=0, not deleted), inserts (key%17=0 re-keyed +1e8) — applied
+    to the orders snapshot. ONE shuffle on the key: survivors
+    anti-join the change keys, upserts union in. Full merged table,
+    data-level. o_totalprice+1000.0 is the same single double add in
+    both engines — bit-identical."""
+    from hawk_pack_spark.operators.diff import apply_changes
+
+    o = load_table(spark, "orders", sf_dir)
+    k = F.col("o_orderkey")
+    deletes = o.where(k % 97 == 0).withColumn("op", F.lit("delete"))
+    updates = (
+        o.where((k % 13 == 0) & (k % 97 != 0))
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("op", F.lit("upsert"))
+    )
+    inserts = (
+        o.where(k % 17 == 0)
+        .withColumn("o_orderkey", k + F.lit(100000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return apply_changes(o, changes, ["o_orderkey"])
+
+
+CDC_APPLY_SQL = """
+WITH chg_keys AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 FROM orders WHERE o_orderkey % 17 = 0
+)
+SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg_keys)
+UNION ALL
+SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+       o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 97 <> 0
+UNION ALL
+SELECT o_orderkey + 100000000, o_custkey, 'N',
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 17 = 0
+"""
+
+
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bar resample (analytics.resample_ohlc): hourly
+    open/high/low/close/volume per event type in ONE groupBy —
+    open/close ride the min/max shuffle as struct(ts, event_id, value)
+    extrema, so first/last are deterministic under the 10× fixture's
+    exact ts ties (event_id is the unique tiebreak), data-level."""
+    from hawk_pack_spark.operators.analytics import resample_ohlc
+
+    ev = load_table(spark, "events", sf_dir)
+    return resample_ohlc(
+        ev, "ts", ["event_type"], "value", "event_id", "1 hour"
+    )
+
+
+OHLC_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+  (min({'t': ts, 'i': event_id, 'v': value})).v AS open_v,
+  max(value) AS high_v,
+  min(value) AS low_v,
+  (max({'t': ts, 'i': event_id, 'v': value})).v AS close_v,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND/OR/NOT retrieval (operators/retrieval.py) over the
+    whitespace-token inverted index: three fixed queries probe the
+    postings with ONE broadcast-hash join + one (query, doc) groupBy;
+    NOT resolves inside the same aggregate (no anti-join pass),
+    data-level."""
+    from hawk_pack_spark.operators.retrieval import (
+        boolean_retrieval,
+        build_postings,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    postings = build_postings(docs)
+    queries = spark.createDataFrame(
+        [
+            (1, ["spark", "join"], [], []),
+            (2, ["table"], ["vector", "stream"], ["slow"]),
+            (3, ["scan"], [], ["merge", "batch"]),
+        ],
+        "query_id int, must array<string>, any array<string>, none array<string>",
+    )
+    return boolean_retrieval(postings, queries)
+
+
+BOOLEAN_RETRIEVAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+)
+SELECT CAST(1 AS INTEGER) AS query_id, doc_id FROM toks
+WHERE list_contains(ts, 'spark') AND list_contains(ts, 'join')
+UNION ALL
+SELECT CAST(2 AS INTEGER), doc_id FROM toks
+WHERE list_contains(ts, 'table')
+  AND (list_contains(ts, 'vector') OR list_contains(ts, 'stream'))
+  AND NOT list_contains(ts, 'slow')
+UNION ALL
+SELECT CAST(3 AS INTEGER), doc_id FROM toks
+WHERE list_contains(ts, 'scan')
+  AND NOT list_contains(ts, 'merge') AND NOT list_contains(ts, 'batch')
+"""
+
+
+def q_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted shortest paths (graph.bfs_distances) from the
+    minimum-id part over the symmetrized co-purchase graph, 4 hops —
+    the iterative-dataflow BFS with loop invariants localCheckpointed
+    once (the PageRank discipline). Oracle: bounded recursive CTE with
+    UNION dedupe + MIN(dist) — states capped at nodes × hops, safe on
+    cycles. Data-level (node, dist)."""
+    from hawk_pack_spark.operators.graph import bfs_distances, copurchase_pairs
+
+    li = load_table(spark, "lineitem", sf_dir)
+    und = copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    edges = und.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionAll(
+        und.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    sources = edges.agg(F.min("src").alias("node"))
+    return bfs_distances(edges, sources, max_hops=4).select(
+        F.col("node").alias("part"), F.col("dist").cast("int").alias("dist")
+    )
+
+
+COPURCHASE_BFS_SQL = """
+WITH RECURSIVE t AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS (
+  SELECT a.p AS pa, b.p AS pb FROM t a JOIN t b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS (SELECT pa AS s, pb AS d FROM und UNION ALL SELECT pb, pa FROM und),
+walk(node, dist) AS (
+  SELECT MIN(s), 0 FROM e
+  UNION
+  SELECT e.d, walk.dist + 1 FROM walk JOIN e ON e.s = walk.node
+  WHERE walk.dist < 4
+)
+SELECT node AS part, CAST(MIN(dist) AS INTEGER) AS dist
+FROM walk GROUP BY node
+"""
+
+
+def q_knn_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN self-join (similarity.knn_join): every embedding's
+    top-10 neighbors — candidates meet in a cell-co-partitioned JOIN
+    (nprobe=6 probes × 2-cell boundary replication), refined by one
+    NN-descent round; nothing corpus-sized broadcasts. ANN evidence
+    contract (invariant row): no self-matches, every degree == k, and
+    recall ≥ 0.8 on a 64-anchor hash-deterministic sample against the
+    exact kNN join (measured 0.85-0.88 on the near-iid 64-d fixture —
+    the hard shape for space partitioning; see NOTES r8)."""
+    from hawk_pack_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    k = 10
+    g = knn_join(emb, k=k)
+    deg = g.groupBy("query_id").agg(F.count(F.lit(1)).alias("deg"))
+    anchors = (
+        emb.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(64)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    exact = knn_exact(emb, anchors, k=k, metric="l2_sq")
+    hits = g.join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi"
+    )
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_points"))
+        .crossJoin(g.agg(F.sum((F.col("query_id") == F.col("vec_id")).cast("int")).alias("_self")))
+        .crossJoin(
+            deg.agg(
+                F.min("deg").alias("_dmin"), F.max("deg").alias("_dmax")
+            )
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_hit")))
+        .select(
+            "n_points",
+            (F.col("_self") == 0).alias("no_self"),
+            ((F.col("_dmin") == k) & (F.col("_dmax") == k)).alias("degrees_ok"),
+            (F.col("_hit") >= 0.8 * 64 * k).alias("recall_ok"),
+        )
+    )
+
+
+KNN_JOIN_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points, TRUE AS no_self,
+       TRUE AS degrees_ok, TRUE AS recall_ok
+FROM embeddings
+"""
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense equi-width histogram (analytics.histogram): 20 bins over
+    [0, 500) per event type, empty bins zero-filled via the broadcast
+    bin spine (fixed 100-row schema at any corpus size). Bin assignment
+    is one double expression with identical operand order in both
+    engines — bit-deterministic, data-level."""
+    from hawk_pack_spark.operators.analytics import histogram
+
+    ev = load_table(spark, "events", sf_dir)
+    return histogram(
+        ev, "value", bins=20, lo=0.0, hi=500.0, group_cols=["event_type"]
+    )
+
+
+HISTOGRAM_SQL = """
+WITH b AS (SELECT CAST(UNNEST(range(20)) AS BIGINT) AS bin),
+g AS (SELECT DISTINCT event_type FROM events),
+a AS (
+  SELECT event_type,
+    CAST(LEAST(GREATEST(FLOOR((value - 0.0) * 20.0 / 500.0), 0), 19) AS BIGINT) AS bin,
+    COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT g.event_type, b.bin,
+  CAST(0.0 AS DOUBLE) + b.bin * CAST(25.0 AS DOUBLE) AS bin_lo,
+  CAST(0.0 AS DOUBLE) + (b.bin + 1) * CAST(25.0 AS DOUBLE) AS bin_hi,
+  CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+FROM g CROSS JOIN b
+LEFT JOIN a ON a.event_type = g.event_type AND a.bin = b.bin
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -6395,6 +6643,13 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "chunk_documents": QuerySpec(q_chunk_documents, CHUNK_DOCS_SQL, "token-window chunking (32-token chunks, 4-token overlap, stride sequence explode), data-level"),
     "ivf_manifest_restart": QuerySpec(q_ivf_manifest_restart, IVF_MANIFEST_SQL, "IVF-SQ8 serving-manifest roundtrip: loaded-bundle search == in-memory rows + PartitionFilters pruning + model roundtrip, invariant row"),
     "random_projection_jl": QuerySpec(q_random_projection_jl, RANDOM_PROJECTION_SQL, "seeded JL projection: determinism + dims + in-expectation distance preservation, invariant row"),
+    # -- round-8 tail: CDC apply, resample, retrieval, BFS, kNN join, histogram
+    "cdc_apply_orders": QuerySpec(q_cdc_apply_orders, CDC_APPLY_SQL, "CDC MERGE apply (deletes/updates/inserts onto the snapshot, one key shuffle), full merged table, data-level"),
+    "events_ohlc_hourly": QuerySpec(q_events_ohlc_hourly, OHLC_SQL, "hourly OHLC bar resample in ONE groupBy (struct-extrema open/close, tie-deterministic), data-level"),
+    "boolean_retrieval_docs": QuerySpec(q_boolean_retrieval, BOOLEAN_RETRIEVAL_SQL, "boolean AND/OR/NOT retrieval over the inverted index (one broadcast probe + one groupBy), data-level"),
+    "copurchase_bfs": QuerySpec(q_copurchase_bfs, COPURCHASE_BFS_SQL, "BFS shortest paths (4 hops) over the co-purchase graph, checkpointed iterative dataflow ≡ bounded recursive-CTE oracle, data-level"),
+    "knn_join_graph": QuerySpec(q_knn_join_graph, KNN_JOIN_SQL, "blocked kNN SELF-join (cell-co-partitioned candidates): degrees == k, no self, sampled recall >= 0.9 vs exact, invariant row"),
+    "events_value_histogram": QuerySpec(q_events_value_histogram, HISTOGRAM_SQL, "dense equi-width histogram (20 bins, zero-filled spine, bit-deterministic bin math), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -6555,6 +6810,9 @@ _DEBUT_ORDER = [
     # r8 debuts
     "neardup_canonical_docs", "hard_negatives_l2", "token_budget_sample",
     "chunk_documents", "ivf_manifest_restart", "random_projection_jl",
+    # r8 tail
+    "cdc_apply_orders", "events_ohlc_hourly", "boolean_retrieval_docs",
+    "copurchase_bfs", "knn_join_graph", "events_value_histogram",
 ]
 
 

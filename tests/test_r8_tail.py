@@ -1,0 +1,253 @@
+"""Round-8 tail operators: CDC apply, OHLC resample, histogram, BFS,
+boolean retrieval, blocked kNN self-join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# apply_changes (CDC MERGE)
+
+
+def test_apply_changes_merge_semantics(spark):
+    from hawk_pack_spark.operators.diff import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", "upsert"),   # update
+            (3, None, "delete"),  # delete
+            (4, "d", "upsert"),   # insert
+        ],
+        "k long, v string, op string",
+    )
+    out = {r.k: r.v for r in apply_changes(snap, changes, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_apply_changes_is_inverse_of_table_diff(spark):
+    """apply(old, diff(old,new)+payload) == new — the roundtrip contract."""
+    from hawk_pack_spark.operators.diff import apply_changes, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, n long"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 21), (4, "d", 40)], "k long, v string, n long"
+    )
+    d = table_diff(old, new, ["k"])
+    # build the changeset: removed → delete; added/changed → upsert with
+    # the NEW payload
+    chg = d.join(new, "k", "left").select(
+        "k",
+        "v",
+        "n",
+        F.when(F.col("change") == "removed", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    got = apply_changes(old, chg, ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_apply_changes_seq_last_writer_wins(spark):
+    from hawk_pack_spark.operators.diff import apply_changes
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "x", "upsert", 1), (1, "y", "upsert", 2), (2, "z", "upsert", 1)],
+        "k long, v string, op string, seq long",
+    )
+    out = {r.k: r.v for r in apply_changes(snap, changes, ["k"], seq_col="seq").collect()}
+    assert out == {1: "y", 2: "z"}
+
+
+def test_apply_changes_validates_columns(spark):
+    from hawk_pack_spark.operators.diff import apply_changes
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    chg = spark.createDataFrame([(1, "upsert")], "k long, op string")
+    with pytest.raises(ValueError):
+        apply_changes(snap, chg.drop("k"), ["k"])
+    with pytest.raises(ValueError):
+        apply_changes(snap, chg.withColumnRenamed("op", "o"), ["k"])
+
+
+# ---------------------------------------------------------------------------
+# resample_ohlc
+
+
+def test_ohlc_deterministic_under_ts_ties(spark):
+    from hawk_pack_spark.operators.analytics import resample_ohlc
+
+    t0 = dt.datetime(2024, 1, 1, 10, 15)
+    rows = [
+        # two rows with IDENTICAL ts — tiebreak id decides open
+        ("a", t0, 1, 5.0),
+        ("a", t0, 2, 7.0),
+        ("a", dt.datetime(2024, 1, 1, 10, 45), 3, 2.0),
+        ("a", dt.datetime(2024, 1, 1, 11, 5), 4, 9.0),
+        ("b", t0, 5, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts timestamp, eid long, v double"
+    )
+    out = {
+        (r.g, r.bucket_start.hour): r
+        for r in resample_ohlc(df, "ts", ["g"], "v", "eid", "1 hour").collect()
+    }
+    bar = out[("a", 10)]
+    assert bar.open_v == 5.0  # eid 1 before eid 2 at the tied ts
+    assert bar.high_v == 7.0 and bar.low_v == 2.0
+    assert bar.close_v == 2.0
+    assert bar.volume == 14.0 and bar.n_rows == 3
+    assert out[("a", 11)].open_v == out[("a", 11)].close_v == 9.0
+    assert out[("b", 10)].n_rows == 1
+
+
+# ---------------------------------------------------------------------------
+# histogram
+
+
+def test_histogram_dense_clamped(spark):
+    from hawk_pack_spark.operators.analytics import histogram
+
+    df = spark.createDataFrame(
+        [("x", -5.0), ("x", 0.0), ("x", 9.99), ("x", 10.0), ("x", 25.0),
+         ("x", 99.0), ("x", 200.0), ("y", 50.0)],
+        "g string, v double",
+    )
+    out = histogram(df, "v", bins=10, lo=0.0, hi=100.0, group_cols=["g"])
+    rows = {(r.g, r.bin): r for r in out.collect()}
+    assert len(rows) == 20  # dense: 2 groups × 10 bins
+    assert rows[("x", 0)].n == 3  # -5 clamps in, 0.0, 9.99
+    assert rows[("x", 1)].n == 1  # 10.0
+    assert rows[("x", 2)].n == 1  # 25.0
+    assert rows[("x", 9)].n == 2  # 99 and the 200 clamp
+    assert rows[("x", 5)].n == 0
+    assert rows[("y", 5)].n == 1
+    assert rows[("x", 3)].bin_lo == 30.0 and rows[("x", 3)].bin_hi == 40.0
+
+
+def test_histogram_validates(spark):
+    from hawk_pack_spark.operators.analytics import histogram
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        histogram(df, "v", bins=0, lo=0.0, hi=1.0)
+    with pytest.raises(ValueError):
+        histogram(df, "v", bins=4, lo=1.0, hi=1.0)
+
+
+# ---------------------------------------------------------------------------
+# bfs_distances
+
+
+def test_bfs_cycle_and_cap(spark):
+    from hawk_pack_spark.operators.graph import bfs_distances
+
+    # 1-2-3-4-5 path plus a 1-3 chord and a 5-1 cycle edge
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (5, 1)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 5: 1, 4: 2}
+    # cap: only the source at 0 hops
+    got0 = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=0).collect()}
+    assert got0 == {1: 0}
+
+
+def test_bfs_unreachable_absent(spark):
+    from hawk_pack_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (8, 9), (9, 8)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=5).collect()}
+    assert got == {1: 0, 2: 1}  # the 8-9 component never appears
+
+
+# ---------------------------------------------------------------------------
+# boolean retrieval
+
+
+def test_boolean_retrieval_clauses(spark):
+    from hawk_pack_spark.operators.retrieval import (
+        boolean_retrieval,
+        build_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join fast"),
+            (2, "spark slow scan"),
+            (3, "join table spark"),
+            (4, "vector stream table"),
+        ],
+        "doc_id long, text string",
+    )
+    postings = build_postings(docs)
+    queries = spark.createDataFrame(
+        [
+            (1, ["spark"], [], []),              # plain AND of one term
+            (2, ["spark"], ["join", "scan"], []),  # OR clause
+            (3, ["spark"], [], ["slow"]),          # NOT clause
+            (4, ["table"], ["vector"], ["join"]),  # all three
+            (5, ["missing"], [], []),              # no hits
+        ],
+        "query_id int, must array<string>, any array<string>, none array<string>",
+    )
+    got = {
+        (r.query_id, r.doc_id)
+        for r in boolean_retrieval(postings, queries).collect()
+    }
+    assert {d for q, d in got if q == 1} == {1, 2, 3}
+    assert {d for q, d in got if q == 2} == {1, 2, 3}
+    assert {d for q, d in got if q == 3} == {1, 3}
+    assert {d for q, d in got if q == 4} == {4}
+    assert {d for q, d in got if q == 5} == set()
+
+
+# ---------------------------------------------------------------------------
+# knn_join
+
+
+def test_knn_join_contract(spark, sf_dir):
+    from hawk_pack_spark.operators.knn_exact import knn_exact
+    from hawk_pack_spark.operators.similarity import knn_join
+    from hawk_pack_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    k = 10  # the spec's k: NN-descent refinement strengthens with graph
+    # degree, so recall at k=5 is measurably lower — keep the test on the
+    # configuration the catalog row gates
+    g = knn_join(emb, k=k)
+    deg = g.groupBy("query_id").agg(F.count(F.lit(1)).alias("d"))
+    mn, mx = deg.agg(F.min("d"), F.max("d")).first()
+    assert mn == mx == k
+    assert g.where(F.col("query_id") == F.col("vec_id")).count() == 0
+    # sampled recall vs exact on 32 anchors
+    anchors = (
+        emb.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(32)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    exact = knn_exact(emb, anchors, k=k, metric="l2_sq")
+    hit = g.join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi"
+    ).count()
+    assert hit >= 0.8 * 32 * k
