@@ -150,3 +150,24 @@ def distance_expr(metric: str, a: Column | str, b: Column | str) -> Column:
         return METRICS[metric](a, b)
     except KeyError:
         raise KeyError(f"unknown metric {metric!r}; known: {sorted(METRICS)}") from None
+
+
+def l2_sq_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
+    """``l2_sq`` unrolled for a KNOWN dimension: the same left-to-right
+    fold ((a1−b1)² + (a2−b2)²) + … as the F.aggregate version — so the
+    doubles are BIT-IDENTICAL — but as plain column arithmetic that
+    whole-stage codegen compiles, where the higher-order-function form
+    interprets its lambda per element. Measured on the blocked kNN
+    join's candidate stage (7.5M pairs × 64 dims at sf0.1): the HOF
+    fold was the hot path by an order of magnitude. Use in bulk
+    candidate scoring; variable-dim callers keep ``l2_sq``.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    a, b = _as_double(a), _as_double(b)
+    terms = None
+    for i in range(1, dim + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        t = d * d
+        terms = t if terms is None else terms + t
+    return F.lit(0.0) + terms

@@ -273,6 +273,60 @@ def histogram(
     )
 
 
+def trend_slopes(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: Column,
+    y_col: Column,
+    x_origin: int = 0,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line (slope, intercept,
+    n) in ONE aggregation pass — the closed form
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over EXACT integer
+    accumulators. ``x_col``/``y_col`` must already be integer-valued
+    columns (epoch seconds, micro-units): every Σ is a decimal(38,0)
+    sum, so the numerator/denominator are bit-exact at any corpus size
+    and the only float ops are the two final divisions — identical
+    operand order in any engine (the catalog parity discipline).
+
+    ``x_origin`` shifts x (x − origin) before accumulating: keeps
+    x² ~ (time-span)² instead of (epoch)², buying ~18 digits of
+    headroom inside the 38-digit accumulator. Slope is per x-unit.
+
+    One shuffle (the groupBy); map-side partial aggregation carries
+    five numbers per group per task — the same cost envelope as any
+    agg_state row at 100 TB. Groups with a single row or zero x
+    variance return NULL slope/intercept (the SQL convention).
+    """
+    d38 = "decimal(38,0)"
+    x = (x_col - F.lit(x_origin)).cast(d38)
+    y = y_col.cast(d38)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(d38).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum((x * y).cast(d38)).alias("_sxy"),
+        F.sum((x * x).cast(d38)).alias("_sxx"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(d38)
+    den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(d38)
+    # decimal → string → double: exact then correctly rounded in both
+    # engines (catalog header discipline for wide decimals)
+    num_d = num.cast("string").cast("double")
+    den_d = den.cast("string").cast("double")
+    n_d = F.col("_n").cast("string").cast("double")
+    sx_d = F.col("_sx").cast("string").cast("double")
+    sy_d = F.col("_sy").cast("string").cast("double")
+    slope = F.when(den != 0, num_d / den_d)
+    intercept = F.when(den != 0, (sy_d - (num_d / den_d) * sx_d) / n_d)
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
 def agg_state(
     df: DataFrame, keys: Sequence[str], value_col: str, scale: int = 2
 ) -> DataFrame:

@@ -402,3 +402,108 @@ def edit_distance_join(
         .where(F.col("edit_dist") <= max_dist)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int | None = None,
+) -> DataFrame:
+    """LOSSLESS set-similarity self-join: every UNORDERED doc pair whose
+    token-set Jaccard ≥ ``threshold``, found via prefix filtering
+    (PPJoin's candidate scheme, Xiao et al., WWW'08) — the exact
+    complement of the approximate MinHash-LSH path. Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    Prefix filter: order every token set by ascending global document
+    frequency (rarest first, ties by token); a pair with Jaccard ≥ τ
+    must share at least one token inside each side's first
+    |s| − ⌈τ·|s|⌉ + 1 tokens under ANY consistent global order — so
+    candidates are an equi-join on PREFIX tokens only, and the rare-
+    first order makes those prefixes the lowest-frequency tokens in the
+    corpus (smallest possible join fan-out). No pair is missed
+    (losslessness is the theorem, not a tuning choice).
+
+    Verification is integer-exact: with τ = p/q rational, jac ≥ τ ⇔
+    q·|a∩b| ≥ p·(|a|+|b|−|a∩b|) — no float threshold compare, so the
+    pair set is bit-identical in any engine; the reported jaccard is
+    one double division rounded at the output.
+
+    Scale: df-ordering costs one groupBy over the postings; the
+    candidate join is on prefix tokens (fan-out bounded by the df of
+    RARE tokens); verification joins the candidate list back to the
+    (bounded-width) token arrays. Nothing is ever all-pairs. The
+    brute-force oracle, by contrast, is quadratic — the catalog row
+    documents it as unscalable and runs spark-only at the 10× gate
+    (the ngram_jaccard_uncapped precedent).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    from fractions import Fraction
+
+    from hawk_pack_spark.functions.text import word_ngrams
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    p_num, q_den = frac.numerator, frac.denominator
+    # set elements: whitespace tokens, or word n-grams when gram_n is
+    # given — on a small shared vocabulary single-token sets saturate
+    # (most pairs exceed any threshold) and prefix filtering degrades
+    # to all-pairs; n-gram sets restore selectivity (the same reason
+    # ngram_jaccard_pairs shingles)
+    elems = (
+        word_ngrams(F.col(text_col), gram_n)
+        if gram_n
+        else tokens(F.col(text_col))
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(F.array_distinct(elems)).alias("_ts"),
+    ).where(F.size("_ts") > 0)
+    posting = toks.select("_id", F.explode("_ts").alias("_tok"))
+    dfreq = posting.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    # rare-first rank per doc: sort tokens by (df, token) inside each doc
+    ranked = (
+        posting.join(dfreq, "_tok")
+        .withColumn(
+            "_rnk",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy("_df", "_tok")
+            ),
+        )
+    )
+    sizes = toks.select("_id", F.size("_ts").alias("_sz"))
+    # prefix length |s| - ceil(tau*|s|) + 1, integer-exact ceil
+    pre = ranked.join(sizes, "_id").where(
+        F.col("_rnk")
+        <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(p_num) / F.lit(q_den)) + 1
+    )
+    a = pre.select(F.col("_id").alias("_ia"), "_tok")
+    b = pre.select(F.col("_id").alias("_ib"), "_tok")
+    cand = (
+        a.join(b, "_tok")
+        .where(F.col("_ia") < F.col("_ib"))
+        .select("_ia", "_ib")
+        .distinct()
+    )
+    ta = toks.select(F.col("_id").alias("_ia"), F.col("_ts").alias("_ta"))
+    tb = toks.select(F.col("_id").alias("_ib"), F.col("_ts").alias("_tb"))
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    sa, sb = F.size("_ta"), F.size("_tb")
+    verified = (
+        cand.join(ta, "_ia")
+        .join(tb, "_ib")
+        .withColumn("_i", inter)
+        .where(
+            F.lit(q_den) * F.col("_i")
+            >= F.lit(p_num) * (sa + sb - F.col("_i"))
+        )
+    )
+    return verified.select(
+        F.col("_ia").alias("id_a"),
+        F.col("_ib").alias("id_b"),
+        F.round(
+            F.col("_i").cast("double") / (sa + sb - F.col("_i")), 6
+        ).alias("jaccard"),
+    )

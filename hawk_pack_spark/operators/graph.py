@@ -197,3 +197,52 @@ def pagerank(
         if checkpoint_every and (_ + 1) % checkpoint_every == 0:
             r = r.localCheckpoint(eager=True)
     return r
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own label; each round every node adopts the most
+    frequent label among its in-neighbors, ties broken by the SMALLEST
+    label — fully deterministic (integer counts, integer labels), so
+    the fixed-iteration result is bit-identical in any engine. Pass
+    both directions for an undirected graph. Returns (node, label).
+
+    Each round is two co-partitioned shuffles: labels join the edge
+    list on the source (one equi-join), then a (dst, label) count and a
+    per-dst argmax — the argmax rides the same aggregate via
+    min(struct(-count, label)), no window. Loop invariants (edges, the
+    node set) are localCheckpointed ONCE; per-round labels are
+    checkpointed to keep the plan flat (the iterative-dataflow
+    discipline shared with pagerank/bfs_distances).
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionAll(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        votes = (
+            e.join(labels, e["_s"] == labels["node"])
+            .groupBy(F.col("_d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        best = (
+            votes.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("_c")).alias("nc"), F.col("label").alias("l")))
+                .getField("l")
+                .alias("label")
+            )
+        )
+        labels = best.localCheckpoint(eager=True)
+    return labels

@@ -93,3 +93,55 @@ def profile_table(
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """EXACT size of ``left ⋈ right`` on the key — without running the
+    join. One row: n_pairs (Σ_k c_left(k)·c_right(k)), the distinct-key
+    overlap split (keys_both / keys_left_only / keys_right_only), and
+    the max per-key fan-out on each side (the skew signal an engine
+    checks before choosing a join strategy).
+
+    Shape: one groupBy per side reduces each input to (key, count) —
+    the full-outer equi-join then moves two counts per DISTINCT key,
+    never a data row. This is the planner-side primitive for sizing a
+    100 TB join (detects the accidental many-to-many before it
+    executes); per-key products accumulate in decimal(38,0) so a
+    quadratic blowup is reported, not overflowed. NULL keys never join
+    (SQL semantics) and are excluded from both sides.
+    """
+    lc = (
+        left.where(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_cl"))
+    )
+    rc = (
+        right.where(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_cr"))
+    )
+    j = lc.join(rc, "_k", "full_outer")
+    d38 = "decimal(38,0)"
+    return j.agg(
+        F.sum(
+            (F.coalesce(F.col("_cl"), F.lit(0)).cast(d38)
+             * F.coalesce(F.col("_cr"), F.lit(0)).cast(d38)).cast(d38)
+        ).cast("string").cast("double").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("_cl").isNotNull() & F.col("_cr").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("keys_both"),
+        F.sum(F.when(F.col("_cr").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("keys_left_only"),
+        F.sum(F.when(F.col("_cl").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("keys_right_only"),
+        F.max(F.coalesce(F.col("_cl"), F.lit(0))).cast("bigint").alias("max_left_fanout"),
+        F.max(F.coalesce(F.col("_cr"), F.lit(0))).cast("bigint").alias("max_right_fanout"),
+    )

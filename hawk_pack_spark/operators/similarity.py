@@ -128,11 +128,21 @@ def ivf_search(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cluster int, center array<double>",
     )
+    # dim is known from the centroids: the unrolled codegen fold is
+    # bit-identical to the HOF fold and ~12x faster on bulk candidate
+    # scoring (NOTES r8); non-L2 metrics keep the generic expression
+    dim = len(centers[0]) if centers else 0
+
+    def _l2(a, b):
+        from hawk_pack_spark.functions.distance import l2_sq_unrolled
+
+        return l2_sq_unrolled(a, b, dim) if dim else distance_expr("l2_sq", a, b)
+
     qc = queries.crossJoin(F.broadcast(centers_df)).select(
         F.col(query_id),
         F.col(query_col),
         F.col("cluster"),
-        distance_expr("l2_sq", F.col(query_col), F.col("center")).alias("cdist"),
+        _l2(F.col(query_col), F.col("center")).alias("cdist"),
     )
     probes = topk_rows(qc, [query_id], "cdist", nprobe, tie_cols=["cluster"]).select(
         query_id, query_col, "cluster"
@@ -141,7 +151,11 @@ def ivf_search(
     scored = cand.select(
         F.col(query_id),
         F.col("vec_id"),
-        distance_expr(metric, F.col(query_col), F.col("embedding")).alias("dist"),
+        (
+            _l2(F.col(query_col), F.col("embedding"))
+            if metric == "l2_sq"
+            else distance_expr(metric, F.col(query_col), F.col("embedding"))
+        ).alias("dist"),
     )
     return topk_rows(scored, [query_id], "dist", k, tie_cols=["vec_id"])
 
@@ -193,6 +207,20 @@ def knn_join(
     """
     if n_clusters is None:
         n_clusters = max(16, vectors.count() // 250)
+    # bulk candidate scoring is the hot path: with a known dim, the
+    # unrolled codegen fold is ~12x the higher-order-function fold at
+    # IDENTICAL bit-level results (measured, NOTES r8) — fall back to
+    # the HOF expression for exotic metrics
+    first = vectors.select(vec_col).first()
+    dim = len(first[0]) if first and first[0] is not None else None
+
+    def _dist(a, b):
+        if metric == "l2_sq" and dim:
+            from hawk_pack_spark.functions.distance import l2_sq_unrolled
+
+            return l2_sq_unrolled(a, b, dim)
+        return distance_expr(metric, a, b)
+
     assigned, centers = ivf_build(
         vectors,
         n_clusters=n_clusters,
@@ -213,7 +241,7 @@ def knn_join(
             F.col(id_col),
             F.col(vec_col),
             F.col("cluster"),
-            distance_expr("l2_sq", F.col(vec_col), F.col("center")).alias("cdist"),
+            _dist(F.col(vec_col), F.col("center")).alias("cdist"),
         )
     )
     probes = topk_rows(
@@ -240,7 +268,7 @@ def knn_join(
         .select(
             "query_id",
             F.col(id_col).alias("vec_id"),
-            distance_expr(metric, F.col("_qv"), F.col(vec_col)).alias("dist"),
+            _dist(F.col("_qv"), F.col(vec_col)).alias("dist"),
         )
         .groupBy("query_id", "vec_id")
         .agg(F.first("dist").alias("dist"))
@@ -274,7 +302,7 @@ def knn_join(
                 .select(
                     "query_id",
                     "vec_id",
-                    distance_expr(metric, F.col("_qv"), F.col("_dv")).alias("dist"),
+                    _dist(F.col("_qv"), F.col("_dv")).alias("dist"),
                 )
             )
             g = topk_rows(rescored, ["query_id"], "dist", k, tie_cols=["vec_id"])

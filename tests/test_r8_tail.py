@@ -251,3 +251,164 @@ def test_knn_join_contract(spark, sf_dir):
         exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi"
     ).count()
     assert hit >= 0.8 * 32 * k
+
+
+# ---------------------------------------------------------------------------
+# trend_slopes
+
+
+def test_trend_slopes_exact_line(spark):
+    from hawk_pack_spark.operators.analytics import trend_slopes
+
+    rows = [("a", x, 2 * x + 3) for x in range(10)] + [("b", x, 7) for x in range(5)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in trend_slopes(df, ["g"], F.col("x"), F.col("y")).collect()}
+    assert out["a"].slope == 2.0 and out["a"].intercept == 3.0
+    assert out["a"].n == 10
+    assert out["b"].slope == 0.0 and out["b"].intercept == 7.0
+
+
+def test_trend_slopes_degenerate_null(spark):
+    from hawk_pack_spark.operators.analytics import trend_slopes
+
+    # zero x-variance → NULL slope/intercept, not a division error
+    df = spark.createDataFrame([("a", 5, 1), ("a", 5, 9)], "g string, x long, y long")
+    r = trend_slopes(df, ["g"], F.col("x"), F.col("y")).first()
+    assert r.slope is None and r.intercept is None and r.n == 2
+
+
+# ---------------------------------------------------------------------------
+# join_cardinality
+
+
+def test_join_cardinality_exact(spark):
+    from hawk_pack_spark.operators.profile import join_cardinality
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (2,), (2,), (2,), (4,), (None,)], "k long"
+    )
+    r = join_cardinality(left, right, "k", "k").first()
+    # 1: 2*1, 2: 1*3 → 5 pairs; NULL keys excluded (SQL join semantics)
+    assert r.n_pairs == 5.0
+    assert r.keys_both == 2
+    assert r.keys_left_only == 1   # key 3
+    assert r.keys_right_only == 1  # key 4
+    assert r.max_left_fanout == 2 and r.max_right_fanout == 3
+    # the prediction equals the executed join
+    assert left.join(right, "k").count() == 5
+
+
+# ---------------------------------------------------------------------------
+# jaccard_prefix_join
+
+
+def test_jaccard_prefix_join_lossless_vs_brute(spark):
+    from itertools import combinations
+
+    from hawk_pack_spark.operators.dedup import jaccard_prefix_join
+
+    docs = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),    # jac 4/6 = 0.667 with 1
+        (3, "a b c d e"),    # exact dup of 1 → jac 1.0
+        (4, "x y z w"),
+        (5, "x y z w v u"),  # jac 4/6 = 0.667 with 4
+        (6, "p q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for tau in (0.6, 0.8, 1.0):
+        got = {
+            (r.id_a, r.id_b)
+            for r in jaccard_prefix_join(df, threshold=tau).collect()
+        }
+        sets = {i: set(t.split()) for i, t in docs}
+        want = {
+            (a, b)
+            for a, b in combinations(sorted(sets), 2)
+            if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= tau - 1e-12
+        }
+        assert got == want, f"tau={tau}"
+
+
+def test_jaccard_prefix_join_gram_mode(spark):
+    from hawk_pack_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_prefix_join(df, threshold=0.5, gram_n=3).collect()
+    }
+    # docs 1/2 share 6 of 7 3-grams each → jac 6/8 = 0.75
+    assert set(got) == {(1, 2)} and got[(1, 2)] == 0.75
+
+
+def test_jaccard_prefix_join_validates(spark):
+    import pytest as _pytest
+
+    from hawk_pack_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        jaccard_prefix_join(df, threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+
+
+def test_label_propagation_two_communities(spark):
+    from hawk_pack_spark.operators.graph import label_propagation
+
+    # two 4-cliques bridged by one edge
+    c1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    bridge = [(4, 10), (10, 4)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(edges, iters=4).collect()}
+    # each clique converges to ONE label; the two differ
+    l1 = {out[n] for n in range(1, 5)}
+    l2 = {out[n] for n in range(10, 14)}
+    assert len(l1) == 1 and len(l2) == 1 and l1 != l2
+
+
+def test_label_propagation_deterministic(spark):
+    from hawk_pack_spark.operators.graph import label_propagation
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    a = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges.repartition(7), iters=3).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# l2_sq_unrolled ≡ l2_sq (bit identity)
+
+
+def test_l2_sq_unrolled_bit_identical(spark, sf_dir):
+    from hawk_pack_spark.functions.distance import l2_sq, l2_sq_unrolled
+    from hawk_pack_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).limit(60)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("e").alias("eb"))
+    pairs = a.crossJoin(b)
+    bad = pairs.where(
+        l2_sq(F.col("ea"), F.col("eb"))
+        != l2_sq_unrolled(F.col("ea"), F.col("eb"), 64)
+    ).count()
+    assert bad == 0  # same left-to-right fold → same doubles, every pair

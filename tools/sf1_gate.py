@@ -31,7 +31,15 @@ SKIP = {"minhash_near_dup_uncapped", "ngram_jaccard_uncapped"}
 # the Spark side (applyInPandas recurrence) runs in 8s. These rows run
 # SPARK-ONLY at the scale gate (value-parity is checked every round at
 # the driver SF); the gate still executes and times the engine side.
-ORACLE_SPARK_ONLY = {"pack_sequences", "training_data_pipeline"}
+ORACLE_SPARK_ONLY = {
+    "pack_sequences",
+    "training_data_pipeline",
+    # the lossless Jaccard join's oracle is a TRUE brute-force cross
+    # join (the point of the row: PPJoin candidates ≡ brute force) —
+    # quadratic by nature, so the engine side runs spark-only at 10×
+    # while full value-parity is checked every round at the driver SF
+    "jaccard_docs_lossless",
+}
 
 
 def main() -> int:
