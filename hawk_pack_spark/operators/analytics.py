@@ -327,6 +327,90 @@ def trend_slopes(
     )
 
 
+def top_event_paths(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    type_col: str,
+    order_cols: Sequence[str],
+    max_steps: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Most frequent event PATHS: per entity (e.g. user-day), the
+    ordered sequence of its first ``max_steps`` event types joined with
+    '>', counted across entities, top-k by (count desc, path) — the
+    "how do users actually move through the product" query behind
+    funnel design. Returns (path, n_entities, rank).
+
+    Determinism: the sequence order is the caller's ``order_cols``
+    (include a unique tiebreak — the session_window lesson);
+    collect_list alone is partition-order-dependent, so the path is
+    assembled by sorting struct(step, type) INSIDE the aggregate —
+    one groupBy, no second window. The path groupBy is the only
+    corpus-wide shuffle; per-entity fan-in is capped at max_steps.
+    """
+    w = Window.partitionBy(*entity_cols).orderBy(*order_cols)
+    stepped = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_steps)
+    )
+    paths = stepped.groupBy(*entity_cols).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_rn").alias("s"), F.col(type_col).alias("t"))
+                    )
+                ),
+                lambda x: x.getField("t"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_entities"))
+    from hawk_pack_spark.operators.topk import topk_rows
+
+    return topk_rows(
+        counted, [], "n_entities", k, ascending=False, tie_cols=["path"]
+    )
+
+
+def ewma(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    order_cols: Sequence[str],
+    alpha: float = 0.5,
+    span: int = 8,
+) -> DataFrame:
+    """Exponentially weighted moving average over the last ``span``
+    rows of each group's ordered series (the pandas ``ewm(adjust=True)``
+    form on a bounded history): ewma_t = Σ_d w_d·x_{t−d} / Σ_d w_d,
+    w_d = (1−α)^d — the smoothing baseline behind drift and anomaly
+    monitors. Appends an ``ewma`` column.
+
+    The bounded span UNROLLS into ``span`` lag() calls sharing ONE
+    window sort (no per-row list materialization, no higher-order
+    function): num and den are two plain column sums, missing history
+    at a series head drops out of both (NULL-skip renormalization).
+    Weights are exact powers of (1−α); with integer-valued x the sum
+    is a deterministic left-to-right double fold — engine-reproducible
+    (catalog float discipline), rounded at the output.
+    """
+    if not (0.0 < alpha < 1.0) or span < 1:
+        raise ValueError("need 0 < alpha < 1 and span >= 1")
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    num = None
+    den = None
+    for d in range(span):
+        wt = float((1.0 - alpha) ** d)
+        x = F.lag(F.col(value_col), d).over(w)
+        t_num = F.when(x.isNotNull(), x * F.lit(wt)).otherwise(F.lit(0.0))
+        t_den = F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return df.withColumn("ewma", F.round(num / den, 6))
+
+
 def agg_state(
     df: DataFrame, keys: Sequence[str], value_col: str, scale: int = 2
 ) -> DataFrame:

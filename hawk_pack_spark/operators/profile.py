@@ -145,3 +145,53 @@ def join_cardinality(
         F.max(F.coalesce(F.col("_cl"), F.lit(0))).cast("bigint").alias("max_left_fanout"),
         F.max(F.coalesce(F.col("_cr"), F.lit(0))).cast("bigint").alias("max_right_fanout"),
     )
+
+
+def inclusion_profile(
+    pairs: list[tuple[DataFrame, str, str, DataFrame, str, str]],
+) -> DataFrame:
+    """Foreign-key discovery: for each candidate (child column →
+    parent column) pair, the inclusion coefficient
+    |distinct(child) ∩ distinct(parent)| / |distinct(child)| — 1.0
+    means every child value exists in the parent (an FK candidate).
+    ``pairs`` entries are (child_df, child_label, child_col,
+    parent_df, parent_label, parent_col); returns one row per pair:
+    (child, parent, n_child_distinct, n_shared, inclusion).
+
+    Shape: per pair, two DISTINCT reductions and one key join — the
+    join moves one row per distinct value, never a data row; the
+    profiling cost of an FK hypothesis is two column scans at any
+    corpus size. NULLs are excluded on both sides (SQL join
+    semantics, matching join_cardinality)."""
+    outs = []
+    for child, c_label, c_col, parent, p_label, p_col in pairs:
+        cd = (
+            child.where(F.col(c_col).isNotNull())
+            .select(F.col(c_col).alias("_v"))
+            .distinct()
+        )
+        pd_ = (
+            parent.where(F.col(p_col).isNotNull())
+            .select(F.col(p_col).alias("_v"))
+            .distinct()
+        )
+        shared = cd.join(pd_, "_v", "leftsemi")
+        outs.append(
+            cd.agg(F.count(F.lit(1)).alias("n_child_distinct"))
+            .crossJoin(shared.agg(F.count(F.lit(1)).alias("n_shared")))
+            .select(
+                F.lit(f"{c_label}.{c_col}").alias("child"),
+                F.lit(f"{p_label}.{p_col}").alias("parent"),
+                "n_child_distinct",
+                "n_shared",
+                F.round(
+                    F.col("n_shared").cast("double")
+                    / F.col("n_child_distinct"),
+                    6,
+                ).alias("inclusion"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -229,3 +229,68 @@ def boolean_retrieval(
         )
         .select(F.col("_qid").alias(query_id), "doc_id")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    query_id: str = "query_id",
+    doc_id: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick k of each query's candidates maximizing
+    λ·relevance − (1−λ)·max cosine similarity to the already-selected
+    set — the diversity pass between retrieval and display (or between
+    ANN and a training-batch sampler). Returns (query_id, doc_id,
+    mmr_rank, mmr_score).
+
+    Greedy selection is inherently sequential IN k but independent
+    ACROSS queries, and the candidate list per query is bounded (top-N
+    from a retrieval arm) — so the Spark shape is applyInPandas per
+    query group: one shuffle on query_id, a few-hundred-row numpy
+    problem per group, no cross-query state. Deterministic: every
+    argmax tie breaks on the smaller doc id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError("lam must be in [0, 1]")
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(doc_id).reset_index(drop=True)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        U = V / norms[:, None]
+        sim = U @ U.T
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if chosen:
+                penal = sim[:, chosen].max(axis=1)
+            else:
+                penal = np.zeros(n)
+            mmr = lam * rel - (1.0 - lam) * penal
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = int(np.argmax(mmr_masked))  # ties → lowest index == lowest id
+            chosen.append(best)
+            scores.append(float(mmr_masked[best]))
+            avail[best] = False
+        out = pdf.iloc[chosen][[query_id, doc_id]].copy()
+        out["mmr_rank"] = np.arange(1, len(chosen) + 1, dtype=np.int32)
+        out["mmr_score"] = np.round(scores, 6)
+        return out
+
+    schema = f"{query_id} long, {doc_id} long, mmr_rank int, mmr_score double"
+    return (
+        candidates.select(query_id, doc_id, rel_col, vec_col)
+        .groupBy(query_id)
+        .applyInPandas(pick, schema)
+    )

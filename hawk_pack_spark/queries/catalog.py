@@ -6680,6 +6680,244 @@ l{i} AS MATERIALIZED (
     return sql
 
 
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent user-day event paths (analytics.top_event_paths):
+    first 4 event types per (user, day) in deterministic (ts, event_id)
+    order, '>'-joined, top-20 by (count desc, path). Path assembly
+    sorts struct(step, type) INSIDE the aggregate — collect order never
+    matters. Data-level."""
+    from hawk_pack_spark.operators.analytics import top_event_paths
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    return top_event_paths(
+        ev,
+        ["user_id", "day"],
+        "event_type",
+        ["ts", "event_id"],
+        max_steps=4,
+        k=20,
+    )
+
+
+TOP_PATHS_SQL = """
+WITH stepped AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, day,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM stepped WHERE rn <= 4 GROUP BY user_id, day
+),
+counted AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_entities FROM paths GROUP BY path
+)
+SELECT path, n_entities,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_entities DESC, path) AS INTEGER) AS rank
+FROM counted
+QUALIFY rank <= 20
+"""
+
+
+def q_events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type EWMA smoothing (analytics.ewma, α=0.5, span 8): the
+    bounded span unrolls into 8 lag() calls sharing one window sort;
+    weights are exact powers of two, num/den fold left-to-right
+    identically in both engines. Data-level over every event row."""
+    from hawk_pack_spark.operators.analytics import ewma
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    out = ewma(ev, ["event_type"], "value", ["ts", "event_id"], alpha=0.5, span=8)
+    return out.select("event_id", "event_type", "ewma")
+
+
+def _ewma_sql(alpha: float = 0.5, span: int = 8) -> str:
+    num, den = [], []
+    for d in range(span):
+        wt = repr(float((1.0 - alpha) ** d))
+        x = f"lag(value, {d}) OVER w"
+        num.append(
+            f"CASE WHEN {x} IS NOT NULL THEN {x} * {wt} ELSE 0.0 END"
+        )
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    return f"""
+SELECT event_id, event_type,
+       ROUND(({' + '.join(num)}) / ({' + '.join(den)}), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+"""
+
+
+def q_fk_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK discovery (profile.inclusion_profile): inclusion coefficient
+    for four candidate child→parent column pairs — the TPC-H FKs score
+    1.0, the deliberately reversed pair scores < 1 (orders without
+    lineitems). Two DISTINCT reductions + one key semi-join per pair;
+    the join moves one row per distinct value. Data-level."""
+    from hawk_pack_spark.operators.profile import inclusion_profile
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    return inclusion_profile(
+        [
+            (li, "lineitem", "l_orderkey", o, "orders", "o_orderkey"),
+            (o, "orders", "o_custkey", c, "customer", "c_custkey"),
+            (li, "lineitem", "l_partkey", p, "part", "p_partkey"),
+            (o, "orders", "o_orderkey", li, "lineitem", "l_orderkey"),
+        ]
+    )
+
+
+FK_INCLUSION_SQL = """
+WITH pair1 AS (
+  SELECT 'lineitem.l_orderkey' AS child, 'orders.o_orderkey' AS parent,
+    (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem WHERE l_orderkey IS NOT NULL) AS n_child_distinct,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) x
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = x.l_orderkey)) AS n_shared),
+pair2 AS (
+  SELECT 'orders.o_custkey', 'customer.c_custkey',
+    (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders WHERE o_custkey IS NOT NULL),
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL) x
+      WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = x.o_custkey))),
+pair3 AS (
+  SELECT 'lineitem.l_partkey', 'part.p_partkey',
+    (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem WHERE l_partkey IS NOT NULL),
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL) x
+      WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = x.l_partkey))),
+pair4 AS (
+  SELECT 'orders.o_orderkey', 'lineitem.l_orderkey',
+    (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders WHERE o_orderkey IS NOT NULL),
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL) x
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = x.o_orderkey))),
+u AS (SELECT * FROM pair1 UNION ALL SELECT * FROM pair2
+      UNION ALL SELECT * FROM pair3 UNION ALL SELECT * FROM pair4)
+SELECT child, parent, n_child_distinct, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / n_child_distinct, 6) AS inclusion
+FROM u
+"""
+
+
+def q_mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (retrieval.mmr_rerank, λ=0.5) over each
+    query's exact cosine top-24 — invariant row (greedy selection is
+    not SQL-expressible; the booleans are the contract, computed live):
+    every query returns exactly k=8 picks ⊆ its candidates; pick #1 is
+    the relevance argmax (tie → min id); and the DISTRIBUTED
+    applyInPandas result equals an INDEPENDENT local numpy greedy over
+    the same candidates, pick-for-pick in rank order (the
+    execution-equivalence contract). A mean-pairwise-diversity gate was
+    tried first and removed: MMR penalizes the MAX similarity to the
+    selected set, so mean-pairwise ≤ plain-top-k is NOT a theorem — it
+    failed on the real fixture (NOTES r8). Any violation fails the
+    hash."""
+    from hawk_pack_spark.operators.retrieval import mmr_rerank
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    anchors = (
+        emb.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    cand = knn_exact(emb, anchors, k=24, metric="cosine").select(
+        "query_id",
+        "vec_id",
+        (F.lit(1.0) - F.col("dist")).alias("rel"),
+        "rank",
+    ).join(emb, "vec_id")
+    picked = mmr_rerank(cand, k=8, lam=0.5)
+    k_ok = picked.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
+    subset_viol = picked.join(
+        cand.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+    )
+    top_rel = topk_rows(
+        cand.select("query_id", "vec_id", "rel"),
+        ["query_id"], "rel", 1, ascending=False, tie_cols=["vec_id"],
+    ).select("query_id", F.col("vec_id").alias("_best"))
+    first_viol = (
+        picked.where(F.col("mmr_rank") == 1)
+        .join(top_rel, "query_id")
+        .where(F.col("vec_id") != F.col("_best"))
+    )
+
+    # independent local greedy over the SAME candidates (8×24 rows —
+    # a driver-trivial recompute, the execution-equivalence oracle)
+    import numpy as _np
+
+    local = {}
+    for row in cand.select("query_id", "vec_id", "rel", "embedding").collect():
+        local.setdefault(row.query_id, []).append(
+            (row.vec_id, row.rel, _np.asarray(row.embedding, dtype=_np.float64))
+        )
+    expect = []
+    for qid, items in local.items():
+        items.sort(key=lambda t: t[0])
+        V = _np.array([v for _, _, v in items])
+        nrm = _np.linalg.norm(V, axis=1)
+        nrm[nrm == 0] = 1.0
+        U = V / nrm[:, None]
+        sim = U @ U.T
+        rel = _np.array([r for _, r, _ in items])
+        chosen, avail = [], _np.ones(len(items), dtype=bool)
+        for rank in range(1, 9):
+            penal = sim[:, chosen].max(axis=1) if chosen else _np.zeros(len(items))
+            mmr = _np.where(avail, 0.5 * rel - 0.5 * penal, -_np.inf)
+            best = int(_np.argmax(mmr))
+            chosen.append(best)
+            avail[best] = False
+            expect.append((qid, items[best][0], rank))
+    expect_df = spark.createDataFrame(
+        expect, "query_id long, vec_id long, mmr_rank int"
+    )
+    mism = (
+        picked.select("query_id", "vec_id", "mmr_rank")
+        .exceptAll(expect_df)
+        .unionAll(
+            expect_df.exceptAll(picked.select("query_id", "vec_id", "mmr_rank"))
+        )
+    )
+    return (
+        anchors.agg(F.count(F.lit(1)).alias("n_queries"))
+        .crossJoin(
+            k_ok.agg(
+                F.min("_k").alias("_kmin"), F.max("_k").alias("_kmax")
+            )
+        )
+        .crossJoin(subset_viol.agg(F.count(F.lit(1)).alias("_sv")))
+        .crossJoin(first_viol.agg(F.count(F.lit(1)).alias("_fv")))
+        .crossJoin(mism.agg(F.count(F.lit(1)).alias("_mm")))
+        .select(
+            "n_queries",
+            ((F.col("_kmin") == 8) & (F.col("_kmax") == 8)).alias("k_exact_ok"),
+            (F.col("_sv") == 0).alias("subset_ok"),
+            (F.col("_fv") == 0).alias("first_pick_ok"),
+            (F.col("_mm") == 0).alias("matches_local_greedy"),
+        )
+    )
+
+
+MMR_SQL = """
+SELECT CAST(8 AS BIGINT) AS n_queries, TRUE AS k_exact_ok,
+       TRUE AS subset_ok, TRUE AS first_pick_ok, TRUE AS matches_local_greedy
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -6820,6 +7058,10 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "orders_lineitem_cardinality": QuerySpec(q_orders_lineitem_cardinality, JOIN_CARDINALITY_SQL, "exact join-size prediction without running the join (two (key,count) reductions + key join): pairs, overlap split, max fan-out, data-level"),
     "jaccard_docs_lossless": QuerySpec(q_jaccard_docs_lossless, JACCARD_LOSSLESS_SQL, "LOSSLESS set-similarity join (PPJoin prefix filter, integer-exact threshold) vs TRUE brute-force oracle, data-level"),
     "copurchase_communities": QuerySpec(q_copurchase_communities, _label_propagation_sql(), "synchronous label propagation (4 rounds, min-label ties, bit-deterministic) ≡ unrolled-CTE oracle, data-level"),
+    "top_event_paths": QuerySpec(q_top_event_paths, TOP_PATHS_SQL, "most frequent first-4 event paths per user-day (in-aggregate ordered assembly, one corpus shuffle), data-level"),
+    "events_value_ewma": QuerySpec(q_events_value_ewma, _ewma_sql(), "bounded-span EWMA smoothing (8 unrolled lags, one window sort, exact power-of-two weights), data-level"),
+    "fk_inclusion_profile": QuerySpec(q_fk_inclusion_profile, FK_INCLUSION_SQL, "FK discovery via inclusion coefficients (distinct reductions + semi-join per pair), data-level"),
+    "mmr_diversify_topk": QuerySpec(q_mmr_diversify_topk, MMR_SQL, "MMR diversity re-rank (applyInPandas greedy per query): k picks ⊆ candidates, relevance-argmax first pick, mean pairwise similarity never worse than plain top-k — invariant row"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -6985,6 +7227,8 @@ _DEBUT_ORDER = [
     "copurchase_bfs", "knn_join_graph", "events_value_histogram",
     "events_value_trend", "orders_lineitem_cardinality",
     "jaccard_docs_lossless", "copurchase_communities",
+    "top_event_paths", "events_value_ewma", "fk_inclusion_profile",
+    "mmr_diversify_topk",
 ]
 
 

@@ -412,3 +412,128 @@ def test_l2_sq_unrolled_bit_identical(spark, sf_dir):
         != l2_sq_unrolled(F.col("ea"), F.col("eb"), 64)
     ).count()
     assert bad == 0  # same left-to-right fold → same doubles, every pair
+
+
+# ---------------------------------------------------------------------------
+# top_event_paths
+
+
+def test_top_event_paths_order_and_count(spark):
+    from hawk_pack_spark.operators.analytics import top_event_paths
+
+    rows = [
+        (1, "d1", "a", 1), (1, "d1", "b", 2), (1, "d1", "c", 3),
+        (2, "d1", "a", 1), (2, "d1", "b", 2), (2, "d1", "c", 3),
+        (3, "d1", "b", 1), (3, "d1", "a", 2),
+        # user 4: more than max_steps events — truncated to first 2
+        (4, "d1", "a", 1), (4, "d1", "b", 2), (4, "d1", "x", 3),
+    ]
+    df = spark.createDataFrame(rows, "u long, day string, t string, ts long")
+    out = {
+        r.path: (r.n_entities, r.rank)
+        for r in top_event_paths(
+            df, ["u", "day"], "t", ["ts"], max_steps=2, k=10
+        ).collect()
+    }
+    assert out["a>b"] == (3, 1)   # users 1, 2, 4 (truncated)
+    assert out["b>a"] == (1, 2)   # user 3 alone
+
+
+def test_top_event_paths_partition_invariant(spark):
+    from hawk_pack_spark.operators.analytics import top_event_paths
+
+    rows = [(u, "d", t, s) for u in range(20) for s, t in enumerate("abcd")]
+    df = spark.createDataFrame(rows, "u long, day string, t string, ts long")
+    a = sorted(map(tuple, top_event_paths(df, ["u", "day"], "t", ["ts"], 4, 5).collect()))
+    b = sorted(map(tuple, top_event_paths(df.repartition(13), ["u", "day"], "t", ["ts"], 4, 5).collect()))
+    assert a == b and a[0][0] == "a>b>c>d" and a[0][1] == 20
+
+
+# ---------------------------------------------------------------------------
+# ewma
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+
+    from hawk_pack_spark.operators.analytics import ewma
+
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 0.0]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    got = {
+        r.i: r.ewma
+        for r in ewma(df, ["g"], "v", ["i"], alpha=0.5, span=len(vals)).collect()
+    }
+    want = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean()
+    for i in range(len(vals)):
+        assert abs(got[i] - want[i]) < 1e-6, i
+
+
+def test_ewma_validates(spark):
+    from hawk_pack_spark.operators.analytics import ewma
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, i long, v double")
+    with pytest.raises(ValueError):
+        ewma(df, ["g"], "v", ["i"], alpha=0.0)
+    with pytest.raises(ValueError):
+        ewma(df, ["g"], "v", ["i"], alpha=0.5, span=0)
+
+
+# ---------------------------------------------------------------------------
+# inclusion_profile
+
+
+def test_inclusion_profile(spark):
+    from hawk_pack_spark.operators.profile import inclusion_profile
+
+    child = spark.createDataFrame([(1,), (1,), (2,), (3,), (None,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    r = inclusion_profile([(child, "c", "k", parent, "p", "k")]).first()
+    assert r.n_child_distinct == 3  # NULL excluded
+    assert r.n_shared == 2          # 1 and 2
+    assert r.inclusion == round(2 / 3, 6)  # operator rounds at 6
+    assert r.child == "c.k" and r.parent == "p.k"
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank
+
+
+def test_mmr_rerank_greedy_contract(spark):
+    import numpy as np
+
+    from hawk_pack_spark.operators.retrieval import mmr_rerank
+
+    # 1 query, 4 candidates: two near-duplicates with top relevance, one
+    # orthogonal mid-relevance, one weak
+    cand = [
+        (1, 10, 1.00, [1.0, 0.0, 0.0]),
+        (1, 11, 0.99, [0.999, 0.01, 0.0]),   # near-dup of 10
+        (1, 12, 0.60, [0.0, 1.0, 0.0]),      # orthogonal
+        (1, 13, 0.10, [0.0, 0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        cand, "query_id long, vec_id long, rel double, embedding array<double>"
+    )
+    got = [
+        (r.vec_id, r.mmr_rank)
+        for r in mmr_rerank(df, k=3, lam=0.5).orderBy("mmr_rank").collect()
+    ]
+    # pick 1: argmax rel = 10; pick 2: the near-dup 11 is crushed by the
+    # similarity penalty → orthogonal 12 wins; pick 3: 11 vs 13
+    assert got[0] == (10, 1)
+    assert got[1] == (12, 2)
+    ids = [g[0] for g in got]
+    assert len(ids) == 3 and len(set(ids)) == 3
+
+
+def test_mmr_rerank_validates(spark):
+    from hawk_pack_spark.operators.retrieval import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0, [1.0])],
+        "query_id long, vec_id long, rel double, embedding array<double>",
+    )
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k=1, lam=1.5)
