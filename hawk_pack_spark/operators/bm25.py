@@ -113,3 +113,41 @@ def bm25_query_text(
         "query_id", tokens("qtext").alias("terms")
     )
     return bm25_search(index, q, k=k, k1=k1, b=b)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword extraction: each document's top-k terms by TF-IDF
+    (tf · ln(N/df), the classic smooth-free form — deterministic, no
+    tuning constants), ties by term. Returns (doc_id, term, tf, score,
+    rank) — the "what is this document about" primitive behind topic
+    labeling and index-time boosting.
+
+    Shape: one explode + one (doc, term) count + one term-level df
+    groupBy; the df table joins back BY TERM (corpus-sized postings
+    equi-join, never a broadcast of anything corpus-sized), then a
+    per-doc window top-k. ln is the same double op in both engines;
+    the score is one multiply of exact-integer-derived doubles,
+    rounded at the output (catalog float discipline).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    scored = tf.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    return topk_rows(
+        scored, ["doc_id"], "score", k, ascending=False, tie_cols=["term"]
+    )

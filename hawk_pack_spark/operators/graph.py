@@ -246,3 +246,64 @@ def label_propagation(
         )
         labels = best.localCheckpoint(eager=True)
     return labels
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Item-item cosine similarity from co-occurrence — the classic
+    neighborhood recommender: sim(a, b) = n_ab / √(n_a · n_b) over
+    basket membership, top-k neighbors per item. Returns (item, other,
+    n_ab, sim, rank), both directions of each qualifying pair.
+
+    Builds on copurchase_pairs (per-basket bounded fan-out, one wide
+    shuffle); the degree table joins back by item twice and the top-k
+    is a per-item window — nothing quadratic in the item count, hot
+    items are AQE skew territory like the pair mining itself. The
+    cosine is one double division of exact integers, rounded at the
+    output."""
+    pairs = copurchase_pairs(df, basket_col, item_col, min_support)
+    deg = (
+        df.select(
+            F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+        )
+        .distinct()
+        .groupBy("_i")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("other"),
+        "n_baskets",
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("other"),
+            "n_baskets",
+        )
+    )
+    da = deg.select(F.col("_i").alias("item"), F.col("_n").alias("_na"))
+    db = deg.select(F.col("_i").alias("other"), F.col("_n").alias("_nb"))
+    scored = (
+        sym.join(da, "item")
+        .join(db, "other")
+        .select(
+            "item",
+            "other",
+            F.col("n_baskets").alias("n_ab"),
+            F.round(
+                F.col("n_baskets")
+                / F.sqrt(F.col("_na").cast("double") * F.col("_nb")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    from hawk_pack_spark.operators.topk import topk_rows
+
+    return topk_rows(
+        scored, ["item"], "sim", k, ascending=False, tie_cols=["other"]
+    )

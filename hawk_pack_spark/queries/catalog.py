@@ -6918,6 +6918,69 @@ SELECT CAST(8 AS BIGINT) AS n_queries, TRUE AS k_exact_ok,
 """
 
 
+def q_tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction (bm25.tfidf_top_terms): every document's
+    top-3 terms by tf·ln(N/df), ties by term — one explode, two
+    groupBys, one postings-sized equi-join, one per-doc window.
+    Data-level (the ln-after-ROUND(6) parity pattern bm25_topk has
+    held green since r2)."""
+    from hawk_pack_spark.operators.bm25 import tfidf_top_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_top_terms(docs, k=3)
+
+
+TFIDF_KEYWORDS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split(lower(text), ' '), t -> t <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+s AS (
+  SELECT doc_id, term, tf,
+         ROUND(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+SELECT doc_id, term, tf, score, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn FROM s)
+WHERE rn <= 3
+"""
+
+
+def q_copurchase_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine recommender (graph.item_similarity): top-5
+    neighbors per part by n_ab/√(n_a·n_b) over order baskets — the
+    pair mining's one wide shuffle plus two degree joins and a window,
+    nothing quadratic in the item count. Data-level."""
+    from hawk_pack_spark.operators.graph import item_similarity
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return item_similarity(li, "l_orderkey", "l_partkey", min_support=2, k=5)
+
+
+ITEM_SIM_SQL = """
+WITH t AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM t a JOIN t b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (SELECT p, COUNT(*) AS n FROM t GROUP BY 1),
+sym AS (
+  SELECT pa AS item, pb AS other, n_ab FROM und
+  UNION ALL SELECT pb, pa, n_ab FROM und),
+s AS (
+  SELECT sym.item, sym.other, sym.n_ab,
+         ROUND(sym.n_ab / sqrt(CAST(da.n AS DOUBLE) * db.n), 6) AS sim
+  FROM sym JOIN deg da ON da.p = sym.item JOIN deg db ON db.p = sym.other)
+SELECT item, other, n_ab, sim, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                                   ORDER BY sim DESC, other) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -7061,7 +7124,9 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "top_event_paths": QuerySpec(q_top_event_paths, TOP_PATHS_SQL, "most frequent first-4 event paths per user-day (in-aggregate ordered assembly, one corpus shuffle), data-level"),
     "events_value_ewma": QuerySpec(q_events_value_ewma, _ewma_sql(), "bounded-span EWMA smoothing (8 unrolled lags, one window sort, exact power-of-two weights), data-level"),
     "fk_inclusion_profile": QuerySpec(q_fk_inclusion_profile, FK_INCLUSION_SQL, "FK discovery via inclusion coefficients (distinct reductions + semi-join per pair), data-level"),
-    "mmr_diversify_topk": QuerySpec(q_mmr_diversify_topk, MMR_SQL, "MMR diversity re-rank (applyInPandas greedy per query): k picks ⊆ candidates, relevance-argmax first pick, mean pairwise similarity never worse than plain top-k — invariant row"),
+    "mmr_diversify_topk": QuerySpec(q_mmr_diversify_topk, MMR_SQL, "MMR diversity re-rank (applyInPandas greedy per query): k picks ⊆ candidates, relevance-argmax first pick, distributed ≡ independent local greedy — invariant row"),
+    "tfidf_doc_keywords": QuerySpec(q_tfidf_doc_keywords, TFIDF_KEYWORDS_SQL, "TF-IDF keyword extraction (top-3 terms per doc, postings equi-join + window), data-level"),
+    "copurchase_item_sim": QuerySpec(q_copurchase_item_sim, ITEM_SIM_SQL, "item-item cosine recommender (co-occurrence / sqrt degree product, top-5 per item), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -7228,7 +7293,7 @@ _DEBUT_ORDER = [
     "events_value_trend", "orders_lineitem_cardinality",
     "jaccard_docs_lossless", "copurchase_communities",
     "top_event_paths", "events_value_ewma", "fk_inclusion_profile",
-    "mmr_diversify_topk",
+    "mmr_diversify_topk", "tfidf_doc_keywords", "copurchase_item_sim",
 ]
 
 

@@ -537,3 +537,126 @@ def test_mmr_rerank_validates(spark):
     )
     with pytest.raises(ValueError):
         mmr_rerank(df, k=1, lam=1.5)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from hawk_pack_spark.operators.bm25 import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.score)
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # doc 1: apple tf=2 df=1 → 2·ln(3); banana tf=1 df=2 → ln(1.5);
+    # common tf=2 df=3 → 0
+    assert out[(1, 1)][0] == "apple"
+    assert out[(1, 1)][2] == round(2 * math.log(3.0), 6)
+    assert out[(1, 2)][0] == "banana"
+    # doc 3: cherry tf=2 df=2 → 2·ln(1.5) beats common (0)
+    assert out[(3, 1)][0] == "cherry"
+
+
+# ---------------------------------------------------------------------------
+# item_similarity
+
+
+def test_item_similarity_cosine(spark):
+    from hawk_pack_spark.operators.graph import item_similarity
+
+    # baskets: items 1,2 co-occur twice; item 1 in 3 baskets, 2 in 2,
+    # 3 in 2 (co-occurs once with 1 — below min_support)
+    rows = [
+        (100, 1), (100, 2),
+        (200, 1), (200, 2),
+        (300, 1), (300, 3),
+        (400, 3),
+    ]
+    df = spark.createDataFrame(rows, "b long, i long")
+    out = {
+        (r.item, r.other): (r.n_ab, r.sim)
+        for r in item_similarity(df, "b", "i", min_support=2, k=5).collect()
+    }
+    import math
+
+    assert out[(1, 2)] == (2, round(2 / math.sqrt(3 * 2), 6))
+    assert out[(2, 1)] == out[(1, 2)]  # symmetric
+    assert (1, 3) not in out  # below support
+
+
+# ---------------------------------------------------------------------------
+# plan pins (the iterative / broadcast scale shapes)
+
+
+def test_bfs_plan_has_no_parquet_scans(spark, tmp_path):
+    """bfs_distances follows the pagerank checkpoint discipline: the
+    returned plan joins checkpointed RDDs only — the parquet edge list
+    is read exactly once (at checkpoint time), independent of hops."""
+    from hawk_pack_spark.operators.graph import bfs_distances
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 0), (2, 1), (3, 2), (4, 3)]
+    path = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(edges, "src long, dst long").write.parquet(path)
+    df = spark.read.parquet(path)
+    src = spark.createDataFrame([(0,)], "node long")
+    plan = (
+        bfs_distances(df, src, max_hops=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "parquet" not in plan.lower(), plan
+
+
+def test_label_propagation_plan_has_no_parquet_scans(spark, tmp_path):
+    from hawk_pack_spark.operators.graph import label_propagation
+
+    und = [(1, 2), (2, 3), (3, 1)]
+    path = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = (
+        label_propagation(df, iters=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "parquet" not in plan.lower(), plan
+
+
+def test_boolean_retrieval_broadcasts_query_terms(spark, sf_dir):
+    """The corpus-sized postings must meet the query terms in a
+    BroadcastHashJoin probe — the postings side never shuffles for the
+    term match."""
+    from hawk_pack_spark.operators.retrieval import (
+        boolean_retrieval,
+        build_postings,
+    )
+    from hawk_pack_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    queries = spark.createDataFrame(
+        [(1, ["spark"], [], ["slow"])],
+        "query_id int, must array<string>, any array<string>, none array<string>",
+    )
+    plan = (
+        boolean_retrieval(build_postings(docs), queries)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
