@@ -34,19 +34,29 @@ def knn_exact(
     query_id: str = "query_id",
     query_col: str = "query_vec",
     broadcast_queries: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k nearest stored vectors per query, exact.
 
     Returns (query_id, vec_id, dist, rank) with rank 1..k ascending
     distance, ties broken on vec_id (deterministic for oracle hashing).
+
+    ``dim``: for l2_sq, a known vector dimension switches the distance
+    to the UNROLLED codegen fold — bit-identical doubles (same
+    left-to-right fold, pinned by test), ~12× on the queries×corpus
+    scoring that dominates this operator (NOTES r8). Auto-detection is
+    deliberately NOT done here (it would add a driver action to every
+    call site); bulk callers pass it.
     """
     q = F.broadcast(queries) if broadcast_queries else queries
     pairs = vectors.crossJoin(q)
-    scored = pairs.select(
-        F.col(query_id),
-        F.col(vec_id),
-        distance_expr(metric, F.col(query_col), F.col(vec_col)).alias("dist"),
-    )
+    if metric == "l2_sq" and dim:
+        from hawk_pack_spark.functions.distance import l2_sq_unrolled
+
+        dist = l2_sq_unrolled(F.col(query_col), F.col(vec_col), dim)
+    else:
+        dist = distance_expr(metric, F.col(query_col), F.col(vec_col))
+    scored = pairs.select(F.col(query_id), F.col(vec_id), dist.alias("dist"))
     return topk_rows(scored, [query_id], "dist", k, ascending=True, tie_cols=[vec_id])
 
 

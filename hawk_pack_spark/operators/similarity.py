@@ -194,8 +194,14 @@ def knn_join(
     ``n_clusters`` defaults to max(16, n/250): cell width stays
     ~250·replicas rows, so per-point candidate work is
     nprobe·replicas·250 regardless of corpus size, and total work
-    scales linearly with n — the 100 TB contract. Nothing corpus-sized
-    is ever broadcast or crossed.
+    scales linearly with n — the 100 TB contract. Every stage is
+    linear by construction: the coarse quantizer FITS on a bounded
+    sample (k-means is O(n·k·iters); with k ∝ n a full-corpus fit is
+    quadratic — measured), cell RANKING is a partition-local numpy
+    top-m over the broadcast centroid matrix (_assign_top_cells — the
+    crossJoin+window form shuffled n×n_clusters wide rows), and
+    candidate SCORING projects the distance before any shuffle.
+    Nothing corpus-sized is ever broadcast or crossed.
 
     Approximate by construction (a boundary neighbor outside every
     probed cell AND outside the 2-hop graph neighborhood is missed) —
@@ -205,8 +211,18 @@ def knn_join(
     0.85-0.88 at n=500-5000 with the defaults; brute force via
     knn_exact stays the right tool below ~10k rows.
     """
-    if n_clusters is None:
-        n_clusters = max(16, vectors.count() // 250)
+    if n_clusters is None or fit_fraction is None:
+        n = vectors.count()
+        if n_clusters is None:
+            n_clusters = max(16, n // 250)
+        if fit_fraction is None and n > 25_000:
+            # k-means is O(n·k·iters); with k ∝ n the FIT becomes
+            # quadratic in n (measured: the 50k→100k ladder step took
+            # 2.9× instead of 2× — NOTES r8). Fitting on a bounded
+            # sample is the standard coarse-quantizer recipe:
+            # assignment stays full-corpus and linear, training cost
+            # stops growing with n.
+            fit_fraction = 25_000 / n
     # bulk candidate scoring is the hot path: with a known dim, the
     # unrolled codegen fold is ~12x the higher-order-function fold at
     # IDENTICAL bit-level results (measured, NOTES r8) — fall back to
@@ -221,7 +237,7 @@ def knn_join(
             return l2_sq_unrolled(a, b, dim)
         return distance_expr(metric, a, b)
 
-    assigned, centers = ivf_build(
+    _, centers = ivf_build(
         vectors,
         n_clusters=n_clusters,
         id_col=id_col,
@@ -229,39 +245,28 @@ def knn_join(
         seed=seed,
         fit_fraction=fit_fraction,
     )
-    spark = vectors.sparkSession
-    centers_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "cluster int, center array<double>",
+    # top-m cell ranking is partition-local numpy (one BLAS matmul per
+    # Arrow batch over the broadcast centroid matrix, stable-argsort
+    # tie-break on cell id) — the crossJoin(centroids) + window form it
+    # replaces materialized n×n_clusters WIDE rows through two window
+    # sorts, i.e. O(n²/cell_width) shuffled rows once n_clusters ∝ n
+    # (measured 287-562s at n=100k; this stage now costs seconds and
+    # emits n·m narrow-ish rows, linear in n — NOTES r8).
+    topm = _assign_top_cells(
+        vectors, centers, max(nprobe, replicas), id_col, vec_col
     )
-    pc = (
-        assigned.select(id_col, vec_col)
-        .crossJoin(F.broadcast(centers_df))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("cluster"),
-            _dist(F.col(vec_col), F.col("center")).alias("cdist"),
-        )
+    probes = topm.where(F.col("crank") <= nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        "cluster",
     )
-    probes = topk_rows(
-        pc.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
-            "cluster",
-            "cdist",
-        ),
-        ["query_id"], "cdist", nprobe, tie_cols=["cluster"],
-    ).select("query_id", "_qv", "cluster")
-    members = topk_rows(
-        pc, [id_col], "cdist", replicas, tie_cols=["cluster"]
-    ).select(id_col, vec_col, "cluster")
+    members = topm.where(F.col("crank") <= replicas).select(
+        id_col, vec_col, "cluster"
+    )
     # Distance is projected IMMEDIATELY after the cell join so the wide
-    # rows (two vectors per candidate) are pipelined, never shuffled: a
-    # pair sharing c probed cells is scored c times (identical doubles)
-    # and deduped on the NARROW (query, vec, dist) rows by a first-agg —
-    # materializing the dedupe before the projection was measured
-    # spilling ~150 GB at n=50k (the candidate set × 2 vectors).
+    # rows (two vectors per candidate) are pipelined, never shuffled
+    # (materializing the dedupe before the projection was measured
+    # spilling ~150 GB at n=50k — the candidate set × 2 vectors).
     scored = (
         probes.join(members, "cluster")
         .where(F.col("query_id") != F.col(id_col))
@@ -270,10 +275,23 @@ def knn_join(
             F.col(id_col).alias("vec_id"),
             _dist(F.col("_qv"), F.col(vec_col)).alias("dist"),
         )
-        .groupBy("query_id", "vec_id")
-        .agg(F.first("dist").alias("dist"))
     )
-    g = topk_rows(scored, ["query_id"], "dist", k, tie_cols=["vec_id"])
+    # A pair sharing c probed cells is scored c times (identical
+    # doubles, c ≤ replicas), so the k distinct nearest all sit inside
+    # the top k·replicas WINDOW rows (duplicates are adjacent under the
+    # (dist, vec_id) order). Window-first instead of groupBy-first:
+    # Catalyst's WindowGroupLimit does a map-side partial top-(k·r)
+    # with an EXTERNAL sort that spills gracefully, where a hash
+    # aggregate over the full candidate stream exhausted the execution
+    # pool at n=100k (UNABLE_TO_ACQUIRE_MEMORY, 32 concurrent 10M-row
+    # maps — NOTES r8); the dedupe then runs on the k·r·n survivor
+    # rows, not the candidate stream.
+    pre = topk_rows(
+        scored, ["query_id"], "dist", k * max(1, replicas),
+        tie_cols=["vec_id"], rank_name="_prerank",
+    ).drop("_prerank")
+    dedup = pre.dropDuplicates(["query_id", "vec_id"])
+    g = topk_rows(dedup, ["query_id"], "dist", k, tie_cols=["vec_id"])
     if descent_rounds:
         qv = vectors.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -307,6 +325,56 @@ def knn_join(
             )
             g = topk_rows(rescored, ["query_id"], "dist", k, tie_cols=["vec_id"])
     return g
+
+
+def _assign_top_cells(
+    vectors: DataFrame,
+    centers: list[list[float]],
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Each vector's ``m`` nearest coarse cells, partition-locally:
+    one (batch × n_clusters) BLAS matmul per Arrow batch against the
+    broadcast centroid matrix, stable argsort (ties → lower cell id).
+    Returns exploded (id, vec, cluster, crank) with crank 1..m — zero
+    shuffles, n·m output rows. The multi-cell generalization of
+    ivf_assign's argmin."""
+    import pandas as pd
+
+    C = np.asarray(centers, dtype=np.float64)
+    m = min(m, len(C))
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((C, (C * C).sum(axis=1)))
+
+    def part(it):
+        C_, cn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d2 = (mat * mat).sum(1, keepdims=True) - 2.0 * mat @ C_.T + cn[None, :]
+            order = np.argsort(d2, axis=1, kind="stable")[:, :m]
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(dtype=np.int64), m),
+                    vec_col: pdf[vec_col].iloc[
+                        np.repeat(np.arange(b), m)
+                    ].to_numpy(),
+                    "cluster": order.ravel().astype(np.int32),
+                    "crank": np.tile(
+                        np.arange(1, m + 1, dtype=np.int32), b
+                    ),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        part,
+        f"{id_col} long, {vec_col} array<double>, cluster int, crank int",
+    )
 
 
 def ivf_assign(
