@@ -336,8 +336,12 @@ def sample_to_token_budget(
     """
     from hawk_pack_spark.functions.text import token_count
 
-    mult, mod = 2654435761, 4294967291  # Knuth multiplicative hash
-    h = (F.col(id_col).cast("long") * F.lit(mult)) % F.lit(mod)
+    # Knuth multiplicative hash; id pre-reduced mod 2^31−1 so the
+    # product stays in int64 at any id scale (ADVICE r8 — bare id*mult
+    # wraps silently past ids ~3.47e9 under ANSI off while the DuckDB
+    # oracle diverges). Collisions mod 2^31−1 fall to the id tiebreak.
+    mult, mod, premod = 2654435761, 4294967291, 2147483647
+    h = ((F.col(id_col).cast("long") % F.lit(premod)) * F.lit(mult)) % F.lit(mod)
     w = Window.partitionBy(stratum_col).orderBy(
         h.asc(), F.col(id_col).asc()
     )

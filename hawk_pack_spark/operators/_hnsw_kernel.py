@@ -80,17 +80,24 @@ class LocalHNSW:
         self,
         metric: Metric,
         params: HawkParams,
-        neighbor_heuristic: bool = False,
+        neighbor_heuristic: bool = True,
     ):
         self.metric = metric
         self.params = params
-        # opt-in Algorithm 4 neighbor selection (Malkov & Yashunin 2016):
-        # the reference trims to the M NEAREST (connect_bidir), which on
+        # Algorithm 4 neighbor selection (Malkov & Yashunin 2016) with
+        # keepPrunedConnections backfill is the DEFAULT since r9. The
+        # reference trims to the M NEAREST (connect_bidir), which on
         # near-duplicate-clustered data lets a tight cluster capture all
-        # M slots and partitions the graph into unreachable islands
-        # (observed with real multimodal features). The heuristic keeps
-        # direction-diverse edges instead. Default False = reference
-        # parity.
+        # M slots and partitions the graph into unreachable islands —
+        # observed three times (multimodal features r2, the sf1 rebuild
+        # fixture r8, and a Hypothesis counterexample where layer 0
+        # reached only 10 of 21 nodes, breaking self-recall; pinned in
+        # tests/test_properties.py). The heuristic keeps
+        # direction-diverse edges instead, restoring the self-recall
+        # guarantee the reference's own flagship test asserts
+        # (hawk_searcher.rs:441-479). Pass False for strict
+        # reference connect_bidir parity (safe only on uniform-ish,
+        # cluster-free data).
         self.neighbor_heuristic = neighbor_heuristic
         # adjacency: layer -> node -> ascending [(dist, nbr), ...]
         self.adj: dict[int, dict[int, list[tuple[float, int]]]] = {}
@@ -244,22 +251,45 @@ class LocalHNSW:
         self, node: int, candidates: list[tuple[float, int]], m: int
     ) -> list[tuple[float, int]]:
         """Neighbor selection for `node` from distance-ascending
-        `candidates`. Default: the reference's M-nearest trim. With
-        neighbor_heuristic: Algorithm 4 — keep a candidate only if it is
-        closer to `node` than to every already-kept neighbor (edges span
-        directions instead of piling into one tight cluster), then
-        backfill with the remaining nearest (keepPrunedConnections)."""
+        `candidates`. Default (neighbor_heuristic=True): Algorithm 4 —
+        keep a candidate only if it is closer to `node` than to every
+        already-kept neighbor (edges span directions instead of piling
+        into one tight cluster), then backfill with the remaining
+        nearest (keepPrunedConnections). With neighbor_heuristic=False:
+        the reference's M-nearest trim.
+
+        The heuristic runs in FORWARD-DOMINATION form for the built-in
+        (symmetric) metrics: each newly selected neighbor s marks every
+        remaining candidate c with d(c,s) <= d(c,node) as dominated in
+        ONE vectorized batch call — <= m batch calls over shrinking
+        candidate sets instead of len(candidates) calls of size <= m.
+        Output is identical to the per-candidate scan (same predicate,
+        same ascending order); custom registered metrics may be
+        asymmetric, so they keep the d(c, selected) orientation."""
         if not self.neighbor_heuristic or len(candidates) <= m:
             return candidates[:m]
         selected: list[tuple[float, int]] = []
-        for d, c in candidates:
-            if len(selected) >= m:
-                break
-            sel_ids = [s for _, s in selected]
-            if not sel_ids or all(
-                d < dcs for dcs in self.metric.batch(c, sel_ids)
-            ):
-                selected.append((d, c))
+        if self.metric.name in ("hamming", "l2_sq", "cosine", "dot"):
+            alive = list(candidates)
+            while alive and len(selected) < m:
+                d_s, s = alive[0]
+                selected.append((d_s, s))
+                rest = alive[1:]
+                if not rest:
+                    break
+                d_to_s = self.metric.batch(s, [c for _, c in rest])
+                alive = [
+                    rc for rc, dcs in zip(rest, d_to_s) if rc[0] < dcs
+                ]
+        else:
+            for d, c in candidates:
+                if len(selected) >= m:
+                    break
+                sel_ids = [s for _, s in selected]
+                if not sel_ids or all(
+                    d < dcs for dcs in self.metric.batch(c, sel_ids)
+                ):
+                    selected.append((d, c))
         if len(selected) < m:
             kept = {c for _, c in selected}
             for d, c in candidates:
@@ -322,10 +352,13 @@ def build_local(
     params: HawkParams,
     layers: np.ndarray | None = None,
     seed: int = 42,
-    neighbor_heuristic: bool = False,
+    neighbor_heuristic: bool = True,
 ) -> LocalHNSW:
     """Build one shard's index by sequential insertion in id order (the
-    reference engine is serial by design; order fixed for determinism)."""
+    reference engine is serial by design; order fixed for determinism).
+
+    neighbor_heuristic defaults True (Algorithm 4): connectivity-safe on
+    clustered/near-dup data; False = strict reference connect_bidir."""
     order = np.argsort(ids, kind="stable")
     metric = Metric(metric_name, data)
     index = LocalHNSW(metric, params, neighbor_heuristic=neighbor_heuristic)
@@ -361,7 +394,7 @@ def index_from_arrays(
     e_dsts: list,
     e_dists: list,
     layers: np.ndarray | None = None,
-    neighbor_heuristic: bool = False,
+    neighbor_heuristic: bool = True,
     frozen: bool = False,
 ) -> LocalHNSW:
     """Rehydrate a LocalHNSW from stored parallel-array adjacency (global

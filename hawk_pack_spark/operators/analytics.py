@@ -24,10 +24,15 @@ from pyspark.sql import functions as F
 
 # Knuth multiplicative hash constants for the derandomized sampler:
 # multiplier is the golden-ratio 32-bit constant, modulus the largest
-# 32-bit prime. id*mult stays < 2^63 for ids < 3.4e9 — no overflow at
-# any TPC-H scale factor this repo targets.
+# 32-bit prime. The id is pre-reduced mod 2^31−1 BEFORE the multiply
+# (ADVICE r8): bare id*mult overflows int64 once ids exceed ~3.47e9 —
+# Spark (ANSI off) would wrap silently to a negative key while DuckDB
+# errors, a parity/determinism hazard at pretraining-corpus scale.
+# (id % PREMOD) * mult < 2^62 is exact on both engines; ids that
+# collide mod 2^31−1 share a key and fall to the id tiebreak.
 _SAMPLE_MULT = 2654435761
 _SAMPLE_MOD = 4294967291
+_SAMPLE_PREMOD = 2147483647
 
 
 def funnel(
@@ -303,6 +308,9 @@ def trend_slopes(
     y = y_col.cast(d38)
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast(d38).alias("_n"),
+        F.count(x).alias("_nx"),
+        F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("_nboth"),
+        F.count((x * y).cast(d38)).alias("_nxy"),
         F.sum(x).alias("_sx"),
         F.sum(y).alias("_sy"),
         F.sum((x * y).cast(d38)).alias("_sxy"),
@@ -310,6 +318,31 @@ def trend_slopes(
     )
     num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(d38)
     den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(d38)
+    # ADVICE r8 (the zscore_outliers guard, applied here too): with ANSI
+    # off, decimal(38,0) overflow comes back NULL silently — in the
+    # per-row products (x·y exceeding 38 digits shrinks _nxy below the
+    # non-null row count), in the sums, or in num/den. Any of those
+    # would yield NULL slope/intercept with no error; fail loudly.
+    not_overflowed = ~(
+        ((F.col("_nx") > 0) & (F.col("_sx").isNull() | F.col("_sxx").isNull()))
+        | ((F.col("_nxy") > 0) & F.col("_sxy").isNull())
+        | (F.col("_nxy") < F.col("_nboth"))
+        | (
+            F.col("_sx").isNotNull()
+            & F.col("_sy").isNotNull()
+            & F.col("_sxy").isNotNull()
+            & F.col("_sxx").isNotNull()
+            & (num.isNull() | den.isNull())
+        )
+    )
+    agg = agg.where(
+        F.assert_true(
+            not_overflowed,
+            "trend_slopes: decimal(38,0) accumulator overflowed (NULL "
+            "sum/product over non-null values) — shift x_origin or "
+            "rescale y to shrink the operand envelope",
+        ).isNull()
+    )
     # decimal → string → double: exact then correctly rounded in both
     # engines (catalog header discipline for wide decimals)
     num_d = num.cast("string").cast("double")
@@ -471,7 +504,10 @@ def weighted_sample(
     sort is materialized. Ties (hash collisions with equal weights)
     break on the id for full determinism.
     """
-    h = (F.col(id_col).cast("long") * F.lit(_SAMPLE_MULT)) % F.lit(_SAMPLE_MOD)
+    h = (
+        (F.col(id_col).cast("long") % F.lit(_SAMPLE_PREMOD))
+        * F.lit(_SAMPLE_MULT)
+    ) % F.lit(_SAMPLE_MOD)
     u = (h + F.lit(1)).cast("double") / F.lit(float(_SAMPLE_MOD + 1))
     key = F.log(u) / F.col(weight_col)
     return (

@@ -113,6 +113,18 @@ def apply_changes(
         raise ValueError(f"key columns absent from a side: {bad}")
     if op_col not in changes.columns:
         raise ValueError(f"changes lacks op column {op_col!r}")
+    # op domain guard (ADVICE r8): the anti-join removes EVERY change
+    # key and only op='upsert' rows come back, so an out-of-domain op
+    # (e.g. a typo'd 'update') would silently DELETE the row. Raise at
+    # execution time instead — same idiom as zscore_outliers' overflow
+    # guard; no extra job, the predicate rides the changes scan.
+    changes = changes.where(
+        F.assert_true(
+            F.col(op_col).isin("upsert", "delete"),
+            f"apply_changes: {op_col!r} must be 'upsert' or 'delete' — "
+            "any other value would silently drop the row",
+        ).isNull()
+    )
     if seq_col is not None:
         from pyspark.sql import Window
 

@@ -204,20 +204,26 @@ def build_index(
     vec_col: str = "embedding",
     seed: int = 42,
     assignments: DataFrame | None = None,
-    neighbor_heuristic: bool = False,
+    neighbor_heuristic: bool = True,
 ) -> DataFrame:
     """Build the sharded HNSW index DataFrame.
 
-    ``neighbor_heuristic``: opt into Algorithm 4 neighbor selection
-    (direction-diverse edges). Default off = reference connect_bidir
-    parity, and the right trade on uniform-ish data (recall 0.99+ at
-    1/3 the build cost — tools/tune_hnsw.py). ENABLE IT for clustered
-    corpora — real embeddings, near-duplicate-heavy data — where the
-    M-nearest trim lets tight clusters capture every edge slot: at 1M
-    64-component mixture vectors (content-sharded, nprobe 27/439) the
-    measured ladder is recall@10 0.822 → 0.974 AND 1.8× FASTER search
-    (8.5s → 4.7s/500q; diverse edges prune better) for 3.4× build cost
-    (57s → 193s). Same shape at 50k: 0.830 → 1.000. (NOTES r5.)
+    ``neighbor_heuristic``: Algorithm 4 neighbor selection
+    (direction-diverse edges), DEFAULT ON since r9: the reference's
+    plain M-nearest trim (connect_bidir) provably strands nodes on
+    clustered / near-duplicate data — a tight cluster captures every
+    edge slot and partitions layer 0 into unreachable islands, silently
+    breaking self-recall (three observed instances; Hypothesis
+    counterexample pinned in tests/test_properties.py where layer 0
+    reached 10 of 21 nodes). The reference's own flagship test
+    (hawk_searcher.rs:441-479) IS a self-recall guarantee; honoring it
+    on adversarial inputs requires the heuristic. Measured trade at 1M
+    64-component mixture vectors (content-sharded, nprobe 27/439):
+    recall@10 0.822 → 0.974 AND 1.8× FASTER search (8.5s → 4.7s/500q;
+    diverse edges prune better) for extra build cost (r5: 3.4×; r9's
+    vectorized forward-domination selection cuts that — see NOTES r9).
+    Same shape at 50k: 0.830 → 1.000. Pass False for strict reference
+    connect_bidir parity (uniform-ish, cluster-free data only).
 
     ``assignments`` ((id, shard) rows, e.g. the k-means clusters of
     ``similarity.ivf_build``) switches sharding from id-hash to CONTENT:
@@ -299,7 +305,7 @@ def rebuild_shards(
     metric: str = "l2_sq",
     params: HawkParams = DEFAULT_PARAMS,
     seed: int = 42,
-    neighbor_heuristic: bool = False,
+    neighbor_heuristic: bool = True,
 ) -> DataFrame:
     """Rebuild the named shards' graphs FROM THEIR PAYLOADS, leaving
     every other shard untouched — the periodic maintenance step that
@@ -845,7 +851,7 @@ def insert_batch(
     vec_col: str = "embedding",
     seed: int = 42,
     match_threshold: float | None = None,
-    neighbor_heuristic: bool = False,
+    neighbor_heuristic: bool = True,
     serving_gate: bool = False,
     centroids: list | None = None,
     touched_out: dict | None = None,

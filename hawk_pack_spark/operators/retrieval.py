@@ -192,6 +192,13 @@ def boolean_retrieval(
     to the per-query must-counts. The corpus never shuffles more than
     once and never crosses with the query set; NOT is decided by a
     count in the same aggregate, not a separate anti-join pass.
+
+    A query needs at least one positive (must/any) term: docs enter the
+    aggregate only by matching SOME query term, so a NOT-only query can
+    never mean "all docs lacking the not terms" here — it raises at
+    execution time instead of silently returning nothing. Duplicate
+    terms inside ``must`` are fine: the match count compares against
+    the DISTINCT must-term count (the exploded terms are deduped).
     """
     q = queries.select(
         F.col(query_id).alias("_qid"),
@@ -201,8 +208,18 @@ def boolean_retrieval(
     )
     need = q.select(
         "_qid",
-        F.size("_must").alias("_n_must"),
+        # postings hits are deduped below, so the target count must be
+        # the DISTINCT must-term count — with F.size a repeated must
+        # term made _m == _n_must unsatisfiable (ADVICE r8)
+        F.size(F.array_distinct("_must")).alias("_n_must"),
         (F.size("_any") > 0).alias("_has_any"),
+    ).where(
+        F.assert_true(
+            (F.size("_must") + F.size("_any")) > 0,
+            "boolean_retrieval: query has no positive (must/any) terms — "
+            "NOT-only queries are unsupported (docs matching no query "
+            "term never enter the aggregate)",
+        ).isNull()
     )
     terms = q.select(
         "_qid", F.explode("_must").alias("term"), F.lit("must").alias("_kind")

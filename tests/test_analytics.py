@@ -124,11 +124,11 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
 def test_weighted_sample_matches_local_reference(spark):
     rows = [(i, float(i % 13 + 1)) for i in range(1, 501)]
     df = spark.createDataFrame(rows, "id long, w double")
-    mult, mod = 2654435761, 4294967291
+    mult, mod, premod = 2654435761, 4294967291, 2147483647
     keyed = sorted(
         rows,
         key=lambda r: (
-            -math.log(((r[0] * mult) % mod + 1) / (mod + 1)) / r[1],
+            -math.log((((r[0] % premod) * mult) % mod + 1) / (mod + 1)) / r[1],
             r[0],
         ),
     )

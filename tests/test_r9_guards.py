@@ -1,0 +1,106 @@
+"""Round-9 guard regressions (ADVICE r8): boolean_retrieval duplicate
+must terms + NOT-only raise, apply_changes op-domain raise,
+trend_slopes overflow raise, sampler hash at >2^31 ids."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_boolean_retrieval_repeated_must_term_matches(spark):
+    """A repeated term in `must` used to make _m == size(must)
+    unsatisfiable — the query silently returned no rows."""
+    from hawk_pack_spark.operators.retrieval import boolean_retrieval
+
+    postings = spark.createDataFrame(
+        [(1, "apple"), (1, "pie"), (2, "apple")], "doc_id long, term string"
+    )
+    q = spark.createDataFrame(
+        [(10, ["apple", "apple", "pie"], [], [])],
+        "query_id long, must array<string>, any array<string>, none array<string>",
+    )
+    got = {(r.query_id, r.doc_id) for r in boolean_retrieval(postings, q).collect()}
+    assert got == {(10, 1)}
+
+
+def test_boolean_retrieval_not_only_query_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from hawk_pack_spark.operators.retrieval import boolean_retrieval
+
+    postings = spark.createDataFrame(
+        [(1, "apple")], "doc_id long, term string"
+    )
+    q = spark.createDataFrame(
+        [(10, [], [], ["apple"])],
+        "query_id long, must array<string>, any array<string>, none array<string>",
+    )
+    with pytest.raises(Exception, match="no positive"):
+        boolean_retrieval(postings, q).collect()
+
+
+def test_apply_changes_rejects_unknown_op(spark):
+    from hawk_pack_spark.operators.diff import apply_changes
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    # op='update' (a typo for upsert) used to silently DELETE key 1
+    changes = spark.createDataFrame(
+        [(1, "a2", "update")], "k long, v string, op string"
+    )
+    with pytest.raises(Exception, match="upsert"):
+        apply_changes(snap, changes, ["k"]).collect()
+
+
+def test_trend_slopes_overflow_raises_not_null(spark):
+    from hawk_pack_spark.operators.analytics import trend_slopes
+
+    # two x values near int64 max: x^2 ~ 8.1e37 each fits decimal(38,0),
+    # but their SUM (1.6e38) overflows -> NULL _sxx, which used to yield
+    # NULL slope silently
+    df = spark.createDataFrame(
+        [("g", 9_000_000_000_000_000_000, 1), ("g", 8_999_999_999_999_999_999, 2)],
+        "g string, x long, y long",
+    )
+    with pytest.raises(Exception, match="overflow"):
+        trend_slopes(df, ["g"], F.col("x"), F.col("y")).collect()
+
+
+def test_trend_slopes_unchanged_on_sane_input(spark):
+    from hawk_pack_spark.operators.analytics import trend_slopes
+
+    df = spark.createDataFrame(
+        [("g", 0, 1), ("g", 1, 3), ("g", 2, 5)], "g string, x long, y long"
+    )
+    row = trend_slopes(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert row.n == 3 and row.slope == 2.0 and row.intercept == 1.0
+
+
+def test_weighted_sample_ids_past_2_31_stay_valid(spark):
+    """ids > 3.47e9 used to overflow id*mult into a negative key (ANSI
+    off wraps silently); the pre-reduction keeps every key in range and
+    the draw deterministic."""
+    from hawk_pack_spark.operators.analytics import weighted_sample
+
+    base = 5_000_000_000  # > 2^32
+    df = spark.range(base, base + 1000).select(
+        F.col("id"), F.lit(1.0).alias("w")
+    )
+    s1 = [r.id for r in weighted_sample(df, 20, "id", "w").collect()]
+    s2 = [r.id for r in weighted_sample(df, 20, "id", "w").collect()]
+    assert s1 == s2 and len(s1) == 20
+    assert all(base <= i < base + 1000 for i in s1)
+
+
+def test_token_budget_ids_past_2_31_stay_valid(spark):
+    from hawk_pack_spark.functions.curation import sample_to_token_budget
+
+    base = 6_000_000_000
+    docs = spark.range(base, base + 50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("src").alias("source"),
+        F.lit("three token text").alias("text"),
+    )
+    kept = sample_to_token_budget(docs, 30, "source", "doc_id", "text").collect()
+    assert len(kept) == 10  # 3 tokens each, budget 30
+    assert all(r.cum_tokens <= 30 for r in kept)
