@@ -448,17 +448,20 @@ def bench_ann_1m(spark) -> None:
     cents = hnsw.shard_centroids(index, "l2_sq").collect()
     record("ann1m_centroids", time.perf_counter() - t0)
 
-    # 2 reps for the searches at this scale: heap-resident-index GC and
-    # page-cache state put 1.5-2x run-to-run spread on n=1 rows (r5's
-    # unexplained 8.1->13.7 blas drift was exactly this); the median of
-    # 2 close samples — or the visible spread when they differ — makes
-    # the rows attributable. Builds stay n=1 (CPU-bound, stable).
+    # 3 reps for the searches at this scale (VERDICT r8 #2: r8's n=2
+    # medians disagreed up to 5x between the round's own two published
+    # runs — ann1m_exact_blas 3.05 vs 15.2s — weak evidence either way):
+    # heap-resident-index GC and page-cache state put large run-to-run
+    # spread on small-n rows; a median of 3 is robust to ONE disturbed
+    # sample, and rows whose spread still exceeds 3x are SUPPRESSED from
+    # the published medians (main()), not just flagged. Builds stay n=1
+    # (CPU-bound, stable).
     # the dispatch contrast is sampled back-to-back with the serving row
     # it must track: ~30s apart the JVM's GC/page-cache state drifts
     # more than the ~0.3s routing overhead being measured
     slim = vecs.select("vec_id", F.col("embedding").alias("vec"))
     dispatch_samples = []
-    for _ in range(2):
+    for _ in range(3):
         timed(
             f"ann1m_exact_blas_{n_queries}q",
             lambda: l2_topk_numpy(vecs, queries, k=10).count(),
@@ -492,7 +495,7 @@ def bench_ann_1m(spark) -> None:
     # over the batch; the serving floor is the Arrow scan of probed shards
     q50 = queries.limit(50).localCheckpoint()
     q50.count()
-    for _ in range(2):
+    for _ in range(3):
         timed(
             "ann1m_exact_blas_50q",
             lambda: l2_topk_numpy(vecs, q50, k=10).count(),
@@ -508,7 +511,7 @@ def bench_ann_1m(spark) -> None:
     # winning path itself — the 50-query case must track the BLAS row
     # (not the 3.4x-slower serving row), the 500-query case the serving
     # row (recorded under contrasts: its work duplicates the row above)
-    for _ in range(2):
+    for _ in range(3):
         timed(
             "ann1m_dispatch_50q",
             lambda: hnsw.ann_search(
@@ -678,11 +681,41 @@ def main() -> None:
         bench_ann_1m(spark)
     calibrate("end")
 
-    queries = {k: round(statistics.median(v), 2) for k, v in SAMPLES.items()}
+    # refuse-to-publish (VERDICT r8 #2): a multi-sample row still
+    # spreading >3x AFTER the self-heal pass was measured under
+    # interference no median can repair — publishing a number would
+    # support whichever conclusion the reader wants. Such rows move to
+    # `suppressed` (samples visible, no median) and leave every total.
+    def _unstable(v: list) -> bool:
+        if len(v) < 2 or min(v) <= 0 or max(v) <= CONTENTION_MIN_SEC:
+            return False
+        if max(v) / min(v) <= CONTENTION_RATIO:
+            return False
+        if len(v) >= 3:
+            # one disturbed sample among >=3 is what the self-heal and
+            # the median already absorb — suppress only if the spread
+            # survives dropping the single worst sample
+            rest = sorted(v)[:-1]
+            return (
+                max(rest) > CONTENTION_MIN_SEC
+                and max(rest) / min(rest) > CONTENTION_RATIO
+            )
+        return True
+
+    suppressed = {
+        k: [round(x, 3) for x in v]
+        for k, v in SAMPLES.items()
+        if _unstable(v)
+    }
+    queries = {
+        k: round(statistics.median(v), 2)
+        for k, v in SAMPLES.items()
+        if k not in suppressed
+    }
     spread = {
         k: [round(min(v), 3), round(max(v), 3), len(v)]
         for k, v in SAMPLES.items()
-        if len(v) > 1
+        if len(v) > 1 and k not in suppressed
     }
     # the r01 headline intersection: queries benched identically in both
     # rounds, so the judge can compare round-over-round without the
@@ -725,6 +758,7 @@ def main() -> None:
             max(c["matmul_ms"] for c in CALIBRATION),
         ] if CALIBRATION else [],
         "contended": contended,
+        "suppressed": suppressed,
         "collected_total": round(sum(collected.values()), 3),
         "queries_collected": collected,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

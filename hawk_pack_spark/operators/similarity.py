@@ -172,11 +172,24 @@ def knn_join(
     vec_col: str = "embedding",
     seed: int = 42,
     fit_fraction: float | None = None,
+    n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Blocked k-NN SELF-join: every vector's top-k nearest neighbors
     (self excluded) — the kNN-graph builder behind SemDeDup clustering,
     diversity sampling, and graph-based label propagation. Returns
     (query_id, vec_id, dist, rank).
+
+    Driver actions (VERDICT r8 #3): auto-sizing ``n_clusters``/
+    ``fit_fraction`` needs the corpus size — when both are defaulted
+    AND ``n_rows`` is not given, ONE ``count()`` job runs before any
+    work (at 100 TB that is a full scan; it is the documented price of
+    auto-sizing). Pass ``n_rows`` (exact or approximate — it only
+    sizes cells) or explicit ``n_clusters``+``fit_fraction`` to make
+    the default path job-free. Likewise ``dim``: the unrolled-codegen
+    distance fold needs the vector width; without the hint one
+    ``first()`` row probe sniffs it (Spark array columns carry no
+    length in-schema).
 
     Scale shape: unlike ivf_search (small query batch → probes
     broadcast), BOTH sides here are corpus-sized, so the candidate
@@ -212,7 +225,7 @@ def knn_join(
     knn_exact stays the right tool below ~10k rows.
     """
     if n_clusters is None or fit_fraction is None:
-        n = vectors.count()
+        n = n_rows if n_rows is not None else vectors.count()
         if n_clusters is None:
             n_clusters = max(16, n // 250)
         if fit_fraction is None and n > 25_000:
@@ -227,8 +240,9 @@ def knn_join(
     # unrolled codegen fold is ~12x the higher-order-function fold at
     # IDENTICAL bit-level results (measured, NOTES r8) — fall back to
     # the HOF expression for exotic metrics
-    first = vectors.select(vec_col).first()
-    dim = len(first[0]) if first and first[0] is not None else None
+    if dim is None:
+        first = vectors.select(vec_col).first()
+        dim = len(first[0]) if first and first[0] is not None else None
 
     def _dist(a, b):
         if metric == "l2_sq" and dim:

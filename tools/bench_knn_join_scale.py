@@ -4,11 +4,14 @@ per-point candidate work is CONSTANT and total work should scale
 ~linearly — the 100 TB contract stated in the docstring, measured here).
 
 Usage: python tools/bench_knn_join_scale.py [sizes...]  (default 25000
-50000 100000). Synthetic seeded vectors (64-d, mixture of 32 Gaussian
+50000 100000). KNN_JOIN_ROUNDS overrides descent_rounds (default 1) —
+the r8 verdict's designed recall lever for the drift at 200k.
+Synthetic seeded vectors (64-d, mixture of 32 Gaussian
 clusters + iid noise — harder than pure clusters, kinder than pure iid).
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -34,10 +37,12 @@ def make_vectors(spark, n: int, dim: int = 64, seed: int = 7):
 
 def main() -> None:
     sizes = [int(s) for s in sys.argv[1:]] or [25_000, 50_000, 100_000]
+    rounds = int(os.environ.get("KNN_JOIN_ROUNDS", "1"))
     spark = get_spark("knn-join-ladder", shuffle_partitions=128)
     spark.sparkContext.setLogLevel("ERROR")
     from pyspark.sql import functions as F
 
+    print(f"descent_rounds={rounds}")
     print("n, n_clusters, build+join_sec, recall@10(64 anchors)")
     for n in sizes:
         vecs = make_vectors(spark, n)
@@ -53,7 +58,10 @@ def main() -> None:
             eager=True
         )
         t0 = time.perf_counter()
-        g = knn_join(vecs, k=10, nprobe=6, replicas=2, descent_rounds=1)
+        g = knn_join(
+            vecs, k=10, nprobe=6, replicas=2, descent_rounds=rounds,
+            n_rows=n, dim=64,
+        )
         g.count()
         dt = time.perf_counter() - t0
         hit = g.join(
