@@ -614,3 +614,92 @@ def scd2(
         F.col(vf).alias("valid_from"),
         F.lead(vf).over(w2).alias("valid_to"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 10,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-key rolling EXACT median of the trailing ``window_rows``
+    rows (current row inclusive) — the robust smoother for monitoring
+    feeds where one spike should not drag a mean. Appends
+    ``rolling_median`` to the input rows.
+
+    Bit-deterministic across engines: values are captured as integer
+    cents (round(v·10^decimals)), and both Spark's `percentile` and
+    DuckDB's `median` interpolate the even-count middle as (a+b)/2 of
+    exact integers in double — identical at every boundary. The output
+    is med/10^decimals with NO rounding: IEEE-754 division of
+    identical doubles is bit-deterministic across engines, while
+    ROUND implementations are not (the catalog float discipline).
+
+    ONE shuffle (the per-key window sort); state per row is the
+    trailing ``window_rows`` frame, bounded by construction — no
+    group ever materializes whole beyond the sort Spark already does.
+    ``order_cols`` must include a unique tiebreak (the sessionization
+    lesson: a ts-only order is nondeterministic under ties).
+    """
+    unit = 10 ** decimals
+    c = F.round(F.col(value_col) * unit).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(o).asc() for o in order_cols])
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    med = F.percentile(F.col("_c"), F.lit(0.5)).over(w)
+    return (
+        df.withColumn("_c", c)
+        .withColumn("rolling_median", med / unit)
+        .drop("_c")
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-group ROBUST outlier flag: |v − median| > k · MAD, where
+    MAD is the median absolute deviation — immune to the masking that
+    breaks z-scores when the outliers themselves inflate σ (a planted
+    10× spike raises stddev enough to hide a 5× one; the median
+    moves by at most one rank). Returns the flagged input rows.
+
+    Exactness: values are integer cents; medians come from the EXACT
+    `percentile` aggregate (not approx_percentile), so deviations are
+    exact integers-or-half-integers in double and the k·MAD boundary
+    comparison is engine-identical. MAD is inherently two-pass
+    (deviations need the median first): two shuffles on the same
+    group key, each carrying (key, cents) only — at 100 TB both
+    passes are plain partial-aggregated groupBys, and the per-group
+    state of `percentile` is value-distinct-bounded (cents over a
+    monitoring envelope), the same envelope zscore_outliers documents.
+    """
+    unit = 10 ** decimals
+    c = F.round(F.col(value_col) * unit).cast("long")
+    vals = df.select(*keys, c.alias("_c"))
+    med = vals.groupBy(*keys).agg(
+        F.percentile(F.col("_c"), F.lit(0.5)).alias("_med")
+    )
+    mad = (
+        vals.join(med, list(keys))
+        .select(*keys, F.abs(F.col("_c") - F.col("_med")).alias("_dev"))
+        .groupBy(*keys)
+        .agg(F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad"))
+    )
+    stats = med.join(mad, list(keys))
+    return (
+        df.withColumn("_c", c)
+        .join(stats, list(keys))
+        .where(
+            (F.col("_mad") > 0)
+            & (F.abs(F.col("_c") - F.col("_med")) > F.lit(k) * F.col("_mad"))
+        )
+        .drop("_c", "_med", "_mad")
+    )

@@ -151,3 +151,89 @@ def tfidf_top_terms(
     return topk_rows(
         scored, ["doc_id"], "score", k, ascending=False, tie_cols=["term"]
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    min_pairs: int = 5,
+    max_terms_per_doc: int = 128,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k token pairs by pointwise mutual information over
+    document-level co-occurrence: pmi(a,b) = ln(n_ab · N / (n_a · n_b))
+    with counts at doc granularity — the collocation/phrase-mining
+    primitive ("new york" scores high, "the of" scores ~0) behind
+    vocabulary curation and phrase-aware tokenization. Returns
+    (term_a, term_b, n_ab, n_a, n_b, pmi, rank), term_a < term_b.
+
+    Scale shape: distinct (doc, term) postings [one shuffle]; a
+    per-doc term CAP (``max_terms_per_doc``, kept by in-doc frequency
+    desc / term asc — deterministic and identically expressible in the
+    oracle) bounds the pair fan-out at cap²/2 per doc, which is what
+    keeps the self-equi-join ON DOC linear in the corpus instead of
+    quadratic in document length; pair counts and term doc-frequencies
+    are partial-aggregated groupBys; N is a 1-row aggregate crossJoined
+    in. The global top-k is a TakeOrdered (no full sort). Same
+    candidate-bounding doctrine as minhash banding and the knn_join
+    cell cap: the cap is the documented price of linearity, and rare
+    high-PMI pairs below ``min_pairs`` are noise by construction
+    (PMI's known low-count pathology).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_d"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("_d", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_d").orderBy(
+        F.col("_tf").desc(), F.col("term").asc()
+    )
+    capped = (
+        tf.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_terms_per_doc)
+        .select("_d", "term")
+    )
+    n_docs = docs.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("_n_docs")
+    )
+    df_t = capped.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    a = capped.select("_d", F.col("term").alias("term_a"))
+    b = capped.select("_d", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "_d")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs)
+    )
+    da = df_t.select(F.col("term").alias("term_a"), F.col("_df").alias("n_a"))
+    db = df_t.select(F.col("term").alias("term_b"), F.col("_df").alias("n_b"))
+    pmi = F.round(
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.col("_n_docs")
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        ),
+        6,
+    )
+    scored = (
+        pairs.join(da, "term_a")
+        .join(db, "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select("term_a", "term_b", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+    )
+    ranked = scored.orderBy(
+        F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    ).limit(k)
+    from pyspark.sql import Window as _W
+
+    return ranked.withColumn(
+        "rank",
+        F.row_number().over(
+            _W.orderBy(
+                F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+            )
+        ),
+    )

@@ -307,3 +307,66 @@ def item_similarity(
     return topk_rows(
         scored, ["item"], "sim", k, ascending=False, tie_cols=["other"]
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Market-basket association rules A → B from pairwise
+    co-occurrence: support n_ab, confidence n_ab / n_a, and lift
+    confidence / (n_b / n_baskets) — the classic "customers who bought
+    A also bought B" mining, directional (both orientations of each
+    qualifying pair are emitted). Returns (antecedent, consequent,
+    n_ab, n_a, n_b, confidence, lift).
+
+    Scale shape: builds on copurchase_pairs (per-basket bounded
+    fan-out, one wide shuffle); item supports are ONE more groupBy of
+    the same distinct (basket, item) projection; the total basket
+    count is a 1-row aggregate crossJoined in (never a driver
+    action). Nothing is quadratic in the item count; hot items are
+    AQE skew territory exactly like the pair mining. Confidence and
+    lift are single double divisions of exact integers, rounded at
+    the output (the catalog parity discipline).
+    """
+    pairs = copurchase_pairs(df, basket_col, item_col, min_support)
+    t = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    deg = t.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+    total = t.select("_b").distinct().agg(
+        F.count(F.lit(1)).alias("_n_baskets")
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("n_baskets").alias("n_ab"),
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            F.col("n_baskets").alias("n_ab"),
+        )
+    )
+    da = deg.select(F.col("_i").alias("antecedent"), F.col("_n").alias("n_a"))
+    db = deg.select(F.col("_i").alias("consequent"), F.col("_n").alias("n_b"))
+    conf = F.col("n_ab").cast("double") / F.col("n_a")
+    lift = conf / (F.col("n_b").cast("double") / F.col("_n_baskets"))
+    return (
+        sym.join(da, "antecedent")
+        .join(db, "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .where(F.col("confidence") >= F.lit(min_confidence))
+    )

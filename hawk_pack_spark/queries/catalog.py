@@ -6983,6 +6983,149 @@ WHERE rn <= 5
 """
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules A→B (graph.association_rules) over per-user
+    event-type baskets ("users who view also click"):
+    support/confidence/lift from ONE pair-mining shuffle plus two
+    degree joins and a broadcast 1-row basket total — nothing
+    quadratic in the item count, no driver action. (TPC-H part
+    baskets are key-uniform by construction — every rule's confidence
+    is ~1/|parts|, an empty result at any threshold — so the events
+    table is the fixture with real co-occurrence structure.)
+    Data-level: every qualifying rule row."""
+    from hawk_pack_spark.operators.graph import association_rules
+
+    ev = load_table(spark, "events", sf_dir)
+    return association_rules(
+        ev, "user_id", "event_type", min_support=2, min_confidence=0.5
+    )
+
+
+BASKET_RULES_SQL = """
+WITH t AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+pairs AS (
+  SELECT a.i AS item_a, bb.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM t a JOIN t bb ON a.b = bb.b AND a.i < bb.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+tot AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM t),
+sym AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_ab FROM pairs
+  UNION ALL SELECT item_b, item_a, n_ab FROM pairs)
+SELECT antecedent, consequent, n_ab, da.n AS n_a, db.n AS n_b,
+       ROUND(CAST(n_ab AS DOUBLE) / da.n, 6) AS confidence,
+       ROUND((CAST(n_ab AS DOUBLE) / da.n)
+             / (CAST(db.n AS DOUBLE) / tot.n_baskets), 6) AS lift
+FROM sym JOIN deg da ON sym.antecedent = da.i
+         JOIN deg db ON sym.consequent = db.i, tot
+WHERE ROUND(CAST(n_ab AS DOUBLE) / da.n, 6) >= 0.5
+"""
+
+
+def q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10-row EXACT rolling median per event type
+    (analytics.rolling_median): ONE window sort, per-row state bounded
+    by the frame. Integer-cents capture + interpolated middle +
+    round-free IEEE division keep every value engine-identical.
+    Data-level over all event rows."""
+    from hawk_pack_spark.operators.analytics import rolling_median
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    out = rolling_median(
+        ev, ["event_type"], ["ts", "event_id"], "value", window_rows=10
+    )
+    return out.select("event_id", "event_type", "rolling_median")
+
+
+ROLLING_MEDIAN_SQL = """
+SELECT event_id, event_type,
+       median(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) / 100 AS rolling_median
+FROM events
+"""
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier flag via median absolute deviation
+    (analytics.mad_outliers, k=3): immune to the masking that breaks
+    z-scores when the spike itself inflates σ. Two same-key groupBy
+    passes over (key, cents); the k·MAD boundary compares exact
+    half-integer doubles, engine-identical. Data-level."""
+    from hawk_pack_spark.operators.analytics import mad_outliers
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    out = mad_outliers(ev, ["event_type"], "value", k=3.0)
+    return out.select("event_id", "event_type", "value")
+
+
+MAD_OUTLIERS_SQL = """
+WITH v AS (
+  SELECT event_id, event_type, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events),
+med AS (SELECT event_type, median(c) AS m FROM v GROUP BY 1),
+mad AS (
+  SELECT v.event_type, median(ABS(v.c - med.m)) AS md
+  FROM v JOIN med USING (event_type) GROUP BY 1)
+SELECT v.event_id, v.event_type, v.value
+FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE mad.md > 0 AND ABS(v.c - med.m) > 3.0 * mad.md
+"""
+
+
+def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (bm25.pmi_pairs): top-50 token pairs by
+    doc-level pointwise mutual information, per-doc term cap 128 (the
+    pair fan-out bound that keeps the doc self-join linear in the
+    corpus), min co-occurrence 5. Data-level."""
+    from hawk_pack_spark.operators.bm25 import pmi_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pmi_pairs(docs, min_pairs=5, max_terms_per_doc=128, k=50)
+
+
+TOKEN_PMI_SQL = """
+WITH toks AS (
+  SELECT doc_id AS d,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x != '')) AS term
+  FROM documents),
+tf AS (SELECT d, term, COUNT(*) AS _tf FROM toks GROUP BY 1, 2),
+capped AS (
+  SELECT d, term FROM (
+    SELECT d, term,
+           ROW_NUMBER() OVER (PARTITION BY d
+                              ORDER BY _tf DESC, term ASC) AS rn
+    FROM tf)
+  WHERE rn <= 128),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM documents),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS _df
+          FROM capped GROUP BY 1),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM capped a JOIN capped b ON a.d = b.d AND a.term < b.term
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+scored AS (
+  SELECT term_a, term_b, n_ab, da._df AS n_a, db._df AS n_b,
+         ROUND(LN(CAST(n_ab AS DOUBLE) * nd.n_docs
+                  / (CAST(da._df AS DOUBLE) * db._df)), 6) AS pmi
+  FROM pairs JOIN dfreq da ON pairs.term_a = da.term
+             JOIN dfreq db ON pairs.term_b = db.term, nd)
+SELECT term_a, term_b, n_ab, n_a, n_b, pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, term_a, term_b)
+            AS INTEGER) AS rank
+FROM scored
+ORDER BY pmi DESC, term_a, term_b
+LIMIT 50
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -7129,6 +7272,11 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "mmr_diversify_topk": QuerySpec(q_mmr_diversify_topk, MMR_SQL, "MMR diversity re-rank (applyInPandas greedy per query): k picks ⊆ candidates, relevance-argmax first pick, distributed ≡ independent local greedy — invariant row"),
     "tfidf_doc_keywords": QuerySpec(q_tfidf_doc_keywords, TFIDF_KEYWORDS_SQL, "TF-IDF keyword extraction (top-3 terms per doc, postings equi-join + window), data-level"),
     "copurchase_item_sim": QuerySpec(q_copurchase_item_sim, ITEM_SIM_SQL, "item-item cosine recommender (co-occurrence / sqrt degree product, top-5 per item), data-level"),
+    # -- round-9 additions: rule mining, robust statistics, collocations
+    "basket_rules": QuerySpec(q_basket_rules, BASKET_RULES_SQL, "association rules A->B (support/confidence/lift from one pair shuffle, conf >= 0.5), data-level"),
+    "events_rolling_median": QuerySpec(q_events_rolling_median, ROLLING_MEDIAN_SQL, "trailing-10-row exact rolling median per type (one window sort, round-free IEEE parity), data-level"),
+    "events_mad_outliers": QuerySpec(q_events_mad_outliers, MAD_OUTLIERS_SQL, "median-absolute-deviation outlier flag (masking-immune, two same-key passes), data-level"),
+    "token_pmi_pairs": QuerySpec(q_token_pmi_pairs, TOKEN_PMI_SQL, "PMI collocation mining (doc-level co-occurrence, per-doc term cap bounds fan-out), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -7296,6 +7444,9 @@ _DEBUT_ORDER = [
     "jaccard_docs_lossless", "copurchase_communities",
     "top_event_paths", "events_value_ewma", "fk_inclusion_profile",
     "mmr_diversify_topk", "tfidf_doc_keywords", "copurchase_item_sim",
+    # r9 debuts
+    "basket_rules", "events_rolling_median", "events_mad_outliers",
+    "token_pmi_pairs",
 ]
 
 
