@@ -92,3 +92,40 @@ def test_driver_loop_build_quality_vs_kernel(spark):
     # batch-frozen rounds may deviate slightly from serial insertion,
     # but the two designs must be in the same quality class
     assert recalls["dataflow"] >= recalls["kernel"] - 0.1, recalls
+
+
+def test_default_build_full_self_recall_on_clustered_copies(spark):
+    """r9: the DEFAULT build (no flags) must hold complete self-recall
+    on near-duplicate-clustered data — the connectivity pathology that
+    broke the reference-faithful M-nearest trim three times (VERDICT r8
+    #1). Same planted-copies shape as the alg4 catalog row, but
+    exercising the default path a user actually gets."""
+    n_base, copies_per = 60, 5
+    params = HawkParams.new(32, 8, 8)  # small M: the capture-prone regime
+    base = spark.range(n_base).select(
+        F.col("id").alias("bid"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.sin(F.col("id") * i * 0.9 + i * 2.17),
+        ).alias("emb"),
+    )
+    copies = base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(copies_per - 1))).alias("c"),
+        "bid", "emb",
+    ).select(
+        (F.col("bid") * 8 + F.col("c")).alias("vec_id"),
+        F.transform(
+            "emb",
+            lambda x, i: x + F.sin(i.cast("double") * 1.7 + F.col("c")) * 1e-4,
+        ).alias("embedding"),
+    ).localCheckpoint()
+    index = hnsw.build_index(
+        copies, metric="l2_sq", params=params, num_shards=2
+    ).localCheckpoint()
+    q = copies.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    found = hnsw.search(
+        index, q, k=1, metric="l2_sq", params=params, ef_search=48
+    ).where((F.col("query_id") == F.col("vec_id")) & (F.col("dist") == 0))
+    assert found.count() == n_base * copies_per
