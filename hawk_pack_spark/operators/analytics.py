@@ -703,3 +703,313 @@ def mad_outliers(
         )
         .drop("_c", "_med", "_mad")
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: Sequence[str] = (),
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-group time-weighted average (TWAP): Σ(vᵢ·Δtᵢ)/ΣΔtᵢ where
+    Δtᵢ is the seconds the i-th observation was "in force" (until the
+    next observation in the same group). A plain AVG over irregular
+    samples over-weights bursts; TWAP is the standard fix for sensor /
+    market / metric rollups.
+
+    ONE window sort per group for the `lead` + ONE groupBy on the same
+    key — Spark reuses the partitioning, so the operator is one
+    shuffle. Values are captured as exact scaled integers and the
+    weighted sum is an exact decimal(38,0) (guarded against silent
+    NULL-on-overflow, the zscore_outliers discipline); the single
+    final division is the only float op, identical in any engine.
+    The last observation of a group has no successor → zero weight,
+    exactly as in the standard left-continuous step integral.
+    """
+    unit = 10 ** decimals
+    order = list(order_cols) or [ts_col]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    c = F.round(F.col(value_col) * unit).cast("decimal(19,0)")
+    # timestamps carry microseconds: weigh in EXACT integer micros
+    # (unix_micros ≡ DuckDB epoch_us) — a seconds cast would floor on
+    # one engine and round on the other; the unit cancels in the ratio
+    ts_dtype = dict(df.dtypes).get(ts_col, "")
+    t = (
+        F.unix_micros(F.col(ts_col))
+        if ts_dtype.startswith("timestamp")
+        else F.col(ts_col).cast("long")
+    )
+    dt = (F.lead(t).over(w) - t).cast("decimal(19,0)")
+    step = df.select(
+        *keys,
+        (c * dt).cast("decimal(38,0)").alias("_vdt"),
+        dt.alias("_dt"),
+    )
+    agg = step.groupBy(*keys).agg(
+        F.count("_dt").alias("_n"),
+        F.sum("_vdt").cast("double").alias("_svdt"),
+        F.sum("_dt").cast("double").alias("_sdt"),
+    )
+    not_overflowed = ~(
+        (F.col("_n") > 0)
+        & (F.col("_svdt").isNull() | F.col("_sdt").isNull())
+    )
+    agg = agg.where(
+        F.assert_true(
+            not_overflowed,
+            "time_weighted_avg: decimal accumulator overflowed (NULL "
+            "sum over non-null steps) — lower `decimals` or shorten "
+            "the per-group time envelope",
+        ).isNull()
+    )
+    return agg.where(F.col("_sdt") > 0).select(
+        *keys,
+        (F.col("_svdt") / F.col("_sdt") / F.lit(float(unit))).alias("twap"),
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "value_filled",
+) -> DataFrame:
+    """Per-group linear interpolation of missing (NULL) values between
+    the nearest non-null neighbors in sequence order; leading/trailing
+    gaps (no anchor on one side) stay NULL. The sensor-series /
+    feature-backfill companion to gapfill_daily (which fills missing
+    ROWS; this fills missing VALUES).
+
+    Anchors are located with running MAX(CASE WHEN observed THEN rn)
+    windows — the engine-portable rendering of LAST_VALUE IGNORE
+    NULLS — one forward and one reverse pass over the SAME (key,
+    order) sort, so Spark plans ONE shuffle and reuses the sort.
+    The interpolation weight is an exact integer ratio of row offsets;
+    with values captured in integer cents the output is a single
+    float multiply-add per row, engine-identical.
+    """
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_bwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c).desc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    )
+    v = F.col(value_col)
+    base = df.withColumn("_rn", rn).withColumn(
+        "_obs_rn", F.when(v.isNotNull(), F.col("_rn"))
+    )
+    stepped = (
+        base.withColumn("_prev_rn", F.max("_obs_rn").over(w_fwd))
+        .withColumn("_prev_v", F.last(v, ignorenulls=True).over(w_fwd))
+        .withColumn("_next_rn", F.min("_obs_rn").over(w_bwd))
+        .withColumn("_next_v", F.last(v, ignorenulls=True).over(w_bwd))
+    )
+    frac = (
+        (F.col("_rn") - F.col("_prev_rn")).cast("double")
+        / (F.col("_next_rn") - F.col("_prev_rn")).cast("double")
+    )
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            F.col("_prev_rn").isNotNull() & F.col("_next_rn").isNotNull(),
+            F.col("_prev_v")
+            + (F.col("_next_v") - F.col("_prev_v")) * frac,
+        )
+    )
+    return stepped.withColumn(out_col, filled).drop(
+        "_rn", "_obs_rn", "_prev_rn", "_prev_v", "_next_rn", "_next_v"
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """2-D skyline (Pareto frontier), minimizing both dimensions: the
+    distinct (x, y) pairs not dominated by any other pair (a dominates
+    b iff a.x ≤ b.x ∧ a.y ≤ b.y with at least one strict). The classic
+    price/size trade-off query (Börzsönyi et al., ICDE'01) — naive
+    form is an O(n²) NOT-EXISTS self-join; this is the sort-based
+    linear form.
+
+    Shape: dedupe to distinct pairs, keep the min-y per x (same-x
+    domination), then ONE global sort by x with a running strict min
+    of y over preceding x's — a pair survives iff its y beats every
+    y at a smaller x. The global window is over the post-aggregation
+    pair set (≤ |distinct x|), not the corpus; at 100 TB the corpus
+    never leaves its partitions except the (x, min y) reduction.
+    ``extra_cols`` are carried via a semi-join of the frontier back
+    onto the distinct input projection.
+    """
+    pairs = (
+        df.select(
+            F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+        )
+        .groupBy("_x")
+        .agg(F.min("_y").alias("_y"))
+    )
+    w = (
+        Window.orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        pairs.withColumn("_prev_min_y", F.min("_y").over(w))
+        .where(
+            F.col("_prev_min_y").isNull()
+            | (F.col("_y") < F.col("_prev_min_y"))
+        )
+        .select(
+            F.col("_x").alias(x_col), F.col("_y").alias(y_col)
+        )
+    )
+    if not extra_cols:
+        return frontier
+    proj = df.select(x_col, y_col, *extra_cols).dropDuplicates()
+    return proj.join(F.broadcast(frontier), [x_col, y_col], "leftsemi")
+
+
+def cusum_flags(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    allowance: float,
+    threshold: float,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-group one-sided CUSUM change-point flags (Page 1954): flag
+    the rows where S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (vᵢ − μ − allowance)) exceeds
+    `threshold`, with μ the group mean — the standard sequential
+    detector for a sustained upward level shift (the symmetric
+    downward side is the same call on −v).
+
+    The recurrence LOOKS sequential, but max(0, ·) prefix recursion
+    has a closed window form: with cᵢ = vᵢ − μ − allowance and
+    Cᵢ = Σc₁..cᵢ, S⁺ᵢ = Cᵢ − min(0, C₁..Cᵢ₋₁ minimum) — a cumulative
+    sum minus a running minimum, TWO passes over ONE (key, order)
+    window sort. All state is exact integer cents scaled by the group
+    size (μ = Σv/n is kept as the exact pair (Σv, n): comparisons are
+    done on n-scaled integers so no float division ever enters the
+    flag decision — the gate is bit-deterministic in any engine).
+    One groupBy for (Σv, n) + one window pass: two shuffles total.
+    """
+    unit = 10 ** decimals
+    c = F.round(F.col(value_col) * unit).cast("decimal(19,0)")
+    vals = df.withColumn("_c", c)
+    stats = vals.groupBy(*keys).agg(
+        F.sum("_c").cast("decimal(38,0)").alias("_sv"),
+        F.count("_c").alias("_n"),
+    )
+    not_overflowed = ~((F.col("_n") > 0) & F.col("_sv").isNull())
+    stats = stats.where(
+        F.assert_true(
+            not_overflowed,
+            "cusum_flags: decimal sum overflowed — lower `decimals`",
+        ).isNull()
+    )
+    # n-scaled integer step: n·cᵢ = n·vᵢ − Σv − n·allowance (exact)
+    joined = vals.join(F.broadcast(stats), list(keys))
+    step = (
+        (F.col("_c") * F.col("_n")).cast("decimal(38,0)")
+        - F.col("_sv")
+        - F.round(F.lit(allowance) * unit).cast("decimal(19,0)")
+        * F.col("_n")
+    ).cast("decimal(38,0)")
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c_) for c_ in order_cols]
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("_step").over(w)
+    with_cum = joined.withColumn("_step", step).withColumn("_cum", cum)
+    # S⁺ᵢ = Cᵢ − min(0, C₁..Cᵢ) — including Cᵢ itself in the running
+    # min makes the closed form exact for EVERY row (max(0,·) clamps
+    # to 0 exactly when Cᵢ is the new minimum), not only flagged ones.
+    run_min = F.least(
+        F.lit(0).cast("decimal(38,0)"),
+        F.min("_cum").over(w_run),
+    )
+    s_plus = F.col("_cum") - run_min
+    thresh = (
+        F.round(F.lit(threshold) * unit).cast("decimal(38,0)")
+        * F.col("_n")
+    )
+    return (
+        with_cum.withColumn("_s_plus", s_plus)
+        .where(F.col("_s_plus") > thresh)
+        .withColumn(
+            "cusum",
+            (
+                F.col("_s_plus").cast("double")
+                / F.col("_n").cast("double")
+                / F.lit(float(unit))
+            ),
+        )
+        .drop("_c", "_sv", "_n", "_step", "_cum", "_s_plus")
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-group Gini concentration coefficient over non-negative
+    values (revenue-concentration / load-imbalance profiling):
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ ascending, i = 1..n —
+    0 = perfectly even, →1 = one member holds everything.
+
+    ONE window sort per group (the ascending rank) + ONE groupBy on
+    the same key. Accumulators are exact decimal(38,0) over integer
+    cents (rank·cents stays well under 2^127 for any gated SF;
+    silent-NULL overflow guarded as everywhere); the two final
+    divisions are the only float ops. Ties get deterministic ranks
+    (value, then input order is irrelevant: Σ i·xᵢ over tied equal
+    values is permutation-invariant, so ANY total order yields the
+    same G — documented so the missing tiebreak is provably safe).
+    """
+    unit = 10 ** decimals
+    c = F.round(F.col(value_col) * unit).cast("decimal(19,0)")
+    w = Window.partitionBy(*keys).orderBy(F.col("_c"))
+    ranked = df.select(*keys, c.alias("_c")).withColumn(
+        "_i", F.row_number().over(w).cast("decimal(19,0)")
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count("_c").alias("_n"),
+        F.sum("_c").cast("decimal(38,0)").alias("_sx"),
+        F.sum((F.col("_i") * F.col("_c")).cast("decimal(38,0)")).alias(
+            "_six"
+        ),
+    )
+    not_overflowed = ~(
+        (F.col("_n") > 0)
+        & (F.col("_sx").isNull() | F.col("_six").isNull())
+    )
+    agg = agg.where(
+        F.assert_true(
+            not_overflowed,
+            "gini_concentration: decimal accumulator overflowed — "
+            "lower `decimals`",
+        ).isNull()
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("_six")
+        - (F.col("_n") + 1).cast("decimal(38,0)") * F.col("_sx")
+    )
+    den = F.col("_n").cast("decimal(38,0)") * F.col("_sx")
+    return agg.where(F.col("_sx") > 0).select(
+        *keys,
+        F.col("_n").cast("bigint").alias("n_members"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )

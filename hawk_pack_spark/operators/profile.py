@@ -195,3 +195,61 @@ def inclusion_profile(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def group_entropy(
+    df: DataFrame,
+    keys,
+    cat_col: str,
+) -> DataFrame:
+    """Categorical dispersion profile per group: Shannon entropy
+    (nats), normalized entropy (÷ ln of the category count), and Gini
+    impurity of `cat_col`'s distribution — the label-skew /
+    domain-mix diagnostics a curation pipeline checks before and
+    after sampling (a domain whose entropy collapsed was over-pruned).
+
+    Shape: ONE (key, category) count reduction, then ONE same-key
+    groupBy — map-side partial aggregation on both, group state
+    bounded by the category count, no driver action. Float
+    discipline: category counts are exact; Gini impurity
+    1 − Σcᵢ²/n² uses an exact integer Σc² (one final division);
+    entropy needs Σ cᵢ·ln cᵢ, which is folded over the CATEGORY-SORTED
+    count list (`aggregate` over `array_sort(collect_list(...))`) so
+    the IEEE addition order is deterministic and engine-identical —
+    never a shuffle-order float sum — and the result is rounded to
+    6 dp on both engines (the repo's LN-parity envelope, as in PMI).
+    """
+    keys = list(keys)
+    counts = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(*keys, F.col(cat_col).alias("_cat"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    grouped = counts.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum("_c").cast("bigint").alias("n_rows"),
+        F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_ss"),
+        F.array_sort(F.collect_list(F.struct("_cat", "_c"))).alias("_l"),
+    )
+    clnc = F.aggregate(
+        "_l",
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["_c"].cast("double") * F.log(x["_c"].cast("double")),
+    )
+    n = F.col("n_rows").cast("double")
+    h = F.log(n) - clnc / n
+    return grouped.select(
+        *keys,
+        "n_categories",
+        "n_rows",
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(F.col("n_categories") > 1, h / F.log(F.col("n_categories").cast("double")))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("norm_entropy"),
+        F.round(
+            F.lit(1.0) - F.col("_ss").cast("double") / (n * n), 6
+        ).alias("gini_impurity"),
+    )

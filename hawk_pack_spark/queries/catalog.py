@@ -7126,6 +7126,304 @@ LIMIT 50
 """
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (bloomjoin.bloom_semi_join):
+    prune lineitem against the URGENT-order key set with a broadcast
+    bit array (~10 bits/key — broadcastable where a 100M-key hash set
+    is not), then verify exactly over the survivors only. The oracle
+    is the PLAIN semi-join: the operator's whole contract is that the
+    probabilistic phase changes nothing. Data-level over every
+    surviving lineitem row."""
+    from hawk_pack_spark.operators.bloomjoin import bloom_semi_join
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    out = bloom_semi_join(li, orders, "l_orderkey", "o_orderkey")
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+BLOOM_SEMI_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user categorical dispersion of event_type
+    (profile.group_entropy): Shannon entropy, normalized entropy, Gini
+    impurity — the domain-mix diagnostics run before/after sampling.
+    Entropy's float sum folds over the CATEGORY-SORTED count list on
+    both engines (deterministic IEEE order, the repo's no-shuffle-
+    order-float-sums discipline); Gini impurity divides an exact
+    integer Σc². Data-level, one row per user."""
+    from hawk_pack_spark.operators.profile import group_entropy
+
+    ev = load_table(spark, "events", sf_dir)
+    return group_entropy(ev, ["user_id"], "event_type")
+
+
+GROUP_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+g AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_categories,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(SUM(n * n) AS BIGINT) AS ss,
+         list(CAST(n AS DOUBLE) ORDER BY event_type) AS l
+  FROM c GROUP BY 1),
+h AS (
+  SELECT *,
+         LN(n_rows) - list_reduce(list_transform(l, x -> x * LN(x)),
+                                  (a, b) -> a + b) / n_rows AS ent
+  FROM g)
+SELECT user_id, n_categories, n_rows,
+       ROUND(ent, 6) AS entropy,
+       CASE WHEN n_categories > 1
+            THEN ROUND(ent / LN(CAST(n_categories AS DOUBLE)), 6)
+            ELSE 0.0 END AS norm_entropy,
+       ROUND(1.0 - CAST(ss AS DOUBLE)
+                   / (CAST(n_rows AS DOUBLE) * n_rows), 6)
+         AS gini_impurity
+FROM h
+"""
+
+
+def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile (analytics.gini_concentration):
+    Gini coefficient of per-customer total spend within each nation —
+    0 = spend spread evenly, →1 = one whale. One groupBy for spend
+    cents, one ranked window + groupBy per nation; exact decimal
+    accumulators, two final float divisions. Data-level, one row per
+    nation."""
+    from hawk_pack_spark.operators.analytics import gini_concentration
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(19,0)"))
+        .cast("double")
+        .alias("spend_cents")
+    )
+    j = (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "spend_cents")
+    )
+    return gini_concentration(j, ["n_name"], "spend_cents", decimals=0)
+
+
+NATION_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT n.n_name, rev.cents
+  FROM rev JOIN customer ON c_custkey = o_custkey
+           JOIN nation n ON c_nationkey = n_nationkey),
+r AS (
+  SELECT n_name, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY cents)
+              AS BIGINT) AS i
+  FROM j),
+a AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sx,
+         CAST(SUM(i * cents) AS BIGINT) AS six
+  FROM r GROUP BY 1)
+SELECT n_name, n AS n_members,
+       CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)
+         AS gini
+FROM a WHERE sx > 0
+"""
+
+
+def q_events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, day) time-weighted average value
+    (analytics.time_weighted_avg): Σ(v·Δt)/ΣΔt with Δt in exact
+    integer MICROSECONDS (unix_micros ≡ DuckDB epoch_us — a seconds
+    cast would floor on one engine and round on the other). One window
+    sort + one same-key groupBy; exact decimal(38,0) accumulators,
+    two final float divisions. Data-level, one row per (type, day)
+    with ≥2 observations."""
+    from hawk_pack_spark.operators.analytics import time_weighted_avg
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "day", F.to_date("ts")
+    )
+    return time_weighted_avg(
+        ev,
+        ["event_type", "day"],
+        "ts",
+        "value",
+        order_cols=["ts", "event_id"],
+    )
+
+
+EVENTS_TWAP_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         LEAD(epoch_us(ts)) OVER (
+             PARTITION BY event_type, CAST(ts AS DATE)
+             ORDER BY ts, event_id) - epoch_us(ts) AS dt
+  FROM events),
+a AS (
+  SELECT event_type, day,
+         CAST(COUNT(dt) AS BIGINT) AS n,
+         CAST(SUM(c * dt) AS DOUBLE) AS svdt,
+         CAST(SUM(dt) AS DOUBLE) AS sdt
+  FROM s GROUP BY 1, 2)
+SELECT event_type, day, svdt / sdt / 100.0 AS twap
+FROM a WHERE sdt > 0
+"""
+
+
+def q_events_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear interpolation of masked-out values
+    (analytics.interpolate_linear — fills missing VALUES where
+    gapfill_daily fills missing ROWS): every 7th event's value is
+    nulled deterministically (event_id % 7), then reconstructed from
+    the nearest observed neighbors in (ts, event_id) order; edge gaps
+    stay NULL. One (key, order) shuffle, two window passes over the
+    shared sort; the interpolation arithmetic is the identical IEEE
+    multiply-add on both engines. Data-level over every event row."""
+    from hawk_pack_spark.operators.analytics import interpolate_linear
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    out = interpolate_linear(ev, ["event_type"], ["ts", "event_id"], "v")
+    return out.select("event_id", "event_type", "value_filled")
+
+
+EVENTS_INTERPOLATE_SQL = """
+WITH b AS (
+  SELECT event_id, event_type, ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS rn
+  FROM b),
+s AS (
+  SELECT *,
+         MAX(CASE WHEN v IS NOT NULL THEN rn END) OVER wf AS prev_rn,
+         LAST_VALUE(v IGNORE NULLS) OVER wf AS prev_v,
+         MIN(CASE WHEN v IS NOT NULL THEN rn END) OVER wb AS next_rn,
+         FIRST_VALUE(v IGNORE NULLS) OVER wb AS next_v
+  FROM r
+  WINDOW wf AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wb AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_id, event_type,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_rn IS NOT NULL AND next_rn IS NOT NULL
+            THEN prev_v + (next_v - prev_v)
+                 * (CAST(rn - prev_rn AS DOUBLE)
+                    / CAST(next_rn - prev_rn AS DOUBLE))
+       END AS value_filled
+FROM s
+"""
+
+
+def q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (analytics.skyline_2d) over
+    (rounded-dollar retail price, size), minimizing both: the
+    cheapest-per-smallest trade-off set. Sort-based linear form —
+    one (x, min y) reduction then a running-min window over the
+    bounded distinct-x set; the oracle is the INDEPENDENT O(n²)
+    NOT-EXISTS domination definition (tractable because the distinct
+    pair set stays constant as SF grows). Data-level frontier rows."""
+    from hawk_pack_spark.operators.analytics import skyline_2d
+
+    part = load_table(spark, "part", sf_dir).select(
+        F.round(F.col("p_retailprice")).cast("long").alias("price_dollars"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return skyline_2d(part, "price_dollars", "p_size")
+
+
+PARTS_SKYLINE_SQL = """
+WITH p AS (
+  SELECT DISTINCT CAST(ROUND(p_retailprice) AS BIGINT) AS x,
+                  CAST(p_size AS BIGINT) AS y
+  FROM part),
+m AS (SELECT x, MIN(y) AS y FROM p GROUP BY 1)
+SELECT x AS price_dollars, y AS p_size
+FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
+"""
+
+
+def q_events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM level-shift flags per event type
+    (analytics.cusum_flags, Page 1954): rows where the clamped
+    cumulative excursion above (μ + allowance) exceeds the threshold.
+    The max(0,·) recurrence runs as its closed window form (cumsum −
+    running min) — ONE sorted window pass, no sequential loop; the
+    flag gate compares n-scaled exact integers, so no float division
+    enters the decision. Data-level over flagged rows."""
+    from hawk_pack_spark.operators.analytics import cusum_flags
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    out = cusum_flags(
+        ev,
+        ["event_type"],
+        ["ts", "event_id"],
+        "value",
+        allowance=5.0,
+        threshold=200.0,
+    )
+    return out.select("event_id", "event_type", "cusum")
+
+
+EVENTS_CUSUM_SQL = """
+WITH v AS (
+  SELECT event_id, event_type, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events),
+st AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS sv,
+         CAST(COUNT(c) AS BIGINT) AS n
+  FROM v GROUP BY 1),
+sp AS (
+  SELECT v.*, st.n,
+         v.c * st.n - st.sv - 500 * st.n AS step
+  FROM v JOIN st USING (event_type)),
+cm AS (
+  SELECT *, CAST(SUM(step) OVER w AS BIGINT) AS cum
+  FROM sp
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+sx AS (
+  SELECT *, cum - LEAST(CAST(0 AS BIGINT), MIN(cum) OVER w) AS s_plus
+  FROM cm
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, event_type,
+       CAST(s_plus AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS cusum
+FROM sx WHERE s_plus > 20000 * n
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -7277,6 +7575,15 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "events_rolling_median": QuerySpec(q_events_rolling_median, ROLLING_MEDIAN_SQL, "trailing-10-row exact rolling median per type (one window sort, round-free IEEE parity), data-level"),
     "events_mad_outliers": QuerySpec(q_events_mad_outliers, MAD_OUTLIERS_SQL, "median-absolute-deviation outlier flag (masking-immune, two same-key passes), data-level"),
     "token_pmi_pairs": QuerySpec(q_token_pmi_pairs, TOKEN_PMI_SQL, "PMI collocation mining (doc-level co-occurrence, per-doc term cap bounds fan-out), data-level"),
+    # -- round-9 tail: runtime filtering, dispersion/concentration
+    #    profiling, irregular time series, skyline, change detection
+    "bloom_semi_join_lineitem": QuerySpec(q_bloom_semi_join, BLOOM_SEMI_SQL, "Bloom-filter semi-join reduction (broadcast bit array + exact verify) ≡ plain semi-join, data-level"),
+    "user_event_entropy": QuerySpec(q_user_event_entropy, GROUP_ENTROPY_SQL, "per-group Shannon/normalized entropy + Gini impurity (sorted-fold float discipline), data-level"),
+    "nation_revenue_gini": QuerySpec(q_nation_revenue_gini, NATION_GINI_SQL, "Gini concentration of customer spend per nation (exact decimal accumulators, two final divisions), data-level"),
+    "events_twap_daily": QuerySpec(q_events_twap_daily, EVENTS_TWAP_SQL, "time-weighted average over irregular samples (exact integer-microsecond weights), data-level"),
+    "events_interpolated": QuerySpec(q_events_interpolated, EVENTS_INTERPOLATE_SQL, "per-group linear interpolation of masked values (two window passes, one shared sort), data-level"),
+    "parts_skyline": QuerySpec(q_parts_skyline, PARTS_SKYLINE_SQL, "2-D Pareto frontier, sort-based linear form ≡ O(n²) NOT-EXISTS domination oracle, data-level"),
+    "events_cusum_shift": QuerySpec(q_events_cusum_shift, EVENTS_CUSUM_SQL, "one-sided CUSUM change-point flags (closed window form of the max(0,·) recurrence, integer-exact gate), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
