@@ -1013,3 +1013,67 @@ def gini_concentration(
         F.col("_n").cast("bigint").alias("n_members"),
         (num.cast("double") / den.cast("double")).alias("gini"),
     )
+
+
+def attribute_linear(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's value splits
+    EQUALLY across the same user's touch events (clicks/views/...)
+    inside the preceding `window_seconds` — the standard
+    marketing-attribution model alongside asof's last-touch. Returns
+    (conversion_id, touch_id, user, touch_type, share).
+
+    Shape: ONE equi-join on the user key with the time-range predicate
+    as a join filter — co-partitioned by user, per-user bounded fan-out
+    (a user's touches × conversions inside the window), never
+    quadratic in the corpus. The share divides exact integer cents by
+    the per-conversion touch count (one COUNT window on the conversion
+    key, riding the join's partitioning): two IEEE ops on
+    deterministic inputs. Touches at or after the conversion instant
+    are excluded (strictly-before semantics, exact integer micros).
+    """
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("conversion_id"),
+        F.unix_micros(F.col(ts_col)).alias("_ct"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+    touch = events.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(type_col).alias("touch_type"),
+        F.unix_micros(F.col(ts_col)).alias("_tt"),
+    )
+    win_us = int(window_seconds) * 1_000_000
+    joined = conv.join(
+        touch,
+        (conv["_u"] == touch["_u"])
+        & (touch["_tt"] < conv["_ct"])
+        & (touch["_tt"] >= conv["_ct"] - F.lit(win_us)),
+    ).select(
+        conv["_u"].alias("user_id"),
+        "conversion_id",
+        "touch_id",
+        "touch_type",
+        "_cents",
+    )
+    w = Window.partitionBy("conversion_id")
+    n = F.count(F.lit(1)).over(w)
+    return joined.select(
+        "conversion_id",
+        "touch_id",
+        "user_id",
+        "touch_type",
+        (
+            F.col("_cents").cast("double") / n.cast("double") / F.lit(100.0)
+        ).alias("share"),
+    )

@@ -370,3 +370,51 @@ def association_rules(
         )
         .where(F.col("confidence") >= F.lit(min_confidence))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Seidman 1983 /
+    Batagelj–Zaveršnik): repeatedly drop every node whose CURRENT
+    degree is < k until no node qualifies (or `max_iters` rounds).
+    Pass both directions for an undirected graph; degree = out-edge
+    count over the surviving subgraph. Returns (node, degree) for the
+    k-core members with their within-core degree. Fully deterministic
+    (integer degrees, synchronous rounds), so a fixed-iteration run is
+    bit-identical in any engine.
+
+    Each round: ONE degree groupBy + TWO semi-joins (both endpoints
+    must survive) — all co-partitioned on node/src/dst keys. Loop
+    discipline shared with pagerank/label_propagation: the edge set is
+    localCheckpointed each round to keep the plan flat; a converged
+    round (no node dropped) exits early, so `max_iters` is a cap, not
+    a fixed cost. At 100 TB each round is degree-reduction-shaped:
+    the shuffle carries (node, count) rows, never payloads.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=True)
+    n_prev = None
+    for _ in range(max_iters):
+        deg = e.groupBy(F.col("_s").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        keep = deg.where(F.col("degree") >= k).localCheckpoint(eager=True)
+        n_keep = keep.count()
+        if n_prev is not None and n_keep == n_prev:
+            break
+        n_prev = n_keep
+        e = (
+            e.join(keep.select(F.col("node").alias("_s")), "_s", "leftsemi")
+            .join(keep.select(F.col("node").alias("_d")), "_d", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    deg = e.groupBy(F.col("_s").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg.where(F.col("degree") >= k)

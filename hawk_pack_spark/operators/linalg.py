@@ -174,3 +174,78 @@ def balanced_subspace_permutation(variances: np.ndarray, m: int) -> np.ndarray:
         fill[b].append(int(dim))
         loads[b] += np.log(max(v[dim], 1e-30))
     return np.concatenate([np.asarray(f, dtype=np.int64) for f in fill])
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    micros: int = 6,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the feature-scaling pass before PCA/k-means/quantization when
+    dimensions live on different scales. Returns one row per
+    (id, dim) with the standardized value: z = (x − μ_d)/σ_d
+    (population σ; near-constant dimensions guard with `eps`).
+
+    Determinism discipline: μ and σ come from EXACT integer
+    accumulators — each component is captured at 10^micros scaled
+    units and summed as decimal(38,0) (a float shuffle-order sum would
+    differ run to run and engine to engine) — while x itself keeps
+    full precision in the final (x − μ)/σ, which is two IEEE ops on
+    deterministic inputs. One pass: the per-dim stats fold in a
+    single agg with 2·d expressions (no explode — the corpus never
+    fans out ×d for the stats), then z rides a posexplode projection
+    with the 1-row stats broadcast.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    unit = 10 ** micros
+    v = F.col(vec_col)
+    sums = [
+        F.sum(
+            F.round(v[i].cast("double") * unit).cast("decimal(38,0)")
+        ).alias(f"_s{i}")
+        for i in range(dim)
+    ]
+    sqs = [
+        F.sum(
+            (
+                F.round(v[i].cast("double") * unit).cast("decimal(19,0)")
+                * F.round(v[i].cast("double") * unit).cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias(f"_q{i}")
+        for i in range(dim)
+    ]
+    stats = df.agg(F.count(F.lit(1)).alias("_n"), *sums, *sqs)
+    n = F.col("_n").cast("double")
+    mu = F.array(
+        *[F.col(f"_s{i}").cast("double") / n / unit for i in range(dim)]
+    )
+    var = F.array(
+        *[
+            (
+                F.col(f"_q{i}").cast("double") / n
+                - (F.col(f"_s{i}").cast("double") / n)
+                * (F.col(f"_s{i}").cast("double") / n)
+            )
+            / F.lit(float(unit) * unit)
+            for i in range(dim)
+        ]
+    )
+    stats = stats.select(mu.alias("_mu"), var.alias("_var"))
+    exploded = df.join(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.posexplode(v).alias("dim", "_x"),
+        "_mu",
+        "_var",
+    )
+    z = (
+        F.col("_x").cast("double")
+        - F.element_at("_mu", F.col("dim") + 1)
+    ) / F.sqrt(
+        F.greatest(F.element_at("_var", F.col("dim") + 1), F.lit(eps))
+    )
+    return exploded.select(id_col, "dim", z.alias("z"))

@@ -253,3 +253,96 @@ def group_entropy(
             F.lit(1.0) - F.col("_ss").cast("double") / (n * n), 6
         ).alias("gini_impurity"),
     )
+
+
+def psi_bins(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+    decimals: int = 2,
+) -> DataFrame:
+    """Population Stability Index drift profile between a reference
+    and a current snapshot of a numeric column — the standard
+    model-monitoring / data-drift diagnostic. Returns ONE ROW PER BIN
+    with exact counts, smoothed shares, and the bin's PSI term
+    (p − q)·ln(p/q); the headline PSI is their sum (data-level per-bin
+    rows are strictly stronger evidence than one pre-summed float).
+
+    Bins are equi-width over the REFERENCE min/max (the convention:
+    drift is measured against where the reference lived); current
+    values outside the reference range clamp into the edge bins, so
+    mass never disappears. Bin assignment runs on exact integer
+    scaled units (the histogram discipline). Shares are
+    Laplace-smoothed as exact integer ratios (2c+1)/(2n+n_bins) —
+    PSI's ln is undefined on empty bins; smoothing keeps every bin
+    defined and both engines compute the identical ratio — and each
+    term is a single ln/multiply on deterministic inputs, rounded to
+    6 dp (the repo's LN-parity envelope). Shape: one 1-row stats agg
+    on the reference, then one groupBy per side and a broadcast
+    bin-spine join — three reductions, no window, no driver loop.
+    """
+    unit = 10 ** decimals
+    c_ref = F.round(F.col(value_col) * unit).cast("long")
+    stats = ref.agg(
+        F.min(c_ref).alias("_lo"), F.max(c_ref).alias("_hi")
+    )
+
+    def binned(df, side):
+        c = F.round(F.col(value_col) * unit).cast("long")
+        # exact integer bin math: floor((c-lo)*n_bins/(hi-lo+1)),
+        # clamped into [0, n_bins-1] (current values may fall outside
+        # the reference range)
+        b = F.floor(
+            (c - F.col("_lo")) * n_bins / (F.col("_hi") - F.col("_lo") + 1)
+        )
+        b = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), b))
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .join(F.broadcast(stats))
+            .select(b.cast("int").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    spine = (
+        stats.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+        )
+    )
+    r = binned(ref, "ref")
+    q = binned(cur, "cur")
+    # totals ride as broadcast 1-row aggs — no driver action anywhere
+    tot_r = ref.where(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("_tr")
+    )
+    tot_c = cur.where(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("_tc")
+    )
+    joined = (
+        spine.join(r, "bin", "left")
+        .join(q, "bin", "left")
+        .join(F.broadcast(tot_r))
+        .join(F.broadcast(tot_c))
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            "_tr",
+            "_tc",
+        )
+    )
+    p = (2 * F.col("n_ref") + 1).cast("double") / (
+        2 * F.col("_tr") + n_bins
+    ).cast("double")
+    qq = (2 * F.col("n_cur") + 1).cast("double") / (
+        2 * F.col("_tc") + n_bins
+    ).cast("double")
+    return joined.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(qq, 6).alias("p_cur"),
+        F.round((p - qq) * F.log(p / qq), 6).alias("psi_term"),
+    )

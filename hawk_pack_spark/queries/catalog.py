@@ -7424,6 +7424,188 @@ FROM sx WHERE s_plus > 20000 * n
 """
 
 
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (graph.k_core, k=3, ≤8 peeling rounds)
+    over the symmetrized co-purchase graph: the dense sub-network
+    survives, the tendrils peel away. Synchronous integer peeling is
+    bit-deterministic, so the oracle UNROLLS the same rounds as
+    chained CTEs — early exit on the engine side is provably
+    equivalent (the peeled set is a fixpoint: extra rounds are
+    no-ops). Data-level (part, within-core degree)."""
+    from hawk_pack_spark.operators.graph import copurchase_pairs, k_core
+
+    li = load_table(spark, "lineitem", sf_dir)
+    und = copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    edges = und.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionAll(
+        und.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    out = k_core(edges, k=3, max_iters=8)
+    return out.select(F.col("node").alias("part"), "degree")
+
+
+def _k_core_sql(k: int = 3, iters: int = 8) -> str:
+    sql = """
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb FROM t a JOIN t b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e0 AS MATERIALIZED (
+  SELECT pa AS s, pb AS d FROM und UNION ALL SELECT pb, pa FROM und)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+k{i} AS MATERIALIZED (
+  SELECT s FROM e{i - 1} GROUP BY s HAVING COUNT(*) >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.s, e.d FROM e{i - 1} e
+  JOIN k{i} a ON e.s = a.s JOIN k{i} b ON e.d = b.s)"""
+    sql += f"""
+SELECT s AS part, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e{iters} GROUP BY s HAVING COUNT(*) >= {k}"""
+    return sql
+
+
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift profile (profile.psi_bins, 20 bins)
+    of event values, first half of the month vs second half: one row
+    per bin with exact counts, Laplace-smoothed shares ((2c+1)/(2n+B)
+    exact integer ratios — ln is undefined on empty bins), and the
+    (p−q)·ln(p/q) PSI term. Bins are equi-width over the REFERENCE
+    min/max with edge clamping; all bin math exact integer cents.
+    Data-level, 20 rows."""
+    from hawk_pack_spark.operators.profile import psi_bins
+
+    ev = load_table(spark, "events", sf_dir)
+    split = "2024-01-16"
+    ref = ev.where(F.col("ts") < F.lit(split).cast("timestamp"))
+    cur = ev.where(F.col("ts") >= F.lit(split).cast("timestamp"))
+    return psi_bins(ref, cur, "value", n_bins=20)
+
+
+EVENTS_PSI_SQL = """
+WITH ref AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+             WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+cur AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+        WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+st AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM ref),
+rb AS (
+  SELECT GREATEST(0, LEAST(19,
+           FLOOR((c - lo) * 20 / (hi - lo + 1)))) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_ref
+  FROM ref, st GROUP BY 1),
+cb AS (
+  SELECT GREATEST(0, LEAST(19,
+           FLOOR((c - lo) * 20 / (hi - lo + 1)))) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_cur
+  FROM cur, st GROUP BY 1),
+tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ref),
+tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cur),
+spine AS (SELECT unnest(generate_series(0, 19)) AS bin),
+j AS (
+  SELECT spine.bin,
+         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
+         tr.t AS _tr, tc.t AS _tc
+  FROM spine LEFT JOIN rb ON spine.bin = rb.bin
+             LEFT JOIN cb ON spine.bin = cb.bin, tr, tc)
+SELECT CAST(bin AS INT) AS bin, n_ref, n_cur,
+       ROUND(CAST(2 * n_ref + 1 AS DOUBLE) / CAST(2 * _tr + 20 AS DOUBLE),
+             6) AS p_ref,
+       ROUND(CAST(2 * n_cur + 1 AS DOUBLE) / CAST(2 * _tc + 20 AS DOUBLE),
+             6) AS p_cur,
+       ROUND((CAST(2 * n_ref + 1 AS DOUBLE) / CAST(2 * _tr + 20 AS DOUBLE)
+              - CAST(2 * n_cur + 1 AS DOUBLE) / CAST(2 * _tc + 20 AS DOUBLE))
+             * LN((CAST(2 * n_ref + 1 AS DOUBLE)
+                   / CAST(2 * _tr + 20 AS DOUBLE))
+                  / (CAST(2 * n_cur + 1 AS DOUBLE)
+                     / CAST(2 * _tc + 20 AS DOUBLE))), 6) AS psi_term
+FROM j
+"""
+
+
+def q_embeddings_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embeddings table
+    (linalg.standardize_embeddings): μ/σ from EXACT integer
+    micro-unit accumulators folded in ONE agg (no explode for the
+    stats, no shuffle-order float sums), z = (x − μ)/σ at full input
+    precision. Data-level, one row per (vec_id, dim)."""
+    from hawk_pack_spark.operators.linalg import standardize_embeddings
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return standardize_embeddings(emb, "embedding", "vec_id", dim=64)
+
+
+def _standardize_sql(dim: int = 64) -> str:
+    s_exprs = ",\n".join(
+        f"  CAST(SUM(CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000)"
+        f" AS BIGINT)) AS BIGINT) AS s{i},"
+        f" CAST(SUM(CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000)"
+        f" AS BIGINT) * CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" * 1000000) AS BIGINT)) AS BIGINT) AS q{i}"
+        for i in range(dim)
+    )
+    mu_arr = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / n / 1000000" for i in range(dim)
+    )
+    var_arr = ", ".join(
+        f"(CAST(q{i} AS DOUBLE) / n - (CAST(s{i} AS DOUBLE) / n)"
+        f" * (CAST(s{i} AS DOUBLE) / n)) / 1e12"
+        for i in range(dim)
+    )
+    return f"""
+WITH st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+{s_exprs}
+  FROM embeddings),
+m AS (SELECT [{mu_arr}] AS mu, [{var_arr}] AS vr FROM st)
+SELECT vec_id,
+       CAST(unnest(generate_series(0, {dim - 1})) AS INT) AS dim,
+       (CAST(unnest(embedding) AS DOUBLE)
+        - mu[unnest(generate_series(0, {dim - 1})) + 1])
+       / SQRT(GREATEST(vr[unnest(generate_series(0, {dim - 1})) + 1],
+                       1e-12)) AS z
+FROM embeddings, m
+"""
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (analytics.attribute_linear):
+    each purchase's value splits equally across the user's click/view
+    touches in the preceding 24h (strictly-before, exact integer
+    micros). ONE user-key equi-join with the range predicate as a
+    join filter + one COUNT window on the conversion key. Data-level,
+    one row per (conversion, touch)."""
+    from hawk_pack_spark.operators.analytics import attribute_linear
+
+    ev = load_table(spark, "events", sf_dir)
+    return attribute_linear(
+        ev, "purchase", ["click", "view"], window_seconds=86400
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH conv AS (
+  SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS ct,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+tch AS (
+  SELECT user_id AS u, event_id AS tid, event_type AS tt,
+         epoch_us(ts) AS t
+  FROM events WHERE event_type IN ('click', 'view')),
+j AS (
+  SELECT conv.u, cid, tid, tt, cents
+  FROM conv JOIN tch ON conv.u = tch.u
+       AND tch.t < conv.ct AND tch.t >= conv.ct - 86400000000)
+SELECT cid AS conversion_id, tid AS touch_id, u AS user_id,
+       tt AS touch_type,
+       CAST(cents AS DOUBLE)
+       / CAST(COUNT(*) OVER (PARTITION BY cid) AS DOUBLE) / 100.0
+         AS share
+FROM j
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -7584,6 +7766,10 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "events_interpolated": QuerySpec(q_events_interpolated, EVENTS_INTERPOLATE_SQL, "per-group linear interpolation of masked values (two window passes, one shared sort), data-level"),
     "parts_skyline": QuerySpec(q_parts_skyline, PARTS_SKYLINE_SQL, "2-D Pareto frontier, sort-based linear form ≡ O(n²) NOT-EXISTS domination oracle, data-level"),
     "events_cusum_shift": QuerySpec(q_events_cusum_shift, EVENTS_CUSUM_SQL, "one-sided CUSUM change-point flags (closed window form of the max(0,·) recurrence, integer-exact gate), data-level"),
+    "copurchase_kcore": QuerySpec(q_copurchase_kcore, _k_core_sql(), "k-core decomposition (synchronous peeling, early-exit ≡ unrolled-CTE fixpoint), data-level"),
+    "events_psi_drift": QuerySpec(q_events_psi_drift, EVENTS_PSI_SQL, "PSI drift profile (Laplace-smoothed exact-integer shares per bin, reference-anchored equi-width bins), data-level"),
+    "embeddings_standardized": QuerySpec(q_embeddings_standardized, _standardize_sql(), "per-dim z-score standardization (exact integer μ/σ accumulators in one agg, full-precision z), data-level"),
+    "purchase_attribution": QuerySpec(q_purchase_attribution, PURCHASE_ATTRIBUTION_SQL, "linear multi-touch attribution (user-key range join, equal split by touch count), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
