@@ -785,8 +785,10 @@ def interpolate_linear(
 
     Anchors are located with running MAX(CASE WHEN observed THEN rn)
     windows — the engine-portable rendering of LAST_VALUE IGNORE
-    NULLS — one forward and one reverse pass over the SAME (key,
-    order) sort, so Spark plans ONE shuffle and reuses the sort.
+    NULLS — one forward and one reverse pass. Plan (verified): ONE
+    Exchange on the group key; the forward windows share the first
+    in-partition sort, the reverse pass re-sorts within partitions
+    (no second shuffle).
     The interpolation weight is an exact integer ratio of row offsets;
     with values captured in integer cents the output is a single
     float multiply-add per row, engine-identical.

@@ -136,6 +136,17 @@ def bloom_semi_join(
     `verify=False` returns the approximate superset (≈1% extra rows at
     the default 10 bits/key) for pipelines that tolerate it — e.g.
     pre-filtering before a later exact join that subsumes the check.
+
+    The finished filter is materialized to the driver as ONE bounded
+    row (≤ max_bits/8 = 8 MiB of words) and probed as a LITERAL-array
+    Filter — exactly how Spark's own InjectRuntimeFilter materializes
+    its bloom through a scalar subquery. This is deliberate, not a
+    shortcut: when the probe rode along as a broadcast 1-row JOIN,
+    Catalyst's PushDownLeftSemiAntiJoin pushed the verify semi-join
+    BELOW the probe (verified on the executed plan), so at scale the
+    unpruned fact would have hit the semi-join's shuffle first and the
+    Bloom would have filtered nothing. A plain Filter stays below the
+    semi-join, so the shuffle only ever sees survivors.
     """
     dim_key = dim_key or fact_key
     keys_proj = keys_df.select(F.col(dim_key).alias(fact_key))
@@ -145,31 +156,18 @@ def bloom_semi_join(
         n_keys_hint=n_keys_hint,
         bits_per_key=bits_per_key,
         n_hashes=n_hashes,
-    )
-    probe = fact.join(F.broadcast(bloom))
+    ).first()
+    m_bits, words = bloom["m_bits"], F.lit(list(bloom["words"]))
     key = F.col(fact_key)
     hits = None
-    # positions must use the SAME m_bits as the build — read it from
-    # the broadcast row (a column), so pmod runs against the column
-    h1 = F.pmod(F.xxhash64(key), F.col("m_bits"))
-    h2 = (
-        F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), F.col("m_bits") - 1) + 1
-    )
+    h1 = F.pmod(F.xxhash64(key), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), F.lit(m_bits - 1)) + 1
     for i in range(n_hashes):
-        probe = probe.withColumn(
-            f"_pos{i}",
-            F.pmod(h1 + F.lit(i) * h2, F.col("m_bits")).cast("long"),
-        )
-        # SQL-side shiftright (expression shift amount)
-        bit_set = F.expr(
-            f"(shiftright(element_at(words, CAST(_pos{i} / 64 AS INT) + 1),"
-            f" CAST(_pos{i} % 64 AS INT)) & CAST(1 AS BIGINT)) = 1"
-        )
+        pos = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).cast("long")
+        word = F.element_at(words, (pos / 64).cast("int") + 1)
+        bit_set = F.getbit(word, pos % 64) == 1
         hits = bit_set if hits is None else (hits & bit_set)
-    pruned = probe.where(key.isNotNull() & hits).drop(
-        "m_bits", "n_hashes", "words",
-        *[f"_pos{i}" for i in range(n_hashes)],
-    )
+    pruned = fact.where(key.isNotNull() & hits)
     if not verify:
         return pruned
     return pruned.join(keys_proj, fact_key, "leftsemi")
