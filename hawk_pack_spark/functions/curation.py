@@ -24,7 +24,7 @@ and stays inside whole-stage codegen.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -354,4 +354,67 @@ def sample_to_token_budget(
             ),
         )
         .where(F.col("cum_tokens") <= F.lit(budget_tokens))
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str = "value_winsorized",
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-group percentile winsorization: clip `value_col` into the
+    group's [p_lower, p_upper] EXACT percentile band — the standard
+    heavy-tail taming pass before a feature enters training (clip,
+    don't drop: outlier rows often carry signal in their other
+    columns). Returns the input plus `out_col`.
+
+    Percentiles are NEAREST-RANK (the value at position ⌈p·n⌉ of the
+    sorted group), NOT interpolated: the clip boundaries are then
+    actual data values — exact integers in scaled units — so the
+    boundary comparison and the clipped output are engine-identical
+    bit for bit. (Interpolated percentiles fall strictly between two
+    integers via a float multiply-add whose operand ORDER differs
+    between engines — the boundary would be ulp-fuzzy, the exact
+    hazard this repo's float discipline exists to kill.)
+
+    Shape: ONE (key, cents) window sort for the ranks, the two
+    boundary rows reduce to a per-group pair (same-key groupBy rides
+    the window's partitioning), broadcast back. At 100 TB the heavy
+    op is the one sort; state is two longs per group.
+    """
+    unit = 10 ** decimals
+    c = F.round(F.col(value_col) * unit).cast("long")
+    w = Window.partitionBy(*keys).orderBy(F.col("_c"))
+    wn = Window.partitionBy(*keys)
+    ranked = (
+        df.select(*keys, c.alias("_c"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    )
+    lo_pos = F.ceil(F.lit(float(lower)) * F.col("_n"))
+    hi_pos = F.ceil(F.lit(float(upper)) * F.col("_n"))
+    bounds = (
+        ranked.where((F.col("_rn") == lo_pos) | (F.col("_rn") == hi_pos))
+        .groupBy(*keys)
+        .agg(
+            F.min(
+                F.when(F.col("_rn") == lo_pos, F.col("_c"))
+            ).alias("_lo"),
+            F.max(
+                F.when(F.col("_rn") == hi_pos, F.col("_c"))
+            ).alias("_hi"),
+        )
+    )
+    clipped = (
+        F.least(F.greatest(c, F.col("_lo")), F.col("_hi")).cast("double")
+        / F.lit(float(unit))
+    )
+    return (
+        df.join(F.broadcast(bounds), list(keys))
+        .withColumn(out_col, clipped)
+        .drop("_lo", "_hi")
     )

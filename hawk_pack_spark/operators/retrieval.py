@@ -311,3 +311,124 @@ def mmr_rerank(
         .groupBy(query_id)
         .applyInPandas(pick, schema)
     )
+
+
+def eval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Retrieval evaluation — the measurement half every ranking
+    operator in this repo (BM25, ANN, RRF, MMR) needs: per-query
+    recall@k, precision@k, reciprocal rank (MRR term), and nDCG@k
+    against a relevance-judgments table `qrels` (query, doc, graded
+    rel ≥ 0; binary = 0/1). Standard definitions (TREC):
+    RR = 1/rank of the first relevant hit (0 if none in top-k);
+    DCG@k = Σ rel_i/log2(i+1) over result ranks i = 1..k;
+    IDCG@k from the ideal ordering of THE QUERY'S judged docs.
+
+    Shape: results are cut to rank ≤ k, LEFT-joined to qrels on
+    (query, doc) — one co-partitioned equi-join, never a fan-out —
+    then ONE groupBy per query; the ideal DCG is an independent
+    per-query aggregate over qrels (top-k rels via sorted-slice
+    inside the aggregate, no second shuffle family). Float
+    discipline: each DCG is a fold over the RANK-SORTED term list
+    (deterministic IEEE order, the group_entropy discipline), and
+    every term is rel/log2(i+1) with integer rel and integer rank —
+    identical single ops in any engine; the final metrics are single
+    divisions rounded to 6 dp.
+
+    Queries with no judged-relevant docs are dropped (recall/nDCG are
+    undefined there — TREC convention), reported via the `n_judged`
+    column on surviving rows.
+    """
+    hits = (
+        results.where(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rank_col).alias("_r"),
+        )
+        .join(
+            qrels.select(
+                F.col(query_col).alias("_q"),
+                F.col(doc_col).alias("_d"),
+                F.col(rel_col).cast("long").alias("_rel"),
+            ),
+            ["_q", "_d"],
+            "left",
+        )
+        .select(
+            "_q", "_r", F.coalesce("_rel", F.lit(0)).alias("_rel")
+        )
+    )
+    per_q = hits.groupBy(F.col("_q").alias(query_col)).agg(
+        F.count(F.lit(1)).alias("_n_ret"),
+        F.sum((F.col("_rel") > 0).cast("long")).alias("_n_rel_ret"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_r"))).alias("_first"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_r", "_rel"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["_rel"].cast("double")
+            / F.log2(x["_r"].cast("double") + 1),
+        ).alias("_dcg"),
+    )
+    ideal = qrels.groupBy(F.col(query_col)).agg(
+        F.count(F.lit(1)).alias("n_judged"),
+        F.sum((F.col(rel_col) > 0).cast("long")).alias("_n_rel"),
+        F.aggregate(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col(rel_col).cast("long")).alias("_nr"),
+                            F.col(doc_col).alias("_doc"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ),
+            F.struct(
+                F.lit(0.0).alias("acc"), F.lit(1).cast("long").alias("i")
+            ),
+            lambda st, x: F.struct(
+                (
+                    st["acc"]
+                    + (-x["_nr"]).cast("double")
+                    / F.log2(st["i"].cast("double") + 1)
+                ).alias("acc"),
+                (st["i"] + 1).alias("i"),
+            ),
+            lambda st: st["acc"],
+        ).alias("_idcg"),
+    )
+    j = per_q.join(ideal, query_col).where(F.col("_n_rel") > 0)
+    return j.select(
+        query_col,
+        "n_judged",
+        F.round(
+            F.col("_n_rel_ret").cast("double")
+            / F.col("_n_rel").cast("double"),
+            6,
+        ).alias(f"recall_at_{k}"),
+        F.round(
+            F.col("_n_rel_ret").cast("double") / F.lit(float(k)), 6
+        ).alias(f"precision_at_{k}"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("_first").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("reciprocal_rank"),
+        F.round(
+            F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias(f"ndcg_at_{k}"),
+    )

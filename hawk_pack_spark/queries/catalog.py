@@ -7606,6 +7606,130 @@ FROM j
 """
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation metrics (retrieval.eval_metrics): per-query
+    recall@10 / precision@10 / reciprocal rank / nDCG@10 of the exact
+    L2 kNN results against label-derived graded judgments (same label
+    = relevant, grade 1 + vec_id%2). The eval half of the ANN family —
+    one judgments equi-join + one groupBy per side, DCG/IDCG folded
+    over rank-sorted term lists (deterministic IEEE order).
+    Data-level, one row per judged query."""
+    from hawk_pack_spark.operators.retrieval import eval_metrics
+
+    emb = _embeddings_vectors(spark, sf_dir)
+    lab = load_table(spark, "embeddings", sf_dir).select("vec_id", "label")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    results = knn_exact(emb, queries, k=10, metric="l2_sq").select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    qlab = lab.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    qrels = (
+        qlab.join(lab, lab["label"] == qlab["_ql"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (1 + F.col("vec_id") % 2).cast("long").alias("rel"),
+        )
+    )
+    return eval_metrics(results, qrels, k=10)
+
+
+RETRIEVAL_EVAL_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv, label AS qlab FROM e
+      WHERE vec_id < 20),
+d AS (
+  SELECT qid, vec_id,
+    list_sum(list_transform(range(1, 65),
+             i -> (qv[i] - v[i]) * (qv[i] - v[i]))) AS dist
+  FROM q, e),
+r AS (
+  SELECT qid, vec_id, CAST(ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS rnk
+  FROM d),
+res AS (SELECT qid, vec_id, rnk FROM r WHERE rnk <= 10),
+qr AS (
+  SELECT q.qid, e.vec_id AS doc, CAST(1 + e.vec_id % 2 AS BIGINT) AS rel
+  FROM q JOIN e ON e.label = q.qlab AND e.vec_id != q.qid),
+hits AS (
+  SELECT res.qid, res.rnk, COALESCE(qr.rel, 0) AS rel
+  FROM res LEFT JOIN qr ON res.qid = qr.qid AND res.vec_id = qr.doc),
+perq AS (
+  SELECT qid,
+    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nrelret,
+    MIN(CASE WHEN rel > 0 THEN rnk END) AS fst,
+    list_reduce(
+      list_prepend(0.0,
+        list_transform(list({'r': rnk, 'rel': rel} ORDER BY rnk),
+                       x -> CAST(x.rel AS DOUBLE) / log2(x.r + 1))),
+      (a, b) -> a + b) AS dcg
+  FROM hits GROUP BY qid),
+ideal AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_judged,
+    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nrel,
+    list_reduce(
+      list_prepend(0.0,
+        list_transform(
+          range(1, LEAST(CAST(COUNT(*) AS BIGINT), 10) + 1),
+          i -> CAST(list(rel ORDER BY rel DESC, doc ASC)[i] AS DOUBLE)
+               / log2(i + 1))),
+      (a, b) -> a + b) AS idcg
+  FROM qr GROUP BY qid)
+SELECT perq.qid AS query_id, n_judged,
+  ROUND(CAST(nrelret AS DOUBLE) / CAST(nrel AS DOUBLE), 6) AS recall_at_10,
+  ROUND(CAST(nrelret AS DOUBLE) / 10.0, 6) AS precision_at_10,
+  ROUND(COALESCE(1.0 / CAST(fst AS DOUBLE), 0.0), 6) AS reciprocal_rank,
+  ROUND(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg_at_10
+FROM perq JOIN ideal ON perq.qid = ideal.qid
+WHERE nrel > 0
+"""
+
+
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percentile winsorization (curation.winsorize,
+    [p05, p95] nearest-rank): heavy tails clipped to ACTUAL data
+    values — exact integers in cents, so the clip decision and output
+    are engine-identical bit for bit (an interpolated percentile
+    boundary would be ulp-fuzzy between engines). One window sort +
+    one broadcast bounds join. Data-level over every event row."""
+    from hawk_pack_spark.functions.curation import winsorize
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    out = winsorize(ev, ["event_type"], "value", lower=0.05, upper=0.95)
+    return out.select("event_id", "event_type", "value", "value_winsorized")
+
+
+EVENTS_WINSORIZE_SQL = """
+WITH v AS (
+  SELECT event_id, event_type, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c)
+                 AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM v),
+b AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = CEIL(0.05 * n) THEN c END) AS lo,
+         MAX(CASE WHEN rn = CEIL(0.95 * n) THEN c END) AS hi
+  FROM r WHERE rn = CEIL(0.05 * n) OR rn = CEIL(0.95 * n)
+  GROUP BY 1)
+SELECT event_id, event_type, value,
+       CAST(LEAST(GREATEST(c, lo), hi) AS DOUBLE) / 100.0
+         AS value_winsorized
+FROM v JOIN b USING (event_type)
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -7770,6 +7894,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "events_psi_drift": QuerySpec(q_events_psi_drift, EVENTS_PSI_SQL, "PSI drift profile (Laplace-smoothed exact-integer shares per bin, reference-anchored equi-width bins), data-level"),
     "embeddings_standardized": QuerySpec(q_embeddings_standardized, _standardize_sql(), "per-dim z-score standardization (exact integer μ/σ accumulators in one agg, full-precision z), data-level"),
     "purchase_attribution": QuerySpec(q_purchase_attribution, PURCHASE_ATTRIBUTION_SQL, "linear multi-touch attribution (user-key range join, equal split by touch count), data-level"),
+    "retrieval_eval_knn": QuerySpec(q_retrieval_eval, RETRIEVAL_EVAL_SQL, "retrieval evaluation (recall/precision@10, MRR, nDCG@10) vs label-derived graded judgments, rank-sorted DCG folds, data-level"),
+    "events_winsorized": QuerySpec(q_events_winsorized, EVENTS_WINSORIZE_SQL, "nearest-rank percentile winsorization (clip bounds are actual data values, bit-exact), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
