@@ -277,12 +277,58 @@ def knn_join(
     members = topm.where(F.col("crank") <= replicas).select(
         id_col, vec_col, "cluster"
     )
+    # HOT-CELL SALTING (NOTES r9): k-means cells average n/n_clusters
+    # members but the tail skews — measured at n=1M: p50=184, p99=3934,
+    # max=8348 (33x target) on tightly-clustered content. The candidate
+    # join's OUTPUT for one hot cell is probes_c x members_c rows in a
+    # single partition (hundreds of millions — the pointer-array OOM),
+    # and AQE's OptimizeSkewedJoin cannot see it: both INPUT sides of
+    # the hot partition are small in bytes; only the join product
+    # explodes. Fix at the operator level: split each oversize cell
+    # into ceil(members/salt_width) sub-cells — members take ONE salt
+    # (hash), probes take ALL salts of their cell (explode) — so every
+    # pair still meets exactly once and the per-partition join output
+    # is bounded by probes_c x salt_width. Cells at or under
+    # salt_width get factor 1: the explode is a no-op and the only
+    # overhead is a (cluster, count) reduction + two broadcast joins.
+    salt_width = 500
+    factors = (
+        members.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_mc"))
+        .select(
+            "cluster",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_mc") / salt_width)
+            ).cast("int").alias("_f"),
+        )
+    )
+    members = (
+        members.join(F.broadcast(factors), "cluster")
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_f")).cast("int"),
+        )
+        .drop("_f")
+    )
+    probes = (
+        probes.join(F.broadcast(factors), "cluster")
+        .withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.col("_f") - 1))
+        )
+        .drop("_f")
+    )
     # Distance is projected IMMEDIATELY after the cell join so the wide
     # rows (two vectors per candidate) are pipelined, never shuffled
     # (materializing the dedupe before the projection was measured
     # spilling ~150 GB at n=50k — the candidate set × 2 vectors).
+    # BOTH sides are corpus-sized: the merge hint pins the join to
+    # sort-merge so AQE can never "promote" a side to broadcast —
+    # Spark's size estimate for array<double> columns runs far low,
+    # and at n=1M the resulting driver-side broadcast build OOMs
+    # (measured: STAGE_MATERIALIZATION failure at 8g driver; with the
+    # hint the same point runs — NOTES r9).
     scored = (
-        probes.join(members, "cluster")
+        probes.join(members.hint("merge"), ["cluster", "_salt"])
         .where(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
@@ -328,9 +374,11 @@ def knn_join(
                 .where(F.col("query_id") != F.col("vec_id"))
             )
             allc = g.select("query_id", "vec_id").unionAll(nn2).distinct()
+            # qv/dv carry the full corpus with vectors — same
+            # no-broadcast pin as the cell join above
             rescored = (
-                allc.join(qv, "query_id")
-                .join(dv, "vec_id")
+                allc.join(qv.hint("merge"), "query_id")
+                .join(dv.hint("merge"), "vec_id")
                 .select(
                     "query_id",
                     "vec_id",

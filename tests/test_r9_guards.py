@@ -134,3 +134,34 @@ def test_knn_join_hints_skip_driver_actions(spark):
     rows = g.collect()
     assert len(rows) == 900  # 300 * k
     assert all(r.query_id != r.vec_id for r in rows)
+
+
+def test_knn_join_corpus_joins_never_broadcast(spark):
+    """NOTES r9: at n=1M AQE promoted a corpus-sized join side (array
+    size estimates run far low) to broadcast and OOM'd the driver; the
+    merge hints must pin every corpus x corpus join to sort-merge.
+    Plan-level pin: all three vec-carrying joins (the salted cell join
+    + the two descent re-rank joins) must plan as SortMergeJoin; the
+    only broadcasts allowed are the n_clusters-row salt-factor spines
+    (which never carry a vector column)."""
+    import numpy as np
+
+    from hawk_pack_spark.operators.similarity import knn_join
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(400, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    g = knn_join(
+        df, k=3, n_clusters=4, nprobe=2, replicas=1,
+        descent_rounds=1, n_rows=400, dim=8, fit_fraction=1.0,
+    )
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") >= 3, plan[:2000]
+    # broadcast sides must be the factor spines only: no broadcast
+    # exchange may ship the embedding column
+    for chunk in plan.split("BroadcastExchange")[1:]:
+        head = chunk[:400]
+        assert "embedding" not in head, head
