@@ -418,3 +418,53 @@ def winsorize(
         .withColumn(out_col, clipped)
         .drop("_lo", "_hi")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    fractions: tuple[int, int] = (80, 10),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-aware train/val/test assignment: documents with
+    IDENTICAL content (md5 of the text) always land in the SAME split,
+    so an exact duplicate of a training document can never leak into
+    validation or test — the split-contamination failure mode
+    train/test splits by bare doc hash don't protect against.
+
+    Mechanics: group key = md5(text); the group's representative id is
+    its MIN doc_id (one window over the content hash — the same
+    canonical-member convention as `neardup_canonical_docs`); the
+    split is the representative's Knuth-hash bucket mod 100
+    (< fractions[0] → train, < sum → val, else test). Pure function of
+    the corpus (derandomized — a retry or repartition yields the same
+    split), one shuffle on the content hash, no driver action.
+
+    At 100 TB the window is a (hash)-keyed sort whose groups are
+    duplicate clusters (small by construction after upstream dedup);
+    the hash itself pre-reduces mod 2^31−1 before the multiply so the
+    product stays in int64 at any id scale (the ADVICE r8 rule).
+    """
+    mult, mod, premod = 2654435761, 4294967291, 2147483647
+    h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("_content_key")
+    rep = F.min(F.col(id_col)).over(w)
+    bucket = (
+        ((F.col("_rep_id").cast("long") % F.lit(premod)) * F.lit(mult))
+        % F.lit(mod)
+    ) % F.lit(100)
+    train_hi, val_hi = fractions[0], fractions[0] + fractions[1]
+    return (
+        docs.withColumn("_content_key", h)
+        .withColumn("_rep_id", rep)
+        .withColumn("_bucket", bucket.cast("int"))
+        .select(
+            F.col(id_col),
+            F.col("_rep_id").alias("group_rep_id"),
+            F.col("_bucket").alias("bucket"),
+            F.when(F.col("_bucket") < train_hi, F.lit("train"))
+            .when(F.col("_bucket") < val_hi, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )

@@ -165,3 +165,43 @@ def doc_fingerprint(col: Column | str) -> Column:
     distinct token set (the exact-dedup key after token normalization)."""
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col))))
     return hash64(canon)
+
+
+def readability(col: Column | str) -> dict[str, Column]:
+    """Flesch-reading-ease-style readability features from pure column
+    algebra (no UDF): whitespace word count, sentence count
+    ([.!?] runs, floor 1), heuristic syllable count (per-word vowel
+    runs [aeiouy]+, floor 1 per word — the standard approximation),
+    and the Flesch score 206.835 − 1.015·(W/S) − 84.6·(Syl/W).
+
+    Every count is an exact integer folded over the DOCUMENT-ORDER
+    word list (deterministic, engine-identical); the score is three
+    divisions/multiplies of exact ints combined in one fixed
+    left-to-right fold, rounded by the caller. Lookaround-free
+    patterns so RE2 (DuckDB) and Java regex (Spark) agree.
+    """
+    s = _c(col)
+    ws = tokens(s)
+    n_words = F.greatest(F.size(ws), F.lit(1)).cast("bigint")
+    n_sentences = F.greatest(
+        F.regexp_count(s, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    syl = F.aggregate(
+        ws,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.regexp_count(w, F.lit(r"[aeiouy]+")), F.lit(1)
+        ).cast("bigint"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sentences.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / n_words.cast("double"))
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sentences,
+        "n_syllables": syl.cast("bigint"),
+        "flesch": score,
+    }

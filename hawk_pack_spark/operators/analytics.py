@@ -1079,3 +1079,175 @@ def attribute_linear(
             F.col("_cents").cast("double") / n.cast("double") / F.lit(100.0)
         ).alias("share"),
     )
+
+
+def acf(
+    df: DataFrame,
+    keys: Sequence[str],
+    t_col: str,
+    x_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Sample autocorrelation function per group: lag-k Pearson
+    correlation between the series and its k-shifted self (the
+    pairwise-complete "correlogram" convention — each lag's r uses
+    only the (x_t, x_{t−k}) pairs that exist), for k = 1..max_lag.
+    The seasonality / memory diagnostic run before picking a forecast
+    window. Rows must have a UNIQUE `t_col` per group (pre-aggregate
+    to the bucket first) and `x_col` must be exact integer units
+    (cents / micro-units — the catalog float discipline).
+
+    Shape: ONE window sort per group computes all max_lag lag columns
+    (one Exchange + one Sort total), an explode of max_lag structs
+    (linear ×L fan-out, L tiny), then ONE (keys, lag) groupBy of
+    decimal(38,0) accumulators — map-side combinable, no driver
+    action, scale-safe at any group count. Group STATE is 6 numbers —
+    the series itself is never collected.
+
+    Float discipline: all six accumulators (n, Σx, Σy, Σxy, Σx², Σy²)
+    are exact decimals with the trend_slopes overflow guard;
+    r = num / (sqrt(d1) · sqrt(d2)) with num/d1/d2 exact-decimal →
+    string → double (the wide-decimal hop), the denominator folded as
+    sqrt·sqrt in BOTH engines, rounded to 6 dp.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(t_col))
+    x = F.col(x_col).cast("decimal(38,0)")
+    with_lags = df.select(
+        *keys,
+        F.col(t_col),
+        x.alias("_x"),
+        *[
+            F.lag(x, k).over(w).alias(f"_lag{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    lagged = with_lags.select(
+        *keys,
+        "_x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("lag"),
+                        F.col(f"_lag{k}").alias("_y"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("_p"),
+    ).select(*keys, "_x", F.col("_p.lag").alias("lag"), F.col("_p._y").alias("_y"))
+    pairs = lagged.where(F.col("_y").isNotNull())
+    agg = pairs.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    d1 = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    d2 = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    not_overflowed = (
+        F.col("_sx").isNotNull()
+        & F.col("_sy").isNotNull()
+        & F.col("_sxy").isNotNull()
+        & F.col("_sxx").isNotNull()
+        & F.col("_syy").isNotNull()
+        & num.isNotNull()
+        & d1.isNotNull()
+        & d2.isNotNull()
+    )
+    agg = agg.where(
+        F.assert_true(
+            not_overflowed,
+            "acf: decimal(38,0) accumulator overflowed — rescale x to "
+            "smaller integer units",
+        ).isNull()
+    )
+    num_d = num.cast("string").cast("double")
+    d1_d = d1.cast("string").cast("double")
+    d2_d = d2.cast("string").cast("double")
+    r = num_d / (F.sqrt(d1_d) * F.sqrt(d2_d))
+    return agg.where((d1 > 0) & (d2 > 0)).select(
+        *keys,
+        "lag",
+        F.col("_n").cast("bigint").alias("n_pairs"),
+        F.round(r, 6).alias("acf"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend (Sen 1968): the slope is the
+    LOWER-median (nearest-rank, the winsorize convention) of all
+    pairwise slopes (y_j − y_i)/(x_j − x_i) over x_i < x_j, and the
+    intercept the lower-median of (y_i − slope·x_i) — breakdown point
+    ~29%, immune to the outliers that drag OLS (`trend_slopes`).
+    x/y must be exact integer units with UNIQUE x per group.
+
+    Shape: one within-group self-equi-join on keys builds the
+    n·(n−1)/2 slope pairs — the O(n²) term is PER GROUP, so the
+    operator's contract is bounded group size (e.g. days per (type)
+    series, ≤ a few thousand pairs), exactly like the skyline oracle;
+    the corpus-level cost is Σ n_g², shuffled once on the group key.
+    Median selection is a window rank, not a collect.
+
+    Float discipline: each slope is ONE double division of exact ints
+    (IEEE-deterministic, engine-identical); medians are value
+    SELECTIONS (nearest-rank, ties broken by (x_i, x_j)), never
+    interpolated averages; intercept folds y_i − m·x_i per row
+    identically in both engines; outputs rounded to 6 dp.
+    """
+    keys = list(keys)
+    t = df.select(
+        *keys,
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    )
+    a = t.select(*keys, F.col("_x").alias("_xi"), F.col("_y").alias("_yi"))
+    b = t.select(*keys, F.col("_x").alias("_xj"), F.col("_y").alias("_yj"))
+    pairs = a.join(b, keys).where(F.col("_xi") < F.col("_xj"))
+    slope = (F.col("_yj") - F.col("_yi")).cast("double") / (
+        F.col("_xj") - F.col("_xi")
+    ).cast("double")
+    pairs = pairs.select(*keys, "_xi", "_xj", slope.alias("_slope"))
+    wn = Window.partitionBy(*keys)
+    ws = Window.partitionBy(*keys).orderBy("_slope", "_xi", "_xj")
+    ranked = pairs.select(
+        *keys,
+        "_slope",
+        F.row_number().over(ws).alias("_r"),
+        F.count(F.lit(1)).over(wn).alias("_np"),
+    )
+    med = ranked.where(
+        F.col("_r") == ((F.col("_np") + 1) / 2).cast("bigint")
+    ).select(*keys, F.col("_slope").alias("_m"), F.col("_np").alias("n_pairs"))
+    resid = t.join(med, keys).select(
+        *keys,
+        "n_pairs",
+        "_m",
+        (F.col("_y").cast("double") - F.col("_m") * F.col("_x").cast("double")).alias("_b"),
+    )
+    wrn = Window.partitionBy(*keys)
+    wrs = Window.partitionBy(*keys).orderBy("_b")
+    rr = resid.select(
+        *keys,
+        "n_pairs",
+        "_m",
+        "_b",
+        F.row_number().over(wrs).alias("_r"),
+        F.count(F.lit(1)).over(wrn).alias("_n"),
+    )
+    return rr.where(F.col("_r") == ((F.col("_n") + 1) / 2).cast("bigint")).select(
+        *keys,
+        F.col("_n").cast("bigint").alias("n_points"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round("_m", 6).alias("slope"),
+        F.round("_b", 6).alias("intercept"),
+    )

@@ -418,3 +418,89 @@ def k_core(
         F.count(F.lit(1)).alias("degree")
     )
     return deg.where(F.col("degree") >= k)
+
+
+def link_prediction(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 2,
+    max_hub_degree: int = 10_000,
+) -> DataFrame:
+    """Link prediction over an undirected graph (pass BOTH directions):
+    for every NON-adjacent pair (a, b) sharing >= `min_common`
+    neighbors, the three classic proximity scores — common-neighbor
+    count, Jaccard |N(a)∩N(b)| / |N(a)∪N(b)|, and Adamic–Adar
+    Σ_z 1/ln(deg z) (Adamic & Adar 2003; Liben-Nowell & Kleinberg
+    CIKM'03) — the candidate generator behind "customers also bought"
+    and knowledge-graph completion.
+
+    Shape: one wedge self-join through the shared neighbor z
+    (a←z→b, a<b), one pair groupBy, one degree reduction, one
+    broadcast-or-shuffle join back for degrees, one anti-join to drop
+    existing edges. The wedge fan-out through a node of degree d is
+    d·(d−1)/2 — the one term that explodes at 100 TB — so hub
+    intermediates with degree > `max_hub_degree` are excluded from
+    wedge GENERATION (standard practice: a 10M-degree hub certifies
+    nothing — its AA weight 1/ln(10M) ≈ 0.06 — and any pair it would
+    certify at min_common≥2 is almost surely co-certified by a
+    low-degree neighbor). The cap is part of the operator's contract
+    and mirrored in the oracle, not a silent approximation.
+
+    Float discipline: counts and degrees are exact BIGINTs; Jaccard is
+    one double division of exact ints; Adamic–Adar folds 1/ln(deg)
+    over the DEGREE-THEN-ID-SORTED common-neighbor list (the
+    group_entropy sorted-fold rule — never a shuffle-order float sum),
+    rounded to 6 dp.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct()
+    deg = e.groupBy(F.col("_s").alias("_n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_deg")
+    )
+    # adjacency annotated with the NEIGHBOR-side degree (wedge center z)
+    adj = e.join(
+        deg.select(F.col("_n").alias("_d"), F.col("_deg").alias("_zdeg")),
+        "_d",
+    ).where(F.col("_zdeg") <= F.lit(max_hub_degree))
+    a = adj.select(
+        F.col("_d").alias("_z"), F.col("_s").alias("node_a"), "_zdeg"
+    )
+    b = adj.select(F.col("_d").alias("_z"), F.col("_s").alias("node_b"))
+    wedges = a.join(b, "_z").where(F.col("node_a") < F.col("node_b"))
+    pairs = wedges.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.array_sort(F.collect_list(F.struct("_zdeg", "_z"))).alias("_zs"),
+    ).where(F.col("common_neighbors") >= F.lit(min_common))
+    # drop already-adjacent pairs (edges hold both directions)
+    pairs = pairs.join(
+        e.select(F.col("_s").alias("node_a"), F.col("_d").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    pairs = (
+        pairs.join(
+            deg.select(F.col("_n").alias("node_a"), F.col("_deg").alias("_da")),
+            "node_a",
+        )
+        .join(
+            deg.select(F.col("_n").alias("node_b"), F.col("_deg").alias("_db")),
+            "node_b",
+        )
+    )
+    aa = F.aggregate(
+        "_zs",
+        F.lit(0.0),
+        lambda acc, x: acc + F.lit(1.0) / F.log(x["_zdeg"].cast("double")),
+    )
+    union = F.col("_da") + F.col("_db") - F.col("common_neighbors")
+    return pairs.select(
+        "node_a",
+        "node_b",
+        "common_neighbors",
+        F.col("_da").alias("degree_a"),
+        F.col("_db").alias("degree_b"),
+        F.round(F.col("common_neighbors").cast("double") / union.cast("double"), 6).alias("jaccard"),
+        F.round(aa, 6).alias("adamic_adar"),
+    )

@@ -346,3 +346,89 @@ def psi_bins(
         F.round(qq, 6).alias("p_cur"),
         F.round((p - qq) * F.log(p / qq), 6).alias("psi_term"),
     )
+
+
+def candidate_keys(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Uniqueness / candidate-key profile: one row per column with
+    exact row, null, and distinct counts plus the two derived flags a
+    schema-discovery pass wants — `is_candidate_key` (distinct ==
+    non-null == total) and `uniqueness` (distinct / non-null rows).
+
+    Shape: ONE aggregate over the table. Spark plans the N
+    COUNT(DISTINCT) via a single Expand (N× the input rows, map-side
+    partially aggregated before the one shuffle) — the same physical
+    strategy it uses for any multi-distinct agg, linear in N·rows and
+    never a per-column scan. The wide one-row result is unpivoted to
+    per-column rows with a literal stack (driver-free). Ratios are one
+    double division of exact ints, rounded 6dp.
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"_nn_{c}"))
+        aggs.append(
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"_nd_{c}")
+        )
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"_nn_{c}"),
+            F.col(f"_nd_{c}"),
+        ]
+    rows = one.select(
+        F.col("_n").alias("n_rows"),
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("column_name", "n_non_null", "n_distinct"),
+    )
+    return rows.select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_non_null")).cast("bigint").alias("n_nulls"),
+        "n_non_null",
+        "n_distinct",
+        (
+            (F.col("n_distinct") == F.col("n_non_null"))
+            & (F.col("n_non_null") == F.col("n_rows"))
+        ).alias("is_candidate_key"),
+        F.round(
+            F.col("n_distinct").cast("double")
+            / F.greatest(F.col("n_non_null"), F.lit(1)).cast("double"),
+            6,
+        ).alias("uniqueness"),
+    )
+
+
+def fd_violations(
+    df: DataFrame, determinant: str, dependent: str, max_examples: int = 2
+) -> DataFrame:
+    """Functional-dependency check `determinant → dependent`: one row
+    per determinant value that maps to MORE than one distinct
+    dependent value, with the violation size and the `max_examples`
+    smallest conflicting dependent values as evidence (deterministic:
+    sorted, not sampled). Empty result == the FD holds — the
+    schema-mining primitive behind key/hierarchy discovery (Huhtala et
+    al., TANE, Comp. J. 1999), run here as a single exact pass.
+
+    Shape: one (determinant, dependent) distinct reduction, one
+    same-key groupBy — both map-side combinable; evidence lists are
+    bounded by slice(max_examples). No driver action.
+    """
+    pairs = (
+        df.where(F.col(determinant).isNotNull())
+        .select(
+            F.col(determinant).alias("determinant"),
+            F.col(dependent).alias("dependent"),
+        )
+        .distinct()
+    )
+    g = pairs.groupBy("determinant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dependents"),
+        F.slice(
+            F.array_sort(F.collect_list(F.col("dependent").cast("string"))),
+            1,
+            max_examples,
+        ).alias("examples"),
+    )
+    return g.where(F.col("n_dependents") > 1)

@@ -7730,6 +7730,330 @@ FROM v JOIN b USING (event_type)
 """
 
 
+def q_copurchase_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (graph.link_prediction): for non-adjacent part
+    pairs of the co-purchase graph sharing a common neighbor, the three
+    classic proximity scores — common neighbors, Jaccard, Adamic-Adar
+    (Liben-Nowell & Kleinberg CIKM'03) — the "customers also bought"
+    candidate generator. One wedge self-join (hub intermediates with
+    degree > 10000 excluded from wedge generation, part of the
+    contract) + one pair groupBy; Adamic-Adar folds 1/ln(deg) over the
+    (degree, id)-sorted neighbor list (sorted-fold float discipline).
+    Data-level, one row per predicted pair."""
+    from hawk_pack_spark.operators.graph import copurchase_pairs, link_prediction
+
+    li = load_table(spark, "lineitem", sf_dir)
+    und = copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    edges = und.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionAll(
+        und.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    return link_prediction(edges, min_common=1, max_hub_degree=10_000)
+
+
+LINK_PRED_SQL = """
+WITH t AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+und AS (
+  SELECT a.i AS x, b.i AS y
+  FROM t a JOIN t b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS (SELECT x AS s, y AS d FROM und UNION ALL SELECT y AS s, x AS d FROM und),
+deg AS (SELECT s AS n, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+adj AS (SELECT e.s, e.d, deg.dg AS zdeg
+        FROM e JOIN deg ON e.d = deg.n WHERE deg.dg <= 10000),
+w AS (
+  SELECT a.s AS na, b.s AS nb, a.d AS z, a.zdeg
+  FROM adj a JOIN adj b ON a.d = b.d AND a.s < b.s),
+p AS (
+  SELECT na, nb, CAST(COUNT(*) AS BIGINT) AS cn,
+         list({'zd': zdeg, 'z': z} ORDER BY zdeg, z) AS zs
+  FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 1),
+np AS (SELECT p.* FROM p
+       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = p.na AND e.d = p.nb)),
+j AS (SELECT np.*, da.dg AS dga, db.dg AS dgb
+      FROM np JOIN deg da ON np.na = da.n JOIN deg db ON np.nb = db.n)
+SELECT na AS node_a, nb AS node_b, cn AS common_neighbors,
+       dga AS degree_a, dgb AS degree_b,
+       ROUND(CAST(cn AS DOUBLE) / CAST(dga + dgb - cn AS DOUBLE), 6) AS jaccard,
+       ROUND(list_reduce(list_prepend(0.0,
+             list_transform(zs, x -> 1.0 / LN(CAST(x.zd AS DOUBLE)))),
+             (acc, v) -> acc + v), 6) AS adamic_adar
+FROM j
+"""
+
+
+def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (profile.candidate_keys): per-column
+    exact row/null/distinct counts + uniqueness over orders in ONE
+    aggregate (Spark plans the multi-DISTINCT via a single Expand —
+    linear in cols x rows, one shuffle, never a per-column scan).
+    Data-level, one row per column."""
+    from hawk_pack_spark.operators.profile import candidate_keys
+
+    o = load_table(spark, "orders", sf_dir)
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    out = candidate_keys(o, cols)
+    return out.select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_non_null",
+        "n_distinct",
+        F.col("is_candidate_key").cast("int").cast("bigint").alias("is_candidate_key"),
+        "uniqueness",
+    )
+
+
+COLUMN_PROFILE_SQL = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(COUNT(o_orderkey) AS BIGINT) AS nn1, CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+    CAST(COUNT(o_custkey) AS BIGINT) AS nn2, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd2,
+    CAST(COUNT(o_orderstatus) AS BIGINT) AS nn3, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+    CAST(COUNT(o_totalprice) AS BIGINT) AS nn4, CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd4,
+    CAST(COUNT(o_orderdate) AS BIGINT) AS nn5, CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+    CAST(COUNT(o_orderpriority) AS BIGINT) AS nn6, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd6
+  FROM orders),
+u AS (
+  SELECT 'o_orderkey' AS column_name, n, nn1 AS nn, nd1 AS nd FROM s
+  UNION ALL SELECT 'o_custkey', n, nn2, nd2 FROM s
+  UNION ALL SELECT 'o_orderstatus', n, nn3, nd3 FROM s
+  UNION ALL SELECT 'o_totalprice', n, nn4, nd4 FROM s
+  UNION ALL SELECT 'o_orderdate', n, nn5, nd5 FROM s
+  UNION ALL SELECT 'o_orderpriority', n, nn6, nd6 FROM s)
+SELECT column_name, n AS n_rows, n - nn AS n_nulls, nn AS n_non_null,
+       nd AS n_distinct,
+       CAST(CASE WHEN nd = nn AND nn = n THEN 1 ELSE 0 END AS BIGINT)
+         AS is_candidate_key,
+       ROUND(CAST(nd AS DOUBLE) / CAST(GREATEST(nn, 1) AS DOUBLE), 6)
+         AS uniqueness
+FROM u
+"""
+
+
+def q_lineitem_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency mining (profile.fd_violations): does
+    l_partkey determine l_suppkey? (It does not — TPC-H gives each
+    part several suppliers; every multi-supplier part is a violation
+    row with sorted evidence values.) One distinct reduction + one
+    same-key groupBy, the TANE-style single-FD check. Data-level."""
+    from hawk_pack_spark.operators.profile import fd_violations
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return fd_violations(li, "l_partkey", "l_suppkey", max_examples=2)
+
+
+FD_VIOLATIONS_SQL = """
+WITH p AS (SELECT DISTINCT l_partkey AS determinant,
+                           l_suppkey AS dependent
+           FROM lineitem WHERE l_partkey IS NOT NULL),
+g AS (
+  SELECT determinant, CAST(COUNT(*) AS BIGINT) AS n_dependents,
+         list(CAST(dependent AS VARCHAR) ORDER BY CAST(dependent AS VARCHAR))[1:2]
+           AS examples
+  FROM p GROUP BY 1)
+SELECT determinant, n_dependents, examples FROM g WHERE n_dependents > 1
+"""
+
+
+def q_events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (analytics.acf): lag-1..3 Pearson
+    correlogram of each event type's daily value series (exact
+    integer micro-units) — the seasonality/memory diagnostic. One
+    window sort computes all lags, one (type, lag) groupBy of exact
+    decimal(38,0) accumulators with the overflow guard; r = num /
+    (sqrt(d1)*sqrt(d2)) via the wide-decimal string hop. Data-level,
+    one row per (type, lag)."""
+    from hawk_pack_spark.operators.analytics import acf
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("micros")
+    )
+    return acf(daily, ["event_type"], "day", "micros", max_lag=3)
+
+
+ACF_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS micros
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, micros AS x,
+         LAG(micros, 1) OVER w AS y1,
+         LAG(micros, 2) OVER w AS y2,
+         LAG(micros, 3) OVER w AS y3
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+u AS (
+  SELECT event_type, 1 AS lag, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2 AS lag, x, y2 AS y FROM l WHERE y2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3 AS lag, x, y3 AS y FROM l WHERE y3 IS NOT NULL),
+a AS (
+  SELECT event_type, lag,
+    CAST(COUNT(*) AS DECIMAL(38,0)) AS n0,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS sxy,
+    SUM(CAST(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS syy
+  FROM u GROUP BY 1, 2),
+f AS (
+  SELECT event_type, lag, CAST(n0 AS BIGINT) AS n_pairs,
+    CAST(CAST(CAST(n0*sxy - sx*sy AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS num,
+    CAST(CAST(CAST(n0*sxx - sx*sx AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS d1,
+    CAST(CAST(CAST(n0*syy - sy*sy AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS d2
+  FROM a)
+SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+       ROUND(num / (SQRT(d1) * SQRT(d2)), 6) AS acf
+FROM f WHERE d1 > 0 AND d2 > 0
+"""
+
+
+def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (analytics.theil_sen): lower-median of
+    all pairwise slopes of each type's daily series — the
+    outlier-immune alternative to events_value_trend's OLS. The
+    O(n^2) pair join is per GROUP (days per type, bounded by the data
+    model); medians are nearest-rank value selections, never
+    interpolated. Data-level, one row per type."""
+    from hawk_pack_spark.operators.analytics import theil_sen
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("micros")
+    ).select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("x"),
+        F.col("micros").alias("y"),
+    )
+    return theil_sen(daily, ["event_type"], "x", "y")
+
+
+THEILSEN_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, CAST(ts AS DATE)),
+p AS (SELECT a.event_type, a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj
+      FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x),
+s AS (SELECT event_type, xi, xj,
+             CAST(yj - yi AS DOUBLE) / CAST(xj - xi AS DOUBLE) AS slope
+      FROM p),
+r AS (SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, xi, xj) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+      FROM s),
+m AS (SELECT event_type, slope AS mslope, np FROM r
+      WHERE rn = CAST(FLOOR((np + 1) / 2) AS BIGINT)),
+resid AS (
+  SELECT d.event_type, m.np, m.mslope,
+         CAST(d.y AS DOUBLE) - m.mslope * CAST(d.x AS DOUBLE) AS b
+  FROM d JOIN m ON d.event_type = m.event_type),
+rr AS (SELECT event_type, np, mslope, b,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+       FROM resid)
+SELECT event_type, nn AS n_points, np AS n_pairs,
+       ROUND(mslope, 6) AS slope, ROUND(b, 6) AS intercept
+FROM rr WHERE rn = CAST(FLOOR((nn + 1) / 2) AS BIGINT)
+"""
+
+
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (text.readability): Flesch-style word /
+    sentence / heuristic-syllable counts and the composite score, pure
+    column algebra (regexp counts + one in-order list fold, no UDF) —
+    the document-difficulty feature a curation pipeline bins on.
+    Data-level, one row per document."""
+    from hawk_pack_spark.functions.text import readability
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = readability(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["n_sentences"].alias("n_sentences"),
+        feats["n_syllables"].alias("n_syllables"),
+        F.round(feats["flesch"], 6).alias("flesch"),
+    )
+
+
+READABILITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t != '') AS wl,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(GREATEST(len(wl), 1) AS BIGINT) AS nw,
+         CAST(ns AS BIGINT) AS ns,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(wl,
+               t -> CAST(GREATEST(len(regexp_extract_all(t, '[aeiouy]+')), 1)
+                         AS BIGINT))),
+           (acc, v) -> acc + v) AS syl
+  FROM w)
+SELECT doc_id, nw AS n_words, ns AS n_sentences, syl AS n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+             - 84.6 * (CAST(syl AS DOUBLE) / CAST(nw AS DOUBLE)), 6)
+         AS flesch
+FROM c
+"""
+
+
+def q_leakage_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware train/val/test split (curation.
+    leakage_safe_split): identical-content documents always land in
+    the same split (group by md5(text), split by the representative
+    id's Knuth bucket) — the split-contamination guard. Derandomized:
+    a replay yields the identical assignment. Data-level, one row per
+    document."""
+    from hawk_pack_spark.functions.curation import leakage_safe_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return leakage_safe_split(docs, fractions=(80, 10))
+
+
+LEAKAGE_SPLIT_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (
+           PARTITION BY CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+         ) AS group_rep_id
+  FROM documents),
+b AS (
+  SELECT doc_id, group_rep_id,
+         CAST(((group_rep_id % 2147483647) * 2654435761) % 4294967291 % 100
+              AS INTEGER) AS bucket
+  FROM g)
+SELECT doc_id, group_rep_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -7896,6 +8220,15 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "purchase_attribution": QuerySpec(q_purchase_attribution, PURCHASE_ATTRIBUTION_SQL, "linear multi-touch attribution (user-key range join, equal split by touch count), data-level"),
     "retrieval_eval_knn": QuerySpec(q_retrieval_eval, RETRIEVAL_EVAL_SQL, "retrieval evaluation (recall/precision@10, MRR, nDCG@10) vs label-derived graded judgments, rank-sorted DCG folds, data-level"),
     "events_winsorized": QuerySpec(q_events_winsorized, EVENTS_WINSORIZE_SQL, "nearest-rank percentile winsorization (clip bounds are actual data values, bit-exact), data-level"),
+    # -- round-9 batch 4: link prediction, schema mining, robust/serial
+    #    statistics, readability, leakage-safe splits
+    "copurchase_link_pred": QuerySpec(q_copurchase_link_pred, LINK_PRED_SQL, "link prediction (common-neighbors / Jaccard / Adamic-Adar, hub-capped wedge join, sorted-fold AA), data-level"),
+    "orders_column_profile": QuerySpec(q_orders_column_profile, COLUMN_PROFILE_SQL, "candidate-key profile: per-column null/distinct/uniqueness in ONE multi-distinct aggregate, data-level"),
+    "lineitem_fd_violations": QuerySpec(q_lineitem_fd_violations, FD_VIOLATIONS_SQL, "functional-dependency check l_partkey->l_suppkey with sorted violation evidence, data-level"),
+    "events_acf_daily": QuerySpec(q_events_acf_daily, ACF_SQL, "lag-1..3 autocorrelation per type (one window sort, exact decimal accumulators, string-hop doubles), data-level"),
+    "events_theilsen_trend": QuerySpec(q_events_theilsen_trend, THEILSEN_SQL, "Theil-Sen robust trend (per-group pair join, nearest-rank medians, no interpolation), data-level"),
+    "doc_readability": QuerySpec(q_doc_readability, READABILITY_SQL, "Flesch readability features (regexp counts + in-order syllable fold, no UDF), data-level"),
+    "leakage_split_docs": QuerySpec(q_leakage_split_docs, LEAKAGE_SPLIT_SQL, "duplicate-aware train/val/test split (content-hash groups, Knuth bucket of the representative), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
