@@ -1251,3 +1251,65 @@ def theil_sen(
         F.round("_m", 6).alias("slope"),
         F.round("_b", 6).alias("intercept"),
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    time_col: str = "time",
+    event_col: str = "observed",
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival table from per-subject
+    (time, observed) rows — time is an exact integer duration (days /
+    weeks since exposure), observed is true when the event happened at
+    `time` and false when the subject was CENSORED then (analysis
+    cutoff, still active, lost to follow-up). Counting censored
+    subjects as events is the bias K-M exists to remove. Returns one
+    row per distinct time: d (events), c (censored), n_at_risk,
+    hazard d/n, survival Π_{s<=t} (1 − d_s/n_s).
+
+    Shape: ONE (time) groupBy over the subjects (the only corpus-scale
+    shuffle — callers reduce their event log to one row per subject
+    first), a window reverse-cumsum for the at-risk counts, and the
+    survival products folded over the TIME-SORTED (d, n) list: the
+    K-M table is at most a few hundred rows regardless of corpus
+    size, so the O(T²) per-row prefix fold is constant-bounded, and
+    the sorted fold keeps the float product order deterministic in
+    both engines (never exp/ln, which dies on a zero-survival tail).
+    Hazard and survival rounded to 6 dp.
+    """
+    weekly = subjects.groupBy(F.col(time_col).cast("bigint").alias("time")).agg(
+        F.sum(F.when(F.col(event_col), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(F.col(event_col), 0).otherwise(1)).cast("bigint").alias("c"),
+    )
+    wrisk = (
+        Window.orderBy("time")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tbl = weekly.select(
+        "time",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(wrisk).cast("bigint").alias("n_at_risk"),
+    )
+    lst = tbl.agg(
+        F.array_sort(
+            F.collect_list(F.struct("time", "d", F.col("n_at_risk").alias("n")))
+        ).alias("_l")
+    )
+    joined = tbl.crossJoin(F.broadcast(lst))
+    surv = F.aggregate(
+        F.filter(F.col("_l"), lambda x: x["time"] <= F.col("time")),
+        F.lit(1.0),
+        lambda acc, x: acc
+        * (F.lit(1.0) - x["d"].cast("double") / x["n"].cast("double")),
+    )
+    return joined.select(
+        "time",
+        "d",
+        "c",
+        "n_at_risk",
+        F.round(F.col("d").cast("double") / F.col("n_at_risk").cast("double"), 6).alias(
+            "hazard"
+        ),
+        F.round(surv, 6).alias("survival"),
+    )

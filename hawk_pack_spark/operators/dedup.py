@@ -507,3 +507,92 @@ def jaccard_prefix_join(
             F.col("_i").cast("double") / (sa + sb - F.col("_i")), 6
         ).alias("jaccard"),
     )
+
+
+def dup_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level duplicated-substring coverage (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring signal, at word-n-gram granularity): for every document,
+    how much of it is covered by an n-gram that also appears in at
+    least `min_docs` DISTINCT documents. The per-doc `dup_fraction` is
+    the curation gate ("drop or trim documents that are mostly
+    boilerplate shared with the rest of the corpus"); near-dup pairs
+    light up at fraction ~1.0, templated boilerplate at 0.2-0.6.
+
+    Shape — the MapReduce rendering of suffix-array dedup, linear in
+    corpus tokens: (1) explode each doc into (pos, gram-hash) rows
+    (fan-out = tokens per doc, the hash is the repo's md5-15-hex
+    BIGINT so the shuffle carries 8-byte keys, never 8-token
+    strings); (2) ONE gram-keyed groupBy marks grams seen in >=
+    min_docs distinct docs (map-side combinable); (3) a semi-join
+    keeps duplicated occurrences; (4) ONE per-doc window computes the
+    UNION of the [pos, pos+n) intervals with a running-max-end sweep
+    (exact integer overlap clipping — overlapping spans never double-
+    count). Two shuffles total, both on high-cardinality keys.
+
+    Returns one row per document with >= n tokens: n_tokens, n_grams,
+    n_dup_grams, dup_tokens (union-of-spans size), dup_fraction.
+    """
+    w = tokens(F.col(text_col))
+    base = (
+        docs.select(F.col(id_col), w.alias("_w"))
+        .where(F.size("_w") >= n)
+        .select(F.col(id_col), F.size("_w").alias("n_tokens"), F.col("_w"))
+    )
+    occ = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    hash64(F.concat_ws(" ", F.slice("_w", i, F.lit(n)))).alias(
+                        "_g"
+                    ),
+                ),
+            )
+        ).alias("_o"),
+    ).select(F.col(id_col), F.col("_o.pos").alias("pos"), F.col("_o._g").alias("_g"))
+    dup = (
+        occ.groupBy("_g")
+        .agg(F.countDistinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    kept = occ.join(dup, "_g", "leftsemi")
+    wprev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + n).over(wprev)
+    covered = F.greatest(
+        F.lit(0),
+        F.col("pos") + n - F.greatest(F.col("pos"), F.coalesce(prev_end, F.col("pos"))),
+    )
+    perdoc = (
+        kept.select(F.col(id_col), covered.alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+            F.sum("_c").cast("bigint").alias("dup_tokens"),
+        )
+    )
+    return base.join(perdoc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_tokens") - n + 1).cast("bigint").alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    )

@@ -432,3 +432,44 @@ def eval_metrics(
             6,
         ).alias(f"ndcg_at_{k}"),
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search (positional matching): documents containing
+    the token sequence `phrase` (whitespace-tokenized, lowercased),
+    with the match count and the first match position — what a
+    positional inverted index answers, rendered SHUFFLE-FREE: each
+    document checks its own token array with a filtered position scan
+    (`F.filter` over `sequence` + `slice` equality), so the plan is a
+    single narrow projection over the corpus scan — no explode, no
+    join, no aggregation. At 100 TB this is scan-bound by design;
+    repeated-query workloads build the inverted index instead
+    (boolean_retrieval / bm25).
+
+    Returns (id, n_matches, first_pos) for matching docs only;
+    positions are 1-based token offsets. Overlapping matches count
+    separately (positions 'a a a' match 'a a' twice).
+    """
+    from hawk_pack_spark.functions.text import tokens
+
+    toks = [t for t in phrase.lower().split() if t]
+    if not toks:
+        raise ValueError("phrase_search: empty phrase")
+    m = len(toks)
+    lit_arr = F.array(*[F.lit(t) for t in toks])
+    w = tokens(F.col(text_col))
+    hits = F.filter(
+        F.sequence(F.lit(1), F.size(w) - m + 1),
+        lambda i: F.slice(w, i, F.lit(m)) == lit_arr,
+    )
+    out = docs.where(F.size(w) >= m).select(
+        F.col(id_col),
+        F.size(hits).cast("bigint").alias("n_matches"),
+        F.array_min(hits).cast("bigint").alias("first_pos"),
+    )
+    return out.where(F.col("n_matches") > 0)

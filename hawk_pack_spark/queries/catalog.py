@@ -8054,6 +8054,154 @@ FROM b
 """
 
 
+def q_dup_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-substring coverage (dedup.
+    dup_ngram_spans, the Lee et al. 2022 exact-substring signal at
+    8-gram granularity): per doc, the union-of-spans size of 8-grams
+    shared with >= 2 distinct docs. Two high-cardinality shuffles
+    (gram groupBy on 8-byte hashes, per-doc interval sweep); exact
+    integer coverage, one final division. Data-level, one row per doc
+    with >= 8 tokens."""
+    from hawk_pack_spark.operators.dedup import dup_ngram_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dup_ngram_spans(docs, n=8, min_docs=2)
+
+
+DUP_NGRAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t != '') AS w
+  FROM documents),
+base AS (SELECT doc_id, len(w) AS nt, w FROM tok WHERE len(w) >= 8),
+occ AS (
+  SELECT doc_id, nt, UNNEST(range(1, nt - 8 + 2)) AS pos, w
+  FROM base),
+g AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x', substr(md5(array_to_string(w[pos:pos+7], ' ')),
+                                  1, 15)) AS BIGINT) AS gh
+  FROM occ),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+docc AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+cov AS (
+  SELECT doc_id, pos,
+         GREATEST(0, pos + 8 - GREATEST(pos,
+           COALESCE(MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos))) AS c
+  FROM docc),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+         CAST(SUM(c) AS BIGINT) AS dup_tokens
+  FROM cov GROUP BY 1)
+SELECT b.doc_id, CAST(b.nt AS BIGINT) AS n_tokens,
+       CAST(b.nt - 8 + 1 AS BIGINT) AS n_grams,
+       COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+             / CAST(b.nt AS DOUBLE), 6) AS dup_fraction
+FROM base b LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+def q_phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (retrieval.phrase_search): docs containing
+    the token sequence 'fast sort', with match count and first
+    position — SHUFFLE-FREE positional matching (one filtered
+    position scan per doc, no explode/join/agg). Data-level, one row
+    per matching doc."""
+    from hawk_pack_spark.operators.retrieval import phrase_search
+
+    docs = load_table(spark, "documents", sf_dir)
+    return phrase_search(docs, "fast sort")
+
+
+PHRASE_SEARCH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t != '') AS w
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         list_filter(range(1, len(w) - 2 + 2),
+                     i -> w[i:i+1] = ['fast', 'sort']) AS hits
+  FROM tok WHERE len(w) >= 2)
+SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(list_min(hits) AS BIGINT) AS first_pos
+FROM m WHERE len(hits) > 0
+"""
+
+
+def q_user_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase (analytics.kaplan_meier):
+    per-user duration from first event to first purchase, RIGHT-
+    CENSORED at the 2024-01-05 analysis cutoff (users who hadn't
+    converted by then are censored at cutoff − first, not counted as
+    events — the bias K-M removes). One per-user reduction, one tiny
+    per-time groupBy, survival folded over the time-sorted (d, n)
+    list. Data-level, one row per distinct duration."""
+    from hawk_pack_spark.operators.analytics import kaplan_meier
+
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = F.lit("2024-01-05").cast("date")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("_purch"),
+    )
+    subj = pu.where(F.col("_first") <= cutoff).select(
+        F.when(
+            F.col("_purch").isNotNull() & (F.col("_purch") <= cutoff),
+            F.datediff("_purch", "_first"),
+        )
+        .otherwise(F.datediff(cutoff, F.col("_first")))
+        .alias("time"),
+        (F.col("_purch").isNotNull() & (F.col("_purch") <= cutoff)).alias(
+            "observed"
+        ),
+    )
+    return kaplan_meier(subj, "time", "observed")
+
+
+KM_SURVIVAL_SQL = """
+WITH pu AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+           AS p
+  FROM events GROUP BY 1),
+subj AS (
+  SELECT CASE WHEN p IS NOT NULL AND p <= DATE '2024-01-05'
+              THEN CAST(p - f AS BIGINT)
+              ELSE CAST(DATE '2024-01-05' - f AS BIGINT) END AS time,
+         (p IS NOT NULL AND p <= DATE '2024-01-05') AS ev
+  FROM pu WHERE f <= DATE '2024-01-05'),
+weekly AS (
+  SELECT time,
+         CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM subj GROUP BY 1),
+tbl AS (
+  SELECT time, d, c,
+         CAST(SUM(d + c) OVER (ORDER BY time
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_at_risk
+  FROM weekly),
+lst AS (SELECT list({'t': time, 'd': d, 'n': n_at_risk} ORDER BY time) AS l
+        FROM tbl)
+SELECT time, d, c, n_at_risk,
+       ROUND(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6) AS hazard,
+       ROUND(list_reduce(
+         list_prepend(1.0,
+           list_transform(list_filter(l, x -> x.t <= time),
+                          x -> 1.0 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+         (acc, v) -> acc * v), 6) AS survival
+FROM tbl, lst
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -8229,6 +8377,9 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "events_theilsen_trend": QuerySpec(q_events_theilsen_trend, THEILSEN_SQL, "Theil-Sen robust trend (per-group pair join, nearest-rank medians, no interpolation), data-level"),
     "doc_readability": QuerySpec(q_doc_readability, READABILITY_SQL, "Flesch readability features (regexp counts + in-order syllable fold, no UDF), data-level"),
     "leakage_split_docs": QuerySpec(q_leakage_split_docs, LEAKAGE_SPLIT_SQL, "duplicate-aware train/val/test split (content-hash groups, Knuth bucket of the representative), data-level"),
+    "dup_ngram_docs": QuerySpec(q_dup_ngram_docs, DUP_NGRAM_SQL, "duplicated-substring coverage per doc (cross-doc 8-gram union-of-spans sweep, Lee et al. 2022 signal), data-level"),
+    "phrase_search_docs": QuerySpec(q_phrase_search_docs, PHRASE_SEARCH_SQL, "exact phrase search: shuffle-free positional matching (filtered position scan per doc), data-level"),
+    "user_conversion_survival": QuerySpec(q_user_conversion_survival, KM_SURVIVAL_SQL, "Kaplan-Meier time-to-first-purchase with right-censoring at the analysis cutoff (sorted-fold product-limit), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
