@@ -468,3 +468,51 @@ def leakage_safe_split(
             .alias("split"),
         )
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus' own
+    top-``vocab_size`` token vocabulary (by total occurrence count,
+    ties broken by token — fully deterministic, no sampling): the
+    tokenizer-coverage diagnostic run before committing to a vocab
+    ("which documents will fragment into bytes"). Returns one row per
+    document: n_tokens, n_oov, oov_rate.
+
+    Shape: ONE postings groupBy builds the frequency table; the top-k
+    cut is orderBy+limit, which Catalyst plans as
+    TakeOrderedAndProject — each partition keeps its own top k and
+    only k·partitions rows reach the driver-side merge, never a
+    single-partition sort of the full (billions-of-distinct-tokens at
+    100 TB) frequency table. The k survivors BROADCAST to the per-doc
+    join. OOV fraction is one double division of exact ints.
+    """
+    from hawk_pack_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
+    vocab = (
+        freq.orderBy(F.col("_n").desc(), F.col("_tok").asc())
+        .limit(vocab_size)
+        .select("_tok")
+    )
+    tagged = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "_tok", "left"
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -1313,3 +1313,136 @@ def kaplan_meier(
         ),
         F.round(surv, 6).alias("survival"),
     )
+
+
+def equal_frequency_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning: every row ranked by
+    (value, tiebreak) lands in bin floor((rank−1)·B / n) — bins differ
+    in size by at most one row, bounds are ACTUAL data values (the
+    nearest-rank discipline: no interpolated, ulp-fuzzy cut points).
+    Returns one row per bin: n_rows, lo, hi. The feature-binning /
+    histogram-equalization primitive; with a unique `tiebreak_col`
+    the output is fully deterministic (unlike NTILE's unspecified tie
+    order).
+
+    Scale shape — the global rank is TWO-PHASE, never a one-partition
+    window: rows are range-partitioned on the sort key, each
+    partition ranks locally, and the global rank adds the partition's
+    prefix offset (a cumsum over the #partitions-row count table,
+    broadcast back). The only corpus-wide movement is the range
+    exchange any exact global order requires; bin assignment is
+    integer math (rank·B is exact int64 far past any practical row
+    count). At 100 TB prefer sketch quantiles (functions/sketches)
+    when approximate bounds suffice.
+    """
+    order = [F.col(value_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    ranged = df.select(
+        F.col(value_col).alias("_v"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    ).repartitionByRange(
+        *(["_v", "_tb"] if tiebreak_col else ["_v"])
+    )
+    local_order = [F.col("_v").asc()] + (
+        [F.col("_tb").asc()] if tiebreak_col else []
+    )
+    pid = ranged.withColumn("_pid", F.spark_partition_id())
+    wl = Window.partitionBy("_pid").orderBy(*local_order)
+    local = pid.withColumn("_lr", F.row_number().over(wl))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off"),
+    )
+    total = counts.agg(F.sum("_c").cast("bigint").alias("_n"))
+    ranked = (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_v",
+            F.floor(
+                ((F.col("_off") + F.col("_lr") - 1) * n_bins) / F.col("_n")
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+    )
+    return ranked.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
+    )
+
+
+def dau_mau(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 30,
+) -> DataFrame:
+    """Stickiness series: per calendar day, DAU (distinct active
+    users), MAU (distinct users active in the trailing
+    ``window_days``-day window ending that day), and the DAU/MAU
+    ratio — the engagement metric. Returns one row per day of the
+    observed span.
+
+    Shape: the corpus reduces ONCE to distinct (user, day) rows; MAU
+    is that table exploded onto the ≤ window_days future days each
+    activity covers (bounded ×30 fan-out — a range self-join would
+    re-scan per day) and de-dup-counted per day; DAU is the exact-day
+    slice of the same table. Day spine from one 1-row min/max agg —
+    days with zero activity still report. Exact integer counts, one
+    final division.
+    """
+    day = F.to_date(F.col(ts_col))
+    ud = events.select(
+        F.col(user_col).alias("_u"), day.alias("_d")
+    ).distinct()
+    dau = ud.groupBy(F.col("_d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    span = events.agg(
+        F.min(day).alias("_d0"), F.max(day).alias("_d1")
+    )
+    days = span.select(F.explode(F.sequence("_d0", "_d1")).alias("day"))
+    covered = ud.select(
+        "_u",
+        F.explode(
+            F.sequence(
+                F.col("_d"), F.date_add(F.col("_d"), window_days - 1)
+            )
+        ).alias("day"),
+    ).distinct()
+    mau = covered.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("mau")
+    )
+    out = (
+        days.join(dau, "day", "left")
+        .join(mau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            F.coalesce("mau", F.lit(0)).cast("bigint").alias("mau"),
+        )
+    )
+    return out.select(
+        "day",
+        "dau",
+        "mau",
+        F.round(
+            F.when(
+                F.col("mau") > 0,
+                F.col("dau").cast("double") / F.col("mau").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("stickiness"),
+    )

@@ -277,45 +277,74 @@ def knn_join(
     members = topm.where(F.col("crank") <= replicas).select(
         id_col, vec_col, "cluster"
     )
-    # HOT-CELL SALTING (NOTES r9): k-means cells average n/n_clusters
-    # members but the tail skews — measured at n=1M: p50=184, p99=3934,
-    # max=8348 (33x target) on tightly-clustered content. The candidate
-    # join's OUTPUT for one hot cell is probes_c x members_c rows in a
-    # single partition (hundreds of millions — the pointer-array OOM),
-    # and AQE's OptimizeSkewedJoin cannot see it: both INPUT sides of
-    # the hot partition are small in bytes; only the join product
-    # explodes. Fix at the operator level: split each oversize cell
-    # into ceil(members/salt_width) sub-cells — members take ONE salt
-    # (hash), probes take ALL salts of their cell (explode) — so every
-    # pair still meets exactly once and the per-partition join output
-    # is bounded by probes_c x salt_width. Cells at or under
-    # salt_width get factor 1: the explode is a no-op and the only
-    # overhead is a (cluster, count) reduction + two broadcast joins.
+    # HOT-CELL GRID SALTING (NOTES r9): k-means cells average
+    # n/n_clusters members but the tail skews — measured at n=1M:
+    # p50=184, p99=3934, max=8348 (33x target) on tightly-clustered
+    # content, and probe counts skew WORSE (a popular cell draws
+    # probes from its whole neighborhood). The candidate join's OUTPUT
+    # for one hot cell is probes_c x members_c rows emitted by ONE
+    # sort-merge join group — AQE's OptimizeSkewedJoin cannot see it
+    # (both INPUT sides of the partition are small in bytes; only the
+    # join product explodes), and whole-stage codegen buffers a join
+    # group's output before the downstream WindowGroupLimit consumes
+    # it, so a 10^7-pair group is a straight heap OOM (measured at
+    # n=1M: java.lang.OutOfMemoryError in BufferedRowIterator.append
+    # under GroupedLimitIterator — member-side-only salting bounded
+    # members per key but left probes_c unbounded). Fix: TWO-SIDED
+    # grid salting. Per cell, split members into F_m = ceil(mc/cap)
+    # hash buckets and probes into F_p = ceil(pc/cap) hash buckets;
+    # members replicate across the F_p probe buckets, probes across
+    # the F_m member buckets, and the join key is (cluster, msalt,
+    # psalt) — every pair meets EXACTLY once (at the unique
+    # (member's msalt, probe's psalt) key) and a join group is at most
+    # cap^2 pairs (~250k: megabytes, not gigabytes). Replication cost
+    # is pair_volume/cap extra input rows per side — a ~1/500 surtax
+    # on the join output volume itself. Cells at or under cap on both
+    # sides get factor 1x1: the explodes are no-ops and the only
+    # overhead is two (cluster, count) reductions + broadcast joins.
     salt_width = 500
-    factors = (
+    mfac = (
         members.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("_mc"))
         .select(
             "cluster",
-            F.greatest(
-                F.lit(1), F.ceil(F.col("_mc") / salt_width)
-            ).cast("int").alias("_f"),
+            F.greatest(F.lit(1), F.ceil(F.col("_mc") / salt_width))
+            .cast("int")
+            .alias("_fm"),
         )
     )
+    pfac = (
+        probes.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_pc"))
+        .select(
+            "cluster",
+            F.greatest(F.lit(1), F.ceil(F.col("_pc") / salt_width))
+            .cast("int")
+            .alias("_fp"),
+        )
+    )
+    factors = mfac.join(pfac, "cluster")
     members = (
         members.join(F.broadcast(factors), "cluster")
         .withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(F.col(id_col)), F.col("_f")).cast("int"),
+            "_msalt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_fm")).cast("int"),
         )
-        .drop("_f")
+        .withColumn(
+            "_psalt", F.explode(F.sequence(F.lit(0), F.col("_fp") - 1))
+        )
+        .drop("_fm", "_fp")
     )
     probes = (
         probes.join(F.broadcast(factors), "cluster")
         .withColumn(
-            "_salt", F.explode(F.sequence(F.lit(0), F.col("_f") - 1))
+            "_psalt",
+            F.pmod(F.xxhash64(F.col("query_id")), F.col("_fp")).cast("int"),
         )
-        .drop("_f")
+        .withColumn(
+            "_msalt", F.explode(F.sequence(F.lit(0), F.col("_fm") - 1))
+        )
+        .drop("_fm", "_fp")
     )
     # Distance is projected IMMEDIATELY after the cell join so the wide
     # rows (two vectors per candidate) are pipelined, never shuffled
@@ -328,7 +357,7 @@ def knn_join(
     # (measured: STAGE_MATERIALIZATION failure at 8g driver; with the
     # hint the same point runs — NOTES r9).
     scored = (
-        probes.join(members.hint("merge"), ["cluster", "_salt"])
+        probes.join(members.hint("merge"), ["cluster", "_msalt", "_psalt"])
         .where(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",

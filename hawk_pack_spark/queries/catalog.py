@@ -8202,6 +8202,138 @@ FROM tbl, lst
 """
 
 
+def q_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed set-containment join (dedup.containment_prefix_join):
+    ordered doc pairs with >= 80% of A's word-3-gram set inside B —
+    the asymmetric quote/subset-dedup signal Jaccard misses. LOSSLESS
+    prefix filter (probe prefixes vs full postings), integer-exact
+    verify (5·|A∩B| >= 4·|A|). The brute-force oracle is quadratic, so
+    this row is spark-only at the 10x gate (jaccard_docs_lossless
+    precedent). Data-level."""
+    from hawk_pack_spark.operators.dedup import containment_prefix_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    return containment_prefix_join(docs, 0.8, gram_n=3)
+
+
+CONTAINMENT_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t != '') AS w
+  FROM documents),
+gs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 3 + 2),
+                       i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM tok WHERE len(w) >= 3),
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS sa
+  FROM gs a JOIN gs b ON a.doc_id != b.doc_id)
+SELECT ia AS id_a, ib AS id_b, CAST(i AS BIGINT) AS n_common,
+       CAST(sa AS BIGINT) AS size_a,
+       ROUND(CAST(i AS DOUBLE) / CAST(sa AS DOUBLE), 6) AS containment
+FROM p WHERE 5 * i >= 4 * sa
+"""
+
+
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage diagnostic (curation.oov_rate): per-doc
+    out-of-vocabulary fraction against the corpus' own top-25 token
+    vocabulary (deterministic count-then-token order; top-k cut is
+    TakeOrderedAndProject — distributed partial top-k, never a
+    one-partition sort of the frequency table). Data-level, one row
+    per doc."""
+    from hawk_pack_spark.functions.curation import oov_rate
+
+    docs = load_table(spark, "documents", sf_dir)
+    return oov_rate(docs, vocab_size=25)
+
+
+OOV_RATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                t -> t != '')) AS tok
+  FROM documents),
+freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+vocab AS (SELECT tok FROM freq ORDER BY n DESC, tok ASC LIMIT 25),
+tagged AS (
+  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS oov_rate
+FROM tagged GROUP BY 1
+"""
+
+
+def q_events_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (analytics.equal_frequency_bins):
+    events.value into 10 rank-deciles with exact nearest-rank bounds
+    (ties split by event_id, fully deterministic). The global rank is
+    two-phase (range partition + local rank + prefix offsets), never
+    a one-partition window. Data-level, one row per bin."""
+    from hawk_pack_spark.operators.analytics import equal_frequency_bins
+
+    ev = load_table(spark, "events", sf_dir)
+    return equal_frequency_bins(
+        ev.select("event_id", "value"), "value", n_bins=10,
+        tiebreak_col="event_id",
+    )
+
+
+DECILE_BINS_SQL = """
+WITH r AS (
+  SELECT value,
+         CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) - 1 AS BIGINT)
+           AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM events)
+SELECT CAST(FLOOR(CAST(rn * 10 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM r GROUP BY 1
+"""
+
+
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness (analytics.dau_mau): per-day DAU,
+    trailing-7-day MAU, and the DAU/MAU ratio. One distinct
+    (user, day) reduction; the trailing window is a bounded x7
+    explode of that table (never a per-day rescan). Data-level, one
+    row per day of the span."""
+    from hawk_pack_spark.operators.analytics import dau_mau
+
+    ev = load_table(spark, "events", sf_dir)
+    return dau_mau(ev, window_days=7)
+
+
+DAU_MAU_SQL = """
+WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+            FROM events),
+span AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+         FROM events),
+spine AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+            AS day FROM span),
+dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM ud GROUP BY 1),
+mau AS (
+  SELECT s.day, CAST(COUNT(DISTINCT ud.u) AS BIGINT) AS mau
+  FROM spine s JOIN ud ON ud.d BETWEEN s.day - 6 AND s.day
+  GROUP BY 1)
+SELECT s.day, COALESCE(dau.dau, 0) AS dau, COALESCE(mau.mau, 0) AS mau,
+       ROUND(CASE WHEN COALESCE(mau.mau, 0) > 0
+                  THEN CAST(COALESCE(dau.dau, 0) AS DOUBLE)
+                       / CAST(mau.mau AS DOUBLE)
+                  ELSE 0.0 END, 6) AS stickiness
+FROM spine s LEFT JOIN dau ON s.day = dau.day
+             LEFT JOIN mau ON s.day = mau.day
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -8380,6 +8512,10 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "dup_ngram_docs": QuerySpec(q_dup_ngram_docs, DUP_NGRAM_SQL, "duplicated-substring coverage per doc (cross-doc 8-gram union-of-spans sweep, Lee et al. 2022 signal), data-level"),
     "phrase_search_docs": QuerySpec(q_phrase_search_docs, PHRASE_SEARCH_SQL, "exact phrase search: shuffle-free positional matching (filtered position scan per doc), data-level"),
     "user_conversion_survival": QuerySpec(q_user_conversion_survival, KM_SURVIVAL_SQL, "Kaplan-Meier time-to-first-purchase with right-censoring at the analysis cutoff (sorted-fold product-limit), data-level"),
+    "containment_docs_lossless": QuerySpec(q_containment_docs, CONTAINMENT_SQL, "LOSSLESS directed set-containment join (asymmetric prefix filter, integer-exact verify) vs brute-force oracle, data-level"),
+    "doc_oov_rate": QuerySpec(q_doc_oov_rate, OOV_RATE_SQL, "per-doc OOV rate vs the corpus top-k vocabulary (distributed partial top-k cut, broadcast vocab), data-level"),
+    "events_decile_bins": QuerySpec(q_events_decile_bins, DECILE_BINS_SQL, "equal-frequency decile binning (two-phase distributed rank, nearest-rank bounds, deterministic ties), data-level"),
+    "events_dau_mau": QuerySpec(q_events_dau_mau, DAU_MAU_SQL, "DAU / trailing-7d MAU stickiness series (one distinct reduction + bounded explode, zero-filled spine), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most

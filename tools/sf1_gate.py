@@ -39,6 +39,9 @@ ORACLE_SPARK_ONLY = {
     # quadratic by nature, so the engine side runs spark-only at 10×
     # while full value-parity is checked every round at the driver SF
     "jaccard_docs_lossless",
+    # same brute-force-oracle argument for the directed containment
+    # join (r9 batch 6)
+    "containment_docs_lossless",
 }
 
 
