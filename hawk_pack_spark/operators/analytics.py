@@ -1315,6 +1315,49 @@ def kaplan_meier(
     )
 
 
+def _two_phase_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str | None,
+) -> DataFrame:
+    """Distributed exact global rank by (value, tiebreak): range
+    partition on the sort key, rank locally, add the partition's
+    prefix offset (cumsum over the #partitions-row count table,
+    broadcast back). Returns (_v, _rank 1-based, _n total) — never a
+    one-partition window. The building block for exact equal-frequency
+    bins and nearest-rank percentile selections."""
+    ranged = df.select(
+        F.col(value_col).alias("_v"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    ).repartitionByRange(
+        *(["_v", "_tb"] if tiebreak_col else ["_v"])
+    )
+    local_order = [F.col("_v").asc()] + (
+        [F.col("_tb").asc()] if tiebreak_col else []
+    )
+    pid = ranged.withColumn("_pid", F.spark_partition_id())
+    wl = Window.partitionBy("_pid").orderBy(*local_order)
+    local = pid.withColumn("_lr", F.row_number().over(wl))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off"),
+    )
+    total = counts.agg(F.sum("_c").cast("bigint").alias("_n"))
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_v",
+            (F.col("_off") + F.col("_lr")).cast("bigint").alias("_rank"),
+            "_n",
+        )
+    )
+
+
 def equal_frequency_bins(
     df: DataFrame,
     value_col: str,
@@ -1340,41 +1383,11 @@ def equal_frequency_bins(
     count). At 100 TB prefer sketch quantiles (functions/sketches)
     when approximate bounds suffice.
     """
-    order = [F.col(value_col).asc()]
-    if tiebreak_col:
-        order.append(F.col(tiebreak_col).asc())
-    ranged = df.select(
-        F.col(value_col).alias("_v"),
-        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
-    ).repartitionByRange(
-        *(["_v", "_tb"] if tiebreak_col else ["_v"])
-    )
-    local_order = [F.col("_v").asc()] + (
-        [F.col("_tb").asc()] if tiebreak_col else []
-    )
-    pid = ranged.withColumn("_pid", F.spark_partition_id())
-    wl = Window.partitionBy("_pid").orderBy(*local_order)
-    local = pid.withColumn("_lr", F.row_number().over(wl))
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
-    woff = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off"),
-    )
-    total = counts.agg(F.sum("_c").cast("bigint").alias("_n"))
-    ranked = (
-        local.join(F.broadcast(offsets), "_pid")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "_v",
-            F.floor(
-                ((F.col("_off") + F.col("_lr") - 1) * n_bins) / F.col("_n")
-            )
-            .cast("bigint")
-            .alias("bin"),
-        )
+    ranked = _two_phase_rank(df, value_col, tiebreak_col).select(
+        "_v",
+        F.floor(((F.col("_rank") - 1) * n_bins) / F.col("_n"))
+        .cast("bigint")
+        .alias("bin"),
     )
     return ranked.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -1445,4 +1458,46 @@ def dau_mau(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("stickiness"),
+    )
+
+
+def nearest_rank_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: Sequence[int] = (0, 25, 50, 75, 90, 99, 100),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exact nearest-rank percentile selection: for each p the value
+    at rank ⌈p·n/100⌉ (p=0 → rank 1) — clip points are ACTUAL data
+    values (the winsorize discipline: interpolated percentiles are
+    ulp-fuzzy cross-engine; selections are bit-exact). Returns one
+    row per percentile: (percentile, rank, value, n_rows).
+
+    Scale shape: the same two-phase distributed rank as
+    equal_frequency_bins (range partition + local rank + broadcast
+    prefix offsets — no one-partition window), then a broadcast
+    percentile spine filters the ≤ len(ps) target ranks. One range
+    exchange total; integer rank math.
+    """
+    ps = sorted(set(int(p) for p in percentiles))
+    if not ps or ps[0] < 0 or ps[-1] > 100:
+        raise ValueError("percentiles must be within [0, 100]")
+    ranked = _two_phase_rank(df, value_col, tiebreak_col)
+    spine = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in ps])).alias("percentile")
+    )
+    targets = ranked.crossJoin(F.broadcast(spine)).where(
+        F.col("_rank")
+        == F.greatest(
+            F.lit(1),
+            F.ceil(F.col("percentile") * F.col("_n") / F.lit(100)).cast(
+                "bigint"
+            ),
+        )
+    )
+    return targets.select(
+        F.col("percentile").cast("int").alias("percentile"),
+        F.col("_rank").alias("rank"),
+        F.col("_v").alias("value"),
+        F.col("_n").alias("n_rows"),
     )

@@ -504,3 +504,123 @@ def link_prediction(
         F.round(F.col("common_neighbors").cast("double") / union.cast("double"), 6).alias("jaccard"),
         F.round(aa, 6).alias("adamic_adar"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PERSONALIZED PageRank: the teleport mass lands
+    only on the ``sources`` node set — r(v) ← (1−d)·1[v∈S] +
+    d·Σ_{u→v} r(u)/outdeg(u), all sources starting at 1, everyone
+    else at 0 (the unnormalized per-node-base form of the global
+    pagerank above; ranks are proximity-to-S scores, the "related to
+    THESE items" recommender query). Same contract: out-degree ≥ 1,
+    both directions for undirected graphs. Fixed iteration count
+    keeps the plan static and the result engine-reproducible.
+
+    Iterative-dataflow discipline (VERDICT r7 #2, plan-pinned for
+    pagerank): the loop invariants — edges⋈degree and the node set
+    with its 0/1 source base — are localCheckpointed ONCE before the
+    loop, so the base tables are scanned twice total regardless of N;
+    each iteration is one co-partitioned join + groupBy.
+    """
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    s = sources.select(F.col(node_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionAll(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .join(s.withColumn("_src", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.coalesce("_src", F.lit(0)).cast("double").alias("_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ed = e.join(deg, "_s").localCheckpoint(eager=True)
+    r = nodes.select("node", F.col("_b").alias("rank"))
+    base = 1.0 - damping
+    for _ in range(iters):
+        contrib = (
+            ed.join(r, ed["_s"] == r["node"])
+            .groupBy("_d")
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
+        )
+        r = nodes.join(
+            contrib, nodes["node"] == contrib["_d"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base) * F.col("_b")
+                + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return r
+
+
+def clustering_coefficient(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected simple
+    graph given as unique (a, b) pairs: cc(v) = 2·t(v) / (deg(v)·
+    (deg(v)−1)) with t(v) the triangles through v — the
+    community-density diagnostic (how clique-like is each node's
+    neighborhood). Returns (node, degree, n_triangles, clustering)
+    for nodes with degree ≥ 2; exact integer t and deg, ONE final
+    division, rounded 6 dp.
+
+    Scale shape: the same degree orientation as triangle_count (every
+    triangle materializes exactly once at its minimal apex, wedge
+    fan-out O(√m) per node regardless of skew), then each triangle
+    row explodes to its THREE member nodes (×3, bounded) and ONE
+    groupBy attributes the counts.
+    """
+    e = edges.select(
+        F.col(a_col).alias("_x"), F.col(b_col).alias("_y")
+    ).where(F.col(a_col) != F.col(b_col)).distinct()
+    deg = (
+        e.select(F.col("_x").alias("node"))
+        .unionAll(e.select(F.col("_y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    dx = deg.select(F.col("node").alias("_x"), F.col("degree").alias("_dx"))
+    dy = deg.select(F.col("node").alias("_y"), F.col("degree").alias("_dy"))
+    ed = e.join(dx, "_x").join(dy, "_y")
+    x_first = (F.col("_dx") < F.col("_dy")) | (
+        (F.col("_dx") == F.col("_dy")) & (F.col("_x") < F.col("_y"))
+    )
+    o = ed.select(
+        F.when(x_first, F.col("_x")).otherwise(F.col("_y")).alias("src"),
+        F.when(x_first, F.col("_y")).otherwise(F.col("_x")).alias("dst"),
+    )
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    pernode = (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    out = deg.where(F.col("degree") >= 2).join(pernode, "node", "left")
+    t = F.coalesce("n_triangles", F.lit(0)).cast("bigint")
+    return out.select(
+        "node",
+        "degree",
+        t.alias("n_triangles"),
+        F.round(
+            (F.lit(2.0) * t.cast("double"))
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            6,
+        ).alias("clustering"),
+    )

@@ -8334,6 +8334,166 @@ FROM spine s LEFT JOIN dau ON s.day = dau.day
 """
 
 
+def q_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.personalized_pagerank, 8 rounds,
+    d=0.85): teleport mass pinned to the part-key%50==0 source set —
+    proximity-to-these-items scores, the 'related to THIS basket'
+    recommender query. Loop invariants checkpointed once (the
+    pagerank discipline); oracle unrolls the same 8 iterations as
+    chained materialized CTEs. Data-level, one row per node."""
+    from hawk_pack_spark.operators.graph import (
+        copurchase_pairs,
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    und = copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    edges = und.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionAll(
+        und.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    sources = edges.select(F.col("src").alias("node")).where(
+        F.col("node") % 50 == 0
+    )
+    r = personalized_pagerank(edges, sources, damping=0.85, iters=8)
+    return r.select(
+        F.col("node").alias("part"), F.round("rank", 6).alias("ppr")
+    )
+
+
+def _ppr_sql(iters: int = 8, damping: float = 0.85) -> str:
+    # the _pagerank_sql conventions: repr'd double literals,
+    # multi-referenced CTEs MATERIALIZED (inlining re-evaluates per
+    # reference), one output ROUND(6)
+    base, d = repr(1.0 - damping), repr(damping)
+    sql = """
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb FROM t a JOIN t b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS MATERIALIZED (
+  SELECT pa AS s, pb AS dd FROM und UNION ALL SELECT pb, pa FROM und),
+deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY 1),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT s AS node,
+         CASE WHEN s % 50 = 0 THEN 1.0 ELSE 0.0 END AS b
+  FROM e),
+it0 AS (SELECT node, b AS r FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+c{i} AS (SELECT e.dd AS node, SUM(it{i - 1}.r / deg.deg) AS c
+  FROM e JOIN it{i - 1} ON e.s = it{i - 1}.node JOIN deg ON e.s = deg.s
+  GROUP BY 1),
+it{i} AS MATERIALIZED (
+  SELECT n.node, {base} * n.b + {d} * COALESCE(c{i}.c, 0.0) AS r
+  FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node)"""
+    sql += f"\nSELECT node AS part, ROUND(r, 6) AS ppr FROM it{iters}"
+    return sql
+
+
+def q_copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients (graph.clustering_coefficient):
+    per-part triangle density of the co-purchase graph — degree
+    orientation keeps the wedge fan-out O(sqrt(m)) under any skew;
+    each triangle attributes to its three members through one bounded
+    x3 explode. Exact integer t/deg, one division. Data-level, one
+    row per node with degree >= 2."""
+    from hawk_pack_spark.operators.graph import (
+        clustering_coefficient,
+        copurchase_pairs,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    und = copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return clustering_coefficient(und, "item_a", "item_b")
+
+
+CLUSTERING_COEFF_SQL = """
+WITH t AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS (
+  SELECT a.p AS x, b.p AS y FROM t a JOIN t b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT x AS node FROM und UNION ALL SELECT y FROM und)
+  GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (dx.degree, und.x) < (dy.degree, und.y)
+              THEN und.x ELSE und.y END AS s,
+         CASE WHEN (dx.degree, und.x) < (dy.degree, und.y)
+              THEN und.y ELSE und.x END AS d
+  FROM und JOIN deg dx ON und.x = dx.node JOIN deg dy ON und.y = dy.node),
+tris AS (
+  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+  FROM o e1 JOIN o e2 ON e1.d = e2.s JOIN o e3
+       ON e3.s = e1.s AND e3.d = e2.d),
+pern AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS nt FROM (
+    SELECT a AS node FROM tris UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris)
+  GROUP BY 1)
+SELECT deg.node, deg.degree,
+       COALESCE(pern.nt, 0) AS n_triangles,
+       ROUND(2.0 * COALESCE(pern.nt, 0)
+             / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
+         AS clustering
+FROM deg LEFT JOIN pern ON deg.node = pern.node
+WHERE deg.degree >= 2
+"""
+
+
+def q_purchase_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution (analytics.
+    nearest_rank_percentiles): exact nearest-rank percentiles of each
+    user's first-signup→first-purchase seconds — selections of actual
+    data values (bit-exact cross-engine), computed with the two-phase
+    distributed rank. Data-level, one row per percentile."""
+    from hawk_pack_spark.operators.analytics import nearest_rank_percentiles
+
+    ev = load_table(spark, "events", sf_dir)
+    pu = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_timestamp("ts"))
+        ).alias("_s"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_timestamp("ts"))
+        ).alias("_p"),
+    )
+    lat = pu.where(
+        F.col("_s").isNotNull()
+        & F.col("_p").isNotNull()
+        & (F.col("_p") >= F.col("_s"))
+    ).select("user_id", (F.col("_p") - F.col("_s")).alias("latency_s"))
+    return nearest_rank_percentiles(
+        lat, "latency_s", (0, 25, 50, 75, 90, 99, 100), tiebreak_col="user_id"
+    )
+
+
+LATENCY_PCTL_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS s,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS p
+  FROM events GROUP BY 1),
+lat AS (
+  SELECT user_id, p - s AS v FROM pu
+  WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s),
+r AS (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, user_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM lat),
+spine AS (SELECT UNNEST([0, 25, 50, 75, 90, 99, 100]) AS percentile)
+SELECT CAST(spine.percentile AS INTEGER) AS percentile,
+       r.rn AS rank, r.v AS value, r.n AS n_rows
+FROM spine JOIN r
+  ON r.rn = GREATEST(1, CAST(CEIL(spine.percentile * r.n / 100.0) AS BIGINT))
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -8516,6 +8676,9 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "doc_oov_rate": QuerySpec(q_doc_oov_rate, OOV_RATE_SQL, "per-doc OOV rate vs the corpus top-k vocabulary (distributed partial top-k cut, broadcast vocab), data-level"),
     "events_decile_bins": QuerySpec(q_events_decile_bins, DECILE_BINS_SQL, "equal-frequency decile binning (two-phase distributed rank, nearest-rank bounds, deterministic ties), data-level"),
     "events_dau_mau": QuerySpec(q_events_dau_mau, DAU_MAU_SQL, "DAU / trailing-7d MAU stickiness series (one distinct reduction + bounded explode, zero-filled spine), data-level"),
+    "copurchase_ppr": QuerySpec(q_copurchase_ppr, _ppr_sql(), "personalized PageRank (teleport pinned to a source set, 8 checkpointed rounds) ≡ unrolled-CTE oracle, data-level"),
+    "copurchase_clustering": QuerySpec(q_copurchase_clustering, CLUSTERING_COEFF_SQL, "local clustering coefficients (degree-oriented triangle attribution, exact integer t/deg), data-level"),
+    "purchase_latency_percentiles": QuerySpec(q_purchase_latency_percentiles, LATENCY_PCTL_SQL, "nearest-rank conversion-latency percentiles (two-phase distributed rank, bit-exact value selections), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
