@@ -1501,3 +1501,208 @@ def nearest_rank_percentiles(
         F.col("_v").alias("value"),
         F.col("_n").alias("n_rows"),
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    stages: Sequence[str],
+    percentiles: Sequence[int] = (50, 90),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-transition funnel latency: for users who reached stage k+1,
+    the exact nearest-rank percentiles of (t_{k+1} − t_k) seconds under
+    the SAME chained-min semantics as `funnel` (stage k+1's time is the
+    earliest stage-(k+1) event weakly after the user's stage-k time) —
+    'how long does signup→view take at the median', the diagnosis
+    behind a funnel's drop-offs. One row per (transition, percentile).
+
+    Shape: the funnel fold (one scan + one shuffle, per-user sorted
+    event list) re-used verbatim, then the per-user stage-time array
+    differentiates IN the array (no second shuffle) and explodes to
+    (transition, latency) rows; percentile selection is a per-
+    transition window rank — partitioned by transition, never a global
+    one-partition sort. Latencies are exact integer seconds; the
+    selected percentiles are actual data values (nearest-rank
+    discipline), ties broken by user id.
+    """
+    k = len(stages)
+    sec = F.unix_timestamp(F.col(ts_col))
+    stage_idx = F.lit(None).cast("int")
+    for i, s in reversed(list(enumerate(stages))):
+        stage_idx = F.when(F.col(type_col) == s, F.lit(i)).otherwise(stage_idx)
+    ev = df.where(F.col(type_col).isin(list(stages))).select(
+        F.col(user_col).alias("_u"),
+        sec.alias("_s"),
+        stage_idx.alias("_j"),
+    )
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+
+    def step(st, e):
+        return F.transform(
+            st,
+            lambda t, i: F.when(
+                (e["_j"] == i)
+                & t.isNull()
+                & ((i == F.lit(0)) | F.get(st, i - 1).isNotNull()),
+                e["_s"],
+            ).otherwise(t),
+        )
+
+    per_user = ev.groupBy("_u").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_s", "_j"))), init, step
+        ).alias("_st")
+    )
+    trans = per_user.select(
+        "_u",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(k - 1)),
+                lambda i: F.struct(
+                    i.alias("_i"),
+                    (F.get("_st", i) - F.get("_st", i - 1)).alias("_lat"),
+                ),
+            )
+        ).alias("_t"),
+    ).select(
+        "_u", F.col("_t._i").alias("_i"), F.col("_t._lat").alias("_lat")
+    ).where(F.col("_lat").isNotNull())
+    wn = Window.partitionBy("_i")
+    ws = Window.partitionBy("_i").orderBy("_lat", "_u")
+    ranked = trans.select(
+        "_i",
+        "_lat",
+        F.row_number().over(ws).alias("_r"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    ps = sorted(set(int(p) for p in percentiles))
+    spine = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in ps])).alias("percentile")
+    )
+    stage_names = F.array(*[F.lit(s) for s in stages])
+    out = ranked.crossJoin(F.broadcast(spine)).where(
+        F.col("_r")
+        == F.greatest(
+            F.lit(1),
+            F.ceil(F.col("percentile") * F.col("_n") / F.lit(100)).cast(
+                "bigint"
+            ),
+        )
+    )
+    return out.select(
+        F.col("_i").cast("int").alias("transition_idx"),
+        F.get(stage_names, F.col("_i") - 1).alias("from_stage"),
+        F.get(stage_names, F.col("_i")).alias("to_stage"),
+        F.col("percentile").cast("int").alias("percentile"),
+        F.col("_n").cast("bigint").alias("n_users"),
+        F.col("_lat").cast("bigint").alias("latency_s"),
+    )
+
+
+def bounce_rate(
+    df: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Daily bounce rate: gap-based sessions (a >gap_s silence starts
+    a new one), a session of exactly ONE event is a bounce; per
+    session-start day: n_sessions, n_bounces, bounce_rate. One
+    per-user window sort (shared by the gap flag and the running
+    session id) + two same-key groupBys; exact integer counts, one
+    final division.
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    g = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.when(
+            sec - F.lag(sec).over(w) > gap_s, F.lit(1)
+        ).otherwise(F.lit(0)).alias("_new"),
+    )
+    ws = (
+        Window.partitionBy("_u")
+        .orderBy("_ts", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = g.select(
+        "_u", "_ts", F.sum("_new").over(ws).alias("_sid")
+    )
+    per_sess = s.groupBy("_u", "_sid").agg(
+        F.count(F.lit(1)).alias("_len"),
+        F.min(F.to_date("_ts")).alias("day"),
+    )
+    daily = per_sess.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("_len") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+    )
+    return daily.select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        F.round(
+            F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
+def gap_percentiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    percentiles: Sequence[int] = (50, 90),
+) -> DataFrame:
+    """Inter-event-time distribution per group: exact nearest-rank
+    percentiles of the seconds between consecutive events (ordered by
+    (ts, id) — deterministic under timestamp ties). The cadence
+    diagnostic behind session-gap and watermark tuning. One row per
+    (group, percentile), values are actual observed gaps.
+
+    Shape: one per-group window sort (shared by the lag and the rank),
+    then a broadcast percentile spine filters the target ranks —
+    partitioned windows throughout, never a global sort.
+    """
+    keys = list(keys)
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+    gaps = df.select(
+        *keys,
+        F.col(id_col).alias("_id"),
+        (sec - F.lag(sec).over(w)).alias("_gap"),
+    ).where(F.col("_gap").isNotNull())
+    wn = Window.partitionBy(*keys)
+    ws = Window.partitionBy(*keys).orderBy("_gap", "_id")
+    ranked = gaps.select(
+        *keys,
+        "_gap",
+        F.row_number().over(ws).alias("_r"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    ps = sorted(set(int(p) for p in percentiles))
+    spine = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in ps])).alias("percentile")
+    )
+    out = ranked.crossJoin(F.broadcast(spine)).where(
+        F.col("_r")
+        == F.greatest(
+            F.lit(1),
+            F.ceil(F.col("percentile") * F.col("_n") / F.lit(100)).cast(
+                "bigint"
+            ),
+        )
+    )
+    return out.select(
+        *keys,
+        F.col("percentile").cast("int").alias("percentile"),
+        F.col("_n").cast("bigint").alias("n_gaps"),
+        F.col("_gap").cast("bigint").alias("gap_s"),
+    )

@@ -17,7 +17,7 @@ the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hawk_pack_spark.functions.text import tokens
@@ -236,4 +236,65 @@ def pmi_pairs(
                 F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
             )
         ),
+    )
+
+
+def ctfidf_terms(
+    docs: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Class-based TF-IDF keyword extraction (the BERTopic c-TF-IDF
+    idea, Grootendorst 2022): treat each class (source/domain/topic)
+    as ONE concatenated pseudo-document — score(t, c) = tf(t in c) ·
+    ln(n_classes / df_classes(t)) — and keep each class's ``top_k``
+    terms. What distinguishes THIS domain from the others, the
+    domain-labeling diagnostic a corpus mix review starts from.
+
+    Shape: one (class, term) count reduction, one term-keyed
+    class-frequency reduction joined back (both map-side combinable),
+    one per-class window top-k (WindowGroupLimit). Score is exact-int
+    tf × one ln, rounded 6 dp; ties by term so the top-k is
+    deterministic.
+    """
+    from hawk_pack_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(class_col).alias("class"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("class", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    # driver-action-free scalar: the class count rides a broadcast
+    # 1-row crossJoin instead of a .count() job
+    nclasses = docs.agg(
+        F.countDistinct(F.col(class_col)).cast("double").alias("_nc")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_classes")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nclasses))
+        .select(
+            "class",
+            "term",
+            "tf",
+            "df_classes",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("_nc") / F.col("df_classes").cast("double")),
+                6,
+            ).alias("ctfidf"),
+        )
+    )
+    w = Window.partitionBy("class").orderBy(
+        F.col("ctfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("class", "rank", "term", "tf", "df_classes", "ctfidf")
     )

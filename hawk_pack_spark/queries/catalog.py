@@ -8494,6 +8494,168 @@ FROM spine JOIN r
 """
 
 
+def q_funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel transition latency (analytics.funnel_latency): median
+    and p90 seconds between consecutive funnel stages under the SAME
+    chained-min semantics as funnel_conversion (stage k+1 weakly after
+    the user's stage-k time). Latencies differentiate inside the
+    per-user stage array (no second shuffle); percentile selection is
+    a per-transition window rank. Data-level, one row per
+    (transition, percentile)."""
+    from hawk_pack_spark.operators.analytics import funnel_latency
+
+    ev = load_table(spark, "events", sf_dir)
+    return funnel_latency(
+        ev, ["signup", "view", "click", "purchase"], (50, 90)
+    )
+
+
+FUNNEL_LATENCY_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+  FROM events),
+s1 AS (SELECT user_id, MIN(sec) AS t FROM ev
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.sec) AS t FROM ev e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'view' AND e.sec >= s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.sec) AS t FROM ev e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'click' AND e.sec >= s2.t GROUP BY 1),
+s4 AS (SELECT e.user_id, MIN(e.sec) AS t FROM ev e
+       JOIN s3 ON e.user_id = s3.user_id
+       WHERE e.event_type = 'purchase' AND e.sec >= s3.t GROUP BY 1),
+lat AS (
+  SELECT 1 AS i, 'signup' AS f, 'view' AS tto, s2.user_id AS u,
+         s2.t - s1.t AS l
+  FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+  UNION ALL
+  SELECT 2, 'view', 'click', s3.user_id, s3.t - s2.t
+  FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+  UNION ALL
+  SELECT 3, 'click', 'purchase', s4.user_id, s4.t - s3.t
+  FROM s4 JOIN s3 ON s4.user_id = s3.user_id),
+r AS (
+  SELECT i, f, tto, l,
+         CAST(ROW_NUMBER() OVER (PARTITION BY i ORDER BY l, u) AS BIGINT)
+           AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY i) AS BIGINT) AS n
+  FROM lat),
+spine AS (SELECT UNNEST([50, 90]) AS percentile)
+SELECT CAST(r.i AS INTEGER) AS transition_idx, r.f AS from_stage,
+       r.tto AS to_stage, CAST(spine.percentile AS INTEGER) AS percentile,
+       r.n AS n_users, r.l AS latency_s
+FROM spine JOIN r
+  ON r.rn = GREATEST(1, CAST(CEIL(spine.percentile * r.n / 100.0) AS BIGINT))
+"""
+
+
+def q_daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate (analytics.bounce_rate): 30-min-gap sessions,
+    single-event sessions are bounces, grouped by session-start day.
+    One per-user window sort shared by gap flag and session id; exact
+    counts, one division. Data-level, one row per day."""
+    from hawk_pack_spark.operators.analytics import bounce_rate
+
+    ev = load_table(spark, "events", sf_dir)
+    return bounce_rate(ev, gap_s=1800)
+
+
+BOUNCE_RATE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+per_sess AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(CAST(ts AS DATE)) AS day
+  FROM s GROUP BY 1, 2)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       ROUND(CAST(SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM per_sess GROUP BY 1
+"""
+
+
+def q_event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event cadence (analytics.gap_percentiles): per event type,
+    nearest-rank p50/p90 of the seconds between consecutive events —
+    the watermark/session-gap tuning diagnostic. One shared per-group
+    window sort; percentile values are actual observed gaps.
+    Data-level, one row per (type, percentile)."""
+    from hawk_pack_spark.operators.analytics import gap_percentiles
+
+    ev = load_table(spark, "events", sf_dir)
+    return gap_percentiles(ev, ["event_type"], "ts", "event_id", (50, 90))
+
+
+GAP_PCTL_SQL = """
+WITH g AS (
+  SELECT event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+r AS (
+  SELECT event_type, gap, event_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY gap, event_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM g WHERE gap IS NOT NULL),
+spine AS (SELECT UNNEST([50, 90]) AS percentile)
+SELECT r.event_type, CAST(spine.percentile AS INTEGER) AS percentile,
+       r.n AS n_gaps, r.gap AS gap_s
+FROM spine JOIN r
+  ON r.rn = GREATEST(1, CAST(CEIL(spine.percentile * r.n / 100.0) AS BIGINT))
+"""
+
+
+def q_source_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF keywords (bm25.ctfidf_terms, the BERTopic
+    c-TF-IDF idea): each source treated as one pseudo-document, score
+    = tf x ln(n_classes/df_classes), top-3 terms per source
+    (WindowGroupLimit, term-tiebroken). Data-level, one row per
+    (source, rank)."""
+    from hawk_pack_spark.operators.bm25 import ctfidf_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ctfidf_terms(docs, "source", top_k=3)
+
+
+CTFIDF_SQL = r"""
+WITH toks AS (
+  SELECT source AS class,
+         UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                t -> t != '')) AS term
+  FROM documents),
+tf AS (SELECT class, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+nc AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n FROM documents),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_classes
+        FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.class, tf.term, tf.tf, dfq.df_classes,
+         ROUND(CAST(tf.tf AS DOUBLE)
+               * LN(nc.n / CAST(dfq.df_classes AS DOUBLE)), 6) AS ctfidf
+  FROM tf JOIN dfq ON tf.term = dfq.term, nc),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY class
+              ORDER BY ctfidf DESC, term ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT class, rank, term, tf, df_classes, ctfidf FROM r WHERE rank <= 3
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -8679,6 +8841,10 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "copurchase_ppr": QuerySpec(q_copurchase_ppr, _ppr_sql(), "personalized PageRank (teleport pinned to a source set, 8 checkpointed rounds) ≡ unrolled-CTE oracle, data-level"),
     "copurchase_clustering": QuerySpec(q_copurchase_clustering, CLUSTERING_COEFF_SQL, "local clustering coefficients (degree-oriented triangle attribution, exact integer t/deg), data-level"),
     "purchase_latency_percentiles": QuerySpec(q_purchase_latency_percentiles, LATENCY_PCTL_SQL, "nearest-rank conversion-latency percentiles (two-phase distributed rank, bit-exact value selections), data-level"),
+    "funnel_stage_latency": QuerySpec(q_funnel_stage_latency, FUNNEL_LATENCY_SQL, "funnel transition latency p50/p90 (chained-min semantics, in-array differentiation, per-transition rank), data-level"),
+    "daily_bounce_rate": QuerySpec(q_daily_bounce_rate, BOUNCE_RATE_SQL, "daily bounce rate over 30-min-gap sessions (one shared window sort, exact counts), data-level"),
+    "event_gap_percentiles": QuerySpec(q_event_gap_percentiles, GAP_PCTL_SQL, "inter-event cadence p50/p90 per type (nearest-rank gap selections, shared window sort), data-level"),
+    "source_ctfidf_terms": QuerySpec(q_source_ctfidf_terms, CTFIDF_SQL, "c-TF-IDF domain keywords (class pseudo-docs, tf x ln(N/df), top-3 per source), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
