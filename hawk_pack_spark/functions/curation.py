@@ -516,3 +516,60 @@ def oov_rate(
             6,
         ).alias("oov_rate"),
     )
+
+
+def domain_token_topp(
+    docs: DataFrame,
+    p_permille: int = 800,
+    quality_col: str = "quality",
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Nucleus-style (top-p) per-domain curation: within each stratum,
+    keep the HIGHEST-quality documents whose cumulative token mass
+    stays within p_permille/1000 of the stratum's total — "the best
+    80% of each domain's tokens", the quality-budget dual of
+    `sample_to_token_budget`'s absolute budget. Rate-based gates keep
+    a fixed fraction of DOCS; this keeps a fixed fraction of TOKENS,
+    weighted toward quality.
+
+    Derandomized and exact: docs sort by (quality DESC, id) inside the
+    stratum (one window), the running token sum is compared by integer
+    cross-multiplication (1000·cum ≤ p·total — no float threshold),
+    and the FIRST document of each stratum is always kept (a top-p cut
+    that can return an empty domain is a footgun). One shuffle (the
+    per-stratum window); totals ride the same groupBy-broadcast join.
+    """
+    from hawk_pack_spark.functions.text import token_count
+
+    with_n = docs.withColumn(
+        "n_tokens", token_count(F.col(text_col)).cast("long")
+    )
+    totals = with_n.groupBy(stratum_col).agg(
+        F.sum("n_tokens").alias("_total")
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        with_n.join(F.broadcast(totals), stratum_col)
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    return ranked.where(
+        (F.col("_rn") == 1)
+        | (F.lit(1000) * F.col("cum_tokens") <= F.lit(p_permille) * F.col("_total"))
+    ).select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.col(quality_col),
+        "n_tokens",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("_total").cast("bigint").alias("stratum_tokens"),
+    )

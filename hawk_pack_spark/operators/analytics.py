@@ -1706,3 +1706,75 @@ def gap_percentiles(
         F.col("_n").cast("bigint").alias("n_gaps"),
         F.col("_gap").cast("bigint").alias("gap_s"),
     )
+
+
+def cross_correlations(
+    df: DataFrame,
+    series_col: str,
+    t_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Pairwise Pearson correlation between every pair of series
+    (series_col values), matched on the time bucket `t_col` — which
+    metrics move together, the co-movement diagnostic behind alerting
+    and feature pruning. `x_col` must be exact integer units with one
+    row per (series, t). Returns one row per unordered pair with
+    n_common (matched buckets) and the correlation.
+
+    Shape: ONE self-equi-join on the time bucket (series_a < series_b
+    to keep pairs unordered), then ONE (pair) groupBy of exact
+    decimal(38,0) accumulators — the trend/acf float discipline:
+    overflow-guarded sums, string-hop doubles, r = num /
+    (sqrt(d1)·sqrt(d2)) folded identically in both engines, 6 dp. The
+    join fan-out per bucket is (#series choose 2) — bounded by the
+    series-cardinality contract, never by the corpus.
+    """
+    t = df.select(
+        F.col(series_col).alias("_s"),
+        F.col(t_col).alias("_t"),
+        F.col(x_col).cast("decimal(38,0)").alias("_x"),
+    )
+    a = t.select(
+        F.col("_s").alias("series_a"), "_t", F.col("_x").alias("_xa")
+    )
+    b = t.select(
+        F.col("_s").alias("series_b"), "_t", F.col("_x").alias("_xb")
+    )
+    pairs = a.join(b, "_t").where(F.col("series_a") < F.col("series_b"))
+    agg = pairs.groupBy("series_a", "series_b").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_xa").alias("_sx"),
+        F.sum("_xb").alias("_sy"),
+        F.sum(F.col("_xa") * F.col("_xb")).alias("_sxy"),
+        F.sum(F.col("_xa") * F.col("_xa")).alias("_sxx"),
+        F.sum(F.col("_xb") * F.col("_xb")).alias("_syy"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    d1 = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    d2 = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    not_overflowed = (
+        F.col("_sx").isNotNull()
+        & F.col("_sy").isNotNull()
+        & F.col("_sxy").isNotNull()
+        & F.col("_sxx").isNotNull()
+        & F.col("_syy").isNotNull()
+        & num.isNotNull()
+        & d1.isNotNull()
+        & d2.isNotNull()
+    )
+    agg = agg.where(
+        F.assert_true(
+            not_overflowed,
+            "cross_correlations: decimal(38,0) accumulator overflowed — "
+            "rescale x to smaller integer units",
+        ).isNull()
+    )
+    num_d = num.cast("string").cast("double")
+    d1_d = d1.cast("string").cast("double")
+    d2_d = d2.cast("string").cast("double")
+    return agg.where((d1 > 0) & (d2 > 0)).select(
+        "series_a",
+        "series_b",
+        F.col("_n").cast("bigint").alias("n_common"),
+        F.round(num_d / (F.sqrt(d1_d) * F.sqrt(d2_d)), 6).alias("pearson"),
+    )

@@ -8656,6 +8656,88 @@ SELECT class, rank, term, tf, df_classes, ctfidf FROM r WHERE rank <= 3
 """
 
 
+def q_domain_token_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style per-domain curation (curation.domain_token_topp):
+    within each source, keep the highest-n_chars docs covering 80% of
+    the domain's token mass — integer cross-multiplied threshold (no
+    float compare), first doc always kept, derandomized. Data-level,
+    one row per kept doc."""
+    from hawk_pack_spark.functions.curation import domain_token_topp
+
+    docs = load_table(spark, "documents", sf_dir)
+    return domain_token_topp(docs, p_permille=800, quality_col="n_chars")
+
+
+DOMAIN_TOPP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tokens
+  FROM documents),
+tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total
+        FROM t GROUP BY 1),
+r AS (
+  SELECT t.doc_id, t.source, t.n_chars, t.n_tokens, tot.total,
+         CAST(SUM(t.n_tokens) OVER w AS BIGINT) AS cum,
+         ROW_NUMBER() OVER w AS rn
+  FROM t JOIN tot ON t.source = tot.source
+  WINDOW w AS (PARTITION BY t.source ORDER BY t.n_chars DESC, t.doc_id
+               ROWS UNBOUNDED PRECEDING))
+SELECT doc_id, source, n_chars, n_tokens, cum AS cum_tokens,
+       total AS stratum_tokens
+FROM r WHERE rn = 1 OR 1000 * cum <= 800 * total
+"""
+
+
+def q_event_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series co-movement (analytics.cross_correlations):
+    pairwise Pearson between event types' daily value series (exact
+    integer micro-units) — one day-keyed self-join (fan-out bounded by
+    the type cardinality), one pair groupBy of decimal accumulators,
+    string-hop doubles. Data-level, one row per unordered type
+    pair."""
+    from hawk_pack_spark.operators.analytics import cross_correlations
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("micros")
+    )
+    return cross_correlations(daily, "event_type", "day", "micros")
+
+
+CROSS_CORR_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS micros
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type AS series_a, b.event_type AS series_b,
+         a.micros AS x, b.micros AS y
+  FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type),
+agg AS (
+  SELECT series_a, series_b,
+    CAST(COUNT(*) AS DECIMAL(38,0)) AS n0,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS sxy,
+    SUM(CAST(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS syy
+  FROM p GROUP BY 1, 2),
+f AS (
+  SELECT series_a, series_b, CAST(n0 AS BIGINT) AS n_common,
+    CAST(CAST(CAST(n0*sxy - sx*sy AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS num,
+    CAST(CAST(CAST(n0*sxx - sx*sx AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS d1,
+    CAST(CAST(CAST(n0*syy - sy*sy AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS d2
+  FROM agg)
+SELECT series_a, series_b, n_common,
+       ROUND(num / (SQRT(d1) * SQRT(d2)), 6) AS pearson
+FROM f WHERE d1 > 0 AND d2 > 0
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -8845,6 +8927,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "daily_bounce_rate": QuerySpec(q_daily_bounce_rate, BOUNCE_RATE_SQL, "daily bounce rate over 30-min-gap sessions (one shared window sort, exact counts), data-level"),
     "event_gap_percentiles": QuerySpec(q_event_gap_percentiles, GAP_PCTL_SQL, "inter-event cadence p50/p90 per type (nearest-rank gap selections, shared window sort), data-level"),
     "source_ctfidf_terms": QuerySpec(q_source_ctfidf_terms, CTFIDF_SQL, "c-TF-IDF domain keywords (class pseudo-docs, tf x ln(N/df), top-3 per source), data-level"),
+    "domain_token_topp": QuerySpec(q_domain_token_topp, DOMAIN_TOPP_SQL, "nucleus-style top-p token-mass curation per domain (integer cross-multiplied threshold, first-doc guarantee), data-level"),
+    "event_type_correlations": QuerySpec(q_event_type_correlations, CROSS_CORR_SQL, "pairwise Pearson between type series (day-keyed self-join, decimal accumulators, string-hop doubles), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
