@@ -1778,3 +1778,89 @@ def cross_correlations(
         F.col("_n").cast("bigint").alias("n_common"),
         F.round(num_d / (F.sqrt(d1_d) * F.sqrt(d2_d)), 6).alias("pearson"),
     )
+
+
+def period_growth(
+    df: DataFrame,
+    keys: Sequence[str],
+    period_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Period-over-period growth per series: each period's exact
+    integer total next to the previous period's, with the growth rate
+    (v − prev)/prev — the MoM/WoW table every revenue dashboard leads
+    with. One groupBy + one per-series window (LAG over the period
+    order); rate is one double division of exact ints, 6 dp; the
+    first period of each series reports NULL growth (no fabricated
+    zero).
+    """
+    keys = list(keys)
+    agg = df.groupBy(*keys, F.col(period_col).alias("period")).agg(
+        F.sum(F.col(value_col)).cast("bigint").alias("value")
+    )
+    w = Window.partitionBy(*keys).orderBy("period")
+    prev = F.lag("value").over(w)
+    return agg.select(
+        *keys,
+        "period",
+        "value",
+        prev.alias("prev_value"),
+        F.round(
+            (F.col("value") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("growth"),
+    )
+
+
+def abc_classes(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_permille: int = 800,
+    b_permille: int = 950,
+) -> DataFrame:
+    """ABC / Pareto classification: entities sorted by exact integer
+    value (descending, id tiebreak) are labeled A while the RUNNING
+    share of total value is ≤ a_permille/1000, B up to
+    b_permille/1000, C beyond — 'which 20% of parts carry 80% of
+    revenue', the inventory-prioritization classic. Thresholds
+    compare by integer cross-multiplication (1000·cum vs p·total) so
+    class boundaries are bit-deterministic; the top entity is always
+    A. One (key) reduction + one global-order window over the ENTITY
+    table (entities ≪ rows; for billion-entity tables swap in the
+    _two_phase_rank helper), one broadcast total.
+    """
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(F.col(value_col)).cast("bigint").alias("value")
+    )
+    total = agg.agg(F.sum("value").cast("bigint").alias("_total"))
+    w = Window.orderBy(F.col("value").desc(), F.col("key").asc())
+    ranked = agg.crossJoin(F.broadcast(total)).select(
+        "key",
+        "value",
+        "_total",
+        F.sum("value")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_value"),
+        F.row_number().over(w).alias("rank"),
+    )
+    cls = (
+        F.when(
+            (F.col("rank") == 1)
+            | (F.lit(1000) * F.col("cum_value") <= F.lit(a_permille) * F.col("_total")),
+            F.lit("A"),
+        )
+        .when(
+            F.lit(1000) * F.col("cum_value") <= F.lit(b_permille) * F.col("_total"),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+    )
+    return ranked.select(
+        "key",
+        "value",
+        F.col("rank").cast("bigint").alias("rank"),
+        "cum_value",
+        F.col("_total").alias("total_value"),
+        cls.alias("abc_class"),
+    )

@@ -8738,6 +8738,74 @@ FROM f WHERE d1 > 0 AND d2 > 0
 """
 
 
+def q_orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth (analytics.period_growth):
+    per-priority monthly cents totals with the previous month and the
+    growth rate — exact integer totals, one division, NULL (not 0) on
+    each series' first month. Data-level, one row per
+    (priority, month)."""
+    from hawk_pack_spark.operators.analytics import period_growth
+
+    orders = load_table(spark, "orders", sf_dir)
+    o = orders.select(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return period_growth(o, ["o_orderpriority"], "month", "cents")
+
+
+MOM_GROWTH_SQL = """
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS value
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, period, value,
+       LAG(value) OVER w AS prev_value,
+       ROUND(CAST(value - LAG(value) OVER w AS DOUBLE)
+             / CAST(LAG(value) OVER w AS DOUBLE), 6) AS growth
+FROM m WINDOW w AS (PARTITION BY o_orderpriority ORDER BY period)
+"""
+
+
+def q_parts_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification (analytics.abc_classes):
+    parts labeled A/B/C by running share of lineitem revenue cents
+    (80/95 permille boundaries, integer cross-multiplied, top part
+    always A). Data-level, one row per part."""
+    from hawk_pack_spark.operators.analytics import abc_classes
+
+    li = load_table(spark, "lineitem", sf_dir)
+    rows = li.select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return abc_classes(rows, "l_partkey", "cents")
+
+
+ABC_CLASSES_SQL = """
+WITH agg AS (
+  SELECT l_partkey AS key,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(SUM(value) AS BIGINT) AS total FROM agg),
+r AS (
+  SELECT key, value, tot.total,
+         CAST(SUM(value) OVER w AS BIGINT) AS cum,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank
+  FROM agg, tot
+  WINDOW w AS (ORDER BY value DESC, key ASC ROWS UNBOUNDED PRECEDING))
+SELECT key, value, rank, cum AS cum_value, total AS total_value,
+       CASE WHEN rank = 1 OR 1000 * cum <= 800 * total THEN 'A'
+            WHEN 1000 * cum <= 950 * total THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -8929,6 +8997,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "source_ctfidf_terms": QuerySpec(q_source_ctfidf_terms, CTFIDF_SQL, "c-TF-IDF domain keywords (class pseudo-docs, tf x ln(N/df), top-3 per source), data-level"),
     "domain_token_topp": QuerySpec(q_domain_token_topp, DOMAIN_TOPP_SQL, "nucleus-style top-p token-mass curation per domain (integer cross-multiplied threshold, first-doc guarantee), data-level"),
     "event_type_correlations": QuerySpec(q_event_type_correlations, CROSS_CORR_SQL, "pairwise Pearson between type series (day-keyed self-join, decimal accumulators, string-hop doubles), data-level"),
+    "orders_mom_growth": QuerySpec(q_orders_mom_growth, MOM_GROWTH_SQL, "month-over-month revenue growth per priority (exact cents, NULL first period), data-level"),
+    "parts_abc_classes": QuerySpec(q_parts_abc_classes, ABC_CLASSES_SQL, "ABC/Pareto revenue classification (running-share boundaries by integer cross-multiplication), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
