@@ -1226,3 +1226,99 @@ def sq8_topk(
         )
     )
     return topk_rows(exact, ["query_id"], "dist", k, tie_cols=["vec_id"])
+
+
+def binary_quantize(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bq_code",
+) -> DataFrame:
+    """1-bit binary quantization: each embedding collapses to one sign
+    bit per dimension (bit = 1 iff component > 0), packed into
+    ceil(dim/32) BIGINT words of 32 bits each — a 32x compression of
+    float32 vectors whose Hamming distance tracks angular distance
+    well enough to PREFILTER candidates for an exact re-rank (the
+    BQ/RaBitQ serving recipe). 32-bit packing is deliberate: a 64-bit
+    word's top bit would overflow the signed int64 fold (Spark under
+    ANSI-off wraps silently, DuckDB errors — the engines disagree
+    exactly when it matters), while 32-bit words keep every
+    intermediate exact in BOTH engines. Pure column algebra: one
+    in-order fold per word, no UDF, deterministic.
+    """
+    n_words = (dim + 31) // 32
+    words = []
+    for w in range(n_words):
+        lo, hi = w * 32, min(dim, (w + 1) * 32)
+        acc = F.lit(0).cast("long")
+        for i in range(lo, hi):
+            acc = acc * 2 + F.when(
+                F.get(F.col(vec_col), i) > 0, F.lit(1)
+            ).otherwise(F.lit(0))
+        words.append(acc.cast("long"))
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), F.array(*words).alias(out_col)
+    )
+
+
+def binary_quant_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Binary-quantized kNN: Hamming top-(k·oversample) over the 1-bit
+    codes prefilters candidates, exact L2 re-ranks the survivors —
+    the two-stage serving pattern where the 32x-smaller code table is
+    all the first pass touches. The prefilter distance is a fold of
+    per-word XOR+popcounts inside whole-stage codegen.
+
+    Fully deterministic (Hamming ties by id, L2 ties by id) and fully
+    oracle-expressible (DuckDB xor/bit_count) — unlike the PQ/IVF
+    rows this ANN row is value-parity-checkable end to end, not just
+    recall-gated. Queries broadcast (bounded query set); the corpus
+    never shuffles until the k·oversample survivors.
+    """
+    from hawk_pack_spark.functions.distance import l2_sq_unrolled
+    from hawk_pack_spark.operators.topk import topk_rows
+
+    codes = binary_quantize(vectors, dim, id_col, vec_col)
+    qcodes = binary_quantize(
+        queries, dim, query_id_col, query_vec_col, out_col="_qcode"
+    ).select(
+        F.col(query_id_col),
+        F.col(query_vec_col).alias("_qv"),
+        F.col("_qcode"),
+    )
+    hd = F.aggregate(
+        F.zip_with(
+            F.col("bq_code"),
+            F.col("_qcode"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = codes.crossJoin(F.broadcast(qcodes)).select(
+        query_id_col,
+        id_col,
+        vec_col,
+        "_qv",
+        hd.alias("_hd"),
+    )
+    pre = topk_rows(
+        scored, [query_id_col], "_hd", k * oversample,
+        tie_cols=[id_col], rank_name="_hrank",
+    )
+    rer = pre.select(
+        query_id_col,
+        id_col,
+        l2_sq_unrolled(F.col(vec_col), F.col("_qv"), dim).alias("dist"),
+    )
+    return topk_rows(rer, [query_id_col], "dist", k, tie_cols=[id_col])

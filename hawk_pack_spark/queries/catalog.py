@@ -8806,6 +8806,68 @@ FROM r
 """
 
 
+def q_binary_quant_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary-quantization kNN (similarity.binary_quant_knn):
+    Hamming top-40 over sign-packed 32-bit code words prefilters,
+    exact L2 re-ranks to top-10 — and unlike the PQ/IVF recall-gated
+    rows this ANN row is FULL VALUE PARITY end to end (DuckDB
+    xor/bit_count mirror the prefilter bit-for-bit). Data-level, one
+    row per (query, rank)."""
+    from hawk_pack_spark.operators.similarity import binary_quant_knn
+
+    emb = _embeddings_vectors(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = binary_quant_knn(emb, queries, k=10, dim=64, oversample=4)
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("dist"), 6).alias("dist"), "rank"
+    )
+
+
+BINARY_QUANT_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT vec_id, v,
+    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(range(1, 33),
+         i -> CAST(CASE WHEN v[i] > 0 THEN 1 ELSE 0 END AS BIGINT))),
+       (acc, b) -> acc * 2 + b),
+     list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(range(33, 65),
+         i -> CAST(CASE WHEN v[i] > 0 THEN 1 ELSE 0 END AS BIGINT))),
+       (acc, b) -> acc * 2 + b)] AS code
+  FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, code AS qcode
+      FROM c WHERE vec_id < 20),
+h AS (
+  SELECT q.query_id, c.vec_id, c.v, q.qv,
+         bit_count(xor(CAST(c.code[1] AS BIGINT), CAST(q.qcode[1] AS BIGINT)))
+         + bit_count(xor(CAST(c.code[2] AS BIGINT), CAST(q.qcode[2] AS BIGINT)))
+           AS hd
+  FROM q, c),
+pre AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY hd, vec_id) AS hr
+    FROM h)
+  WHERE hr <= 40),
+d AS (
+  SELECT query_id, vec_id,
+    list_sum(list_transform(range(1, 65),
+             i -> (qv[i] - v[i]) * (qv[i] - v[i]))) AS dist
+  FROM pre),
+r AS (
+  SELECT query_id, vec_id, dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 10
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -8999,6 +9061,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "event_type_correlations": QuerySpec(q_event_type_correlations, CROSS_CORR_SQL, "pairwise Pearson between type series (day-keyed self-join, decimal accumulators, string-hop doubles), data-level"),
     "orders_mom_growth": QuerySpec(q_orders_mom_growth, MOM_GROWTH_SQL, "month-over-month revenue growth per priority (exact cents, NULL first period), data-level"),
     "parts_abc_classes": QuerySpec(q_parts_abc_classes, ABC_CLASSES_SQL, "ABC/Pareto revenue classification (running-share boundaries by integer cross-multiplication), data-level"),
+    "binary_quant_knn": QuerySpec(q_binary_quant_knn, BINARY_QUANT_SQL, "1-bit binary-quantized kNN (sign-packed 32-bit words, XOR+popcount prefilter, exact re-rank) — FULL value parity, data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
