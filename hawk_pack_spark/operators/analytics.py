@@ -1864,3 +1864,58 @@ def abc_classes(
         F.col("_total").alias("total_value"),
         cls.alias("abc_class"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    x_col: str,
+    window_rows: int = 20,
+    z_gate_x10: int = 30,
+    min_window: int = 10,
+) -> DataFrame:
+    """Trailing-window z-score per series: each observation scored
+    against the mean/stddev of its own last `window_rows` rows
+    (inclusive) — the self-referential anomaly flag that adapts to
+    level shifts where the global z-score (`zscore_outliers`) cannot.
+    `x_col` must be exact integer units.
+
+    Float discipline: the window carries exact decimal(38,0) Σx and
+    Σx², and z reduces to (n·x − Σx) / sqrt(n·Σx² − (Σx)²) — both
+    operands exact integers through the string-hop, ONE final
+    division. The outlier gate compares 10·|z| against `z_gate_x10`
+    on the rounded z (bit-deterministic). One window sort shared by
+    all three frame aggregates; rows with fewer than `min_window`
+    trailing observations are withheld (a 2-row 'window' flags
+    everything).
+    """
+    keys = list(keys)
+    x = F.col(x_col).cast("decimal(38,0)")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    framed = df.select(
+        *keys,
+        F.col(id_col).alias("event_ref"),
+        x.alias("_x"),
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("_n"),
+        F.sum(x).over(w).alias("_sx"),
+        F.sum(x * x).over(w).alias("_sxx"),
+    ).where(F.col("_n") >= min_window)
+    num = F.col("_n") * F.col("_x") - F.col("_sx")
+    den2 = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num_d = num.cast("string").cast("double")
+    den_d = den2.cast("string").cast("double")
+    z = F.round(num_d / F.sqrt(den_d), 6)
+    return framed.where(den2 > 0).select(
+        *keys,
+        "event_ref",
+        F.col("_x").cast("bigint").alias("x"),
+        F.col("_n").cast("bigint").alias("n_window"),
+        z.alias("z"),
+        (F.abs(z) * 10 >= F.lit(z_gate_x10)).cast("int").alias("outlier"),
+    )

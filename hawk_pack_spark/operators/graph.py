@@ -624,3 +624,26 @@ def clustering_coefficient(
             6,
         ).alias("clustering"),
     )
+
+
+def component_sizes(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected-component census of an undirected pair list: one row
+    per component with its min-id representative and node count — the
+    graph-shape report (one giant component? thousands of islets?)
+    that decides whether downstream per-component work is safe to
+    collect. Built on components.connected_components (hash-min label
+    propagation, checkpointed rounds); sizes are one groupBy over the
+    final labels.
+    """
+    from hawk_pack_spark.operators.components import connected_components
+
+    cc = connected_components(edges, id_a=a_col, id_b=b_col, max_rounds=max_rounds)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )

@@ -8868,6 +8868,91 @@ FROM r WHERE rank <= 10
 """
 
 
+def q_events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly scores (analytics.rolling_zscore): each
+    event's value z-scored against its type's last 20 observations —
+    exact decimal frame sums, z = (n·x − Σx)/sqrt(n·Σx² − (Σx)²) via
+    the string hop, one division, |z|≥3 gate on the rounded value.
+    Data-level, one row per scored event."""
+    from hawk_pack_spark.operators.analytics import rolling_zscore
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("long").alias("micros"),
+    )
+    return rolling_zscore(
+        ev, ["event_type"], "ts", "event_id", "micros",
+        window_rows=20, z_gate_x10=30, min_window=10,
+    )
+
+
+ROLLING_ZSCORE_SQL = """
+WITH f AS (
+  SELECT event_type, event_id AS event_ref,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS x,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         SUM(CAST(CAST(ROUND(value * 1000000) AS BIGINT) AS DECIMAL(38,0)))
+           OVER w AS sx,
+         SUM(CAST(CAST(CAST(ROUND(value * 1000000) AS BIGINT) AS DECIMAL(38,0))
+             * CAST(CAST(ROUND(value * 1000000) AS BIGINT) AS DECIMAL(38,0))
+             AS DECIMAL(38,0))) OVER w AS sxx
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+g AS (
+  SELECT event_type, event_ref, x, n,
+    CAST(CAST(CAST(CAST(n AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) - sx
+         AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS num,
+    CAST(CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx * sx AS DECIMAL(38,0))
+         AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS den2
+  FROM f WHERE n >= 10)
+SELECT event_type, event_ref, x, n AS n_window,
+       ROUND(num / SQRT(den2), 6) AS z,
+       CAST(ABS(ROUND(num / SQRT(den2), 6)) * 10 >= 30 AS INTEGER)
+         AS outlier
+FROM g WHERE den2 > 0
+"""
+
+
+def q_neardup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component census (graph.component_sizes): hash-min
+    label propagation over the MinHash-LSH near-dup pair graph (same
+    capped pair set as dedup_clusters) — one row per duplicate
+    cluster with its min-id representative and size, the
+    cluster-size-distribution report a dedup run is judged by.
+    Oracle: recursive-CTE transitive closure (quadratic in component
+    size — the spark side is the scale path). Data-level."""
+    from hawk_pack_spark.operators.dedup import minhash_near_dup
+    from hawk_pack_spark.operators.graph import component_sizes
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_near_dup(
+        docs, num_hashes=8, bands=4, threshold=0.9, max_bucket=20
+    )
+    return component_sizes(pairs, "id_a", "id_b")
+
+
+def _component_sizes_sql() -> str:
+    minhash = _minhash_capped_sql().strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS ({minhash}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (
+  SELECT a AS node, LEAST(MIN(b), a) AS component FROM reach GROUP BY a)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM comp GROUP BY 1
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -9062,6 +9147,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "orders_mom_growth": QuerySpec(q_orders_mom_growth, MOM_GROWTH_SQL, "month-over-month revenue growth per priority (exact cents, NULL first period), data-level"),
     "parts_abc_classes": QuerySpec(q_parts_abc_classes, ABC_CLASSES_SQL, "ABC/Pareto revenue classification (running-share boundaries by integer cross-multiplication), data-level"),
     "binary_quant_knn": QuerySpec(q_binary_quant_knn, BINARY_QUANT_SQL, "1-bit binary-quantized kNN (sign-packed 32-bit words, XOR+popcount prefilter, exact re-rank) — FULL value parity, data-level"),
+    "events_rolling_zscore": QuerySpec(q_events_rolling_zscore, ROLLING_ZSCORE_SQL, "trailing-20-row z-score anomaly flags (exact decimal frame sums, one division, level-shift adaptive), data-level"),
+    "neardup_component_sizes": QuerySpec(q_neardup_component_sizes, _component_sizes_sql(), "near-dup cluster-size census (hash-min label propagation ≡ recursive-closure oracle), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
