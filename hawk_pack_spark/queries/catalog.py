@@ -7753,14 +7753,14 @@ def q_copurchase_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LINK_PRED_SQL = """
-WITH t AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-und AS (
+WITH t AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+und AS MATERIALIZED (
   SELECT a.i AS x, b.i AS y
   FROM t a JOIN t b ON a.b = b.b AND a.i < b.i
   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-e AS (SELECT x AS s, y AS d FROM und UNION ALL SELECT y AS s, x AS d FROM und),
-deg AS (SELECT s AS n, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY 1),
-adj AS (SELECT e.s, e.d, deg.dg AS zdeg
+e AS MATERIALIZED (SELECT x AS s, y AS d FROM und UNION ALL SELECT y AS s, x AS d FROM und),
+deg AS MATERIALIZED (SELECT s AS n, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+adj AS MATERIALIZED (SELECT e.s, e.d, deg.dg AS zdeg
         FROM e JOIN deg ON e.d = deg.n WHERE deg.dg <= 10000),
 w AS (
   SELECT a.s AS na, b.s AS nb, a.d AS z, a.zdeg
@@ -7813,7 +7813,7 @@ def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COLUMN_PROFILE_SQL = """
-WITH s AS (
+WITH s AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
     CAST(COUNT(o_orderkey) AS BIGINT) AS nn1, CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd1,
     CAST(COUNT(o_custkey) AS BIGINT) AS nn2, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd2,
@@ -7888,7 +7888,7 @@ WITH d AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS micros
   FROM events GROUP BY 1, 2),
-l AS (
+l AS MATERIALIZED (
   SELECT event_type, micros AS x,
          LAG(micros, 1) OVER w AS y1,
          LAG(micros, 2) OVER w AS y2,
@@ -7944,7 +7944,7 @@ def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 THEILSEN_SQL = """
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT event_type,
          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
          CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS y
@@ -8074,11 +8074,11 @@ WITH tok AS (
          list_filter(regexp_split_to_array(lower(text), '\s+'),
                      t -> t != '') AS w
   FROM documents),
-base AS (SELECT doc_id, len(w) AS nt, w FROM tok WHERE len(w) >= 8),
+base AS MATERIALIZED (SELECT doc_id, len(w) AS nt, w FROM tok WHERE len(w) >= 8),
 occ AS (
   SELECT doc_id, nt, UNNEST(range(1, nt - 8 + 2)) AS pos, w
   FROM base),
-g AS (
+g AS MATERIALIZED (
   SELECT doc_id, pos,
          CAST(concat('0x', substr(md5(array_to_string(w[pos:pos+7], ' ')),
                                   1, 15)) AS BIGINT) AS gh
@@ -8183,7 +8183,7 @@ weekly AS (
          CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
          CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
   FROM subj GROUP BY 1),
-tbl AS (
+tbl AS MATERIALIZED (
   SELECT time, d, c,
          CAST(SUM(d + c) OVER (ORDER BY time
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
@@ -8252,7 +8252,7 @@ def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OOV_RATE_SQL = r"""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id,
          UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
                 t -> t != '')) AS tok
@@ -8312,11 +8312,11 @@ def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DAU_MAU_SQL = """
-WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+WITH ud AS MATERIALIZED (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
             FROM events),
 span AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
          FROM events),
-spine AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+spine AS MATERIALIZED (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
             AS day FROM span),
 dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau
         FROM ud GROUP BY 1),
@@ -8411,15 +8411,15 @@ def q_copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CLUSTERING_COEFF_SQL = """
-WITH t AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-und AS (
+WITH t AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS MATERIALIZED (
   SELECT a.p AS x, b.p AS y FROM t a JOIN t b ON a.o = b.o AND a.p < b.p
   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-deg AS (
+deg AS MATERIALIZED (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
     SELECT x AS node FROM und UNION ALL SELECT y FROM und)
   GROUP BY 1),
-o AS (
+o AS MATERIALIZED (
   SELECT CASE WHEN (dx.degree, und.x) < (dy.degree, und.y)
               THEN und.x ELSE und.y END AS s,
          CASE WHEN (dx.degree, und.x) < (dy.degree, und.y)
@@ -8511,18 +8511,18 @@ def q_funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FUNNEL_LATENCY_SQL = """
-WITH ev AS (
+WITH ev AS MATERIALIZED (
   SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
   FROM events),
-s1 AS (SELECT user_id, MIN(sec) AS t FROM ev
+s1 AS MATERIALIZED (SELECT user_id, MIN(sec) AS t FROM ev
        WHERE event_type = 'signup' GROUP BY 1),
-s2 AS (SELECT e.user_id, MIN(e.sec) AS t FROM ev e
+s2 AS MATERIALIZED (SELECT e.user_id, MIN(e.sec) AS t FROM ev e
        JOIN s1 ON e.user_id = s1.user_id
        WHERE e.event_type = 'view' AND e.sec >= s1.t GROUP BY 1),
-s3 AS (SELECT e.user_id, MIN(e.sec) AS t FROM ev e
+s3 AS MATERIALIZED (SELECT e.user_id, MIN(e.sec) AS t FROM ev e
        JOIN s2 ON e.user_id = s2.user_id
        WHERE e.event_type = 'click' AND e.sec >= s2.t GROUP BY 1),
-s4 AS (SELECT e.user_id, MIN(e.sec) AS t FROM ev e
+s4 AS MATERIALIZED (SELECT e.user_id, MIN(e.sec) AS t FROM ev e
        JOIN s3 ON e.user_id = s3.user_id
        WHERE e.event_type = 'purchase' AND e.sec >= s3.t GROUP BY 1),
 lat AS (
@@ -8638,7 +8638,7 @@ WITH toks AS (
          UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
                 t -> t != '')) AS term
   FROM documents),
-tf AS (SELECT class, term, CAST(COUNT(*) AS BIGINT) AS tf
+tf AS MATERIALIZED (SELECT class, term, CAST(COUNT(*) AS BIGINT) AS tf
        FROM toks GROUP BY 1, 2),
 nc AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n FROM documents),
 dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_classes
@@ -8669,7 +8669,7 @@ def q_domain_token_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOMAIN_TOPP_SQL = r"""
-WITH t AS (
+WITH t AS MATERIALIZED (
   SELECT doc_id, source, n_chars,
          CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                               x -> x != '')) AS BIGINT) AS n_tokens
@@ -8708,7 +8708,7 @@ def q_event_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CROSS_CORR_SQL = """
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
            AS micros
@@ -8786,7 +8786,7 @@ def q_parts_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ABC_CLASSES_SQL = """
-WITH agg AS (
+WITH agg AS MATERIALIZED (
   SELECT l_partkey AS key,
          CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
            AS value
@@ -8828,7 +8828,7 @@ def q_binary_quant_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BINARY_QUANT_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (
+c AS MATERIALIZED (
   SELECT vec_id, v,
     [list_reduce(list_prepend(CAST(0 AS BIGINT),
        list_transform(range(1, 33),
