@@ -1919,3 +1919,175 @@ def rolling_zscore(
         z.alias("z"),
         (F.abs(z) * 10 >= F.lit(z_gate_x10)).cast("int").alias("outlier"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 with support from a
+    (true, pred) label table — the classifier-eval companion to
+    retrieval.eval_metrics. One (true, pred) count reduction, then
+    per-class tp/fp/fn by three tiny re-aggregations of that
+    contingency table (never a second corpus pass). Classes present
+    only in predictions still report (support 0, precision from fp).
+    Exact integer counts; each ratio is ONE double division, 6 dp;
+    F1's harmonic mean folds identically in both engines; zero
+    denominators report 0.0 by convention (not NULL — a class with no
+    predictions has zero precision, the sklearn zero_division=0
+    convention).
+    """
+    cm = df.groupBy(
+        F.col(true_col).alias("_t"), F.col(pred_col).alias("_p")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    tp = cm.where(F.col("_t") == F.col("_p")).select(
+        F.col("_t").alias("label"), F.col("_n").alias("tp")
+    )
+    support = cm.groupBy(F.col("_t").alias("label")).agg(
+        F.sum("_n").cast("bigint").alias("support")
+    )
+    predicted = cm.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_n").cast("bigint").alias("n_predicted")
+    )
+    out = (
+        support.join(predicted, "label", "full")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+            F.coalesce("n_predicted", F.lit(0)).cast("bigint").alias("n_predicted"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_predicted") > 0,
+        F.col("tp").cast("double") / F.col("n_predicted").cast("double"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("support") > 0,
+        F.col("tp").cast("double") / F.col("support").cast("double"),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "label",
+        "support",
+        "n_predicted",
+        "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: one contingency reduction, marginals by re-aggregation,
+    X² = Σ (o − e)²/e folded over the (a, b)-SORTED cell list (the
+    sorted-fold float rule — never a shuffle-order float sum), with
+    e = row_total·col_total/n as one deterministic double expression
+    per cell. One row: n, dof = (R−1)(C−1), chi2 (6 dp). Significance
+    thresholds are the caller's lookup — shipping a p-value would
+    mean shipping an incomplete gamma implementation two engines
+    disagree on in the last ulp.
+    """
+    cm = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ra = cm.groupBy("_a").agg(F.sum("_n").cast("bigint").alias("_ra"))
+    rb = cm.groupBy("_b").agg(F.sum("_n").cast("bigint").alias("_rb"))
+    # the DENSE R x C grid: zero cells still contribute (0 - e)^2/e —
+    # folding only observed cells under-computes X^2 whenever a
+    # combination never occurs (caught by the perfectly-dependent 2x2
+    # closed-form test: 10 != n=20)
+    cells = (
+        ra.crossJoin(rb)
+        .join(cm, ["_a", "_b"], "left")
+        .select(
+            "_a", "_b", "_ra", "_rb",
+            F.coalesce("_n", F.lit(0)).cast("bigint").alias("_n"),
+        )
+    )
+    one = cells.agg(
+        (F.sum("_n")).cast("bigint").alias("n"),
+        F.countDistinct("_a").cast("bigint").alias("_nr"),
+        F.countDistinct("_b").cast("bigint").alias("_nc"),
+        F.array_sort(
+            F.collect_list(F.struct("_a", "_b", "_n", "_ra", "_rb"))
+        ).alias("_l"),
+    )
+    def term(x):
+        e = x["_ra"].cast("double") * x["_rb"].cast("double") / F.col("n").cast("double")
+        o = x["_n"].cast("double")
+        return (o - e) * (o - e) / e
+    chi2 = F.aggregate("_l", F.lit(0.0), lambda acc, x: acc + term(x))
+    return one.select(
+        "n",
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("bigint").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test (pooled): conversion-rate difference
+    between exactly two groups — the A/B readout. One (group) count
+    reduction; z = (p1 − p2) / sqrt(p̂(1−p̂)(1/n1 + 1/n2)) from exact
+    integer counts in one fixed-order double expression, 6 dp. The
+    groups order by group key (deterministic sign). Raises via
+    assert_true if the table does not contain exactly two groups.
+    """
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(success_col).cast("int")).cast("bigint").alias("k"),
+    )
+    one = g.agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.array_sort(F.collect_list(F.struct("grp", "n", "k"))).alias("_l"),
+    )
+    one = one.where(
+        F.assert_true(
+            F.col("_ng") == 2,
+            "two_proportion_ztest: expected exactly two groups",
+        ).isNull()
+    )
+    # degenerate pooled proportion (0 or 1) has zero variance — the z
+    # statistic is undefined; fail loudly rather than divide by zero
+    _k = F.get("_l", 0)["k"] + F.get("_l", 1)["k"]
+    _n = F.get("_l", 0)["n"] + F.get("_l", 1)["n"]
+    one = one.where(
+        F.assert_true(
+            (_k > 0) & (_k < _n),
+            "two_proportion_ztest: pooled proportion is 0 or 1 (zero "
+            "variance) — z undefined",
+        ).isNull()
+    )
+    a = F.get("_l", 0)
+    b = F.get("_l", 1)
+    n1, k1 = a["n"].cast("double"), a["k"].cast("double")
+    n2, k2 = b["n"].cast("double"), b["k"].cast("double")
+    p1, p2 = k1 / n1, k2 / n2
+    pp = (k1 + k2) / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2))
+    return one.select(
+        a["grp"].alias("group_a"),
+        b["grp"].alias("group_b"),
+        a["n"].alias("n_a"),
+        b["n"].alias("n_b"),
+        a["k"].alias("k_a"),
+        b["k"].alias("k_b"),
+        F.round(p1, 6).alias("rate_a"),
+        F.round(p2, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+    )

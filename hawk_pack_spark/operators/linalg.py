@@ -249,3 +249,69 @@ def standardize_embeddings(
         F.greatest(F.element_at("_var", F.col("dim") + 1), F.lit(eps))
     )
     return exploded.select(id_col, "dim", z.alias("z"))
+
+
+def label_centroid_similarity(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid
+    embeddings — the class-geometry diagnostic (which labels' regions
+    overlap; near-1 centroid pairs predict classifier confusion and
+    semdedup over-merging). One row per unordered label pair.
+
+    Float discipline: per-(label, dim) sums accumulate in EXACT
+    decimal(38,0) over scale-quantized components (the standardize
+    convention — never a shuffle-order float sum); each centroid mean
+    is one double division; the cosine folds over the DIM-SORTED mean
+    list in both engines, rounded 6 dp. Shape: one posexplode
+    (×dim fan-out, linear), one (label, dim) groupBy, one per-label
+    list assembly, one bounded pair self-join (labels², never
+    corpus²).
+    """
+    per_dim = (
+        vectors.select(
+            F.col(label_col).alias("_lab"),
+            F.posexplode(F.col(vec_col)).alias("_d", "_v"),
+        )
+        .groupBy("_lab", "_d")
+        .agg(
+            F.sum(F.round(F.col("_v") * scale).cast("decimal(38,0)")).alias("_s"),
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+        )
+    )
+    means = per_dim.select(
+        "_lab",
+        "_d",
+        (F.col("_s").cast("string").cast("double") / F.col("_n").cast("double")).alias(
+            "_m"
+        ),
+    )
+    lists = means.groupBy("_lab").agg(
+        F.array_sort(F.collect_list(F.struct("_d", "_m"))).alias("_ml")
+    )
+    a = lists.select(F.col("_lab").alias("label_a"), F.col("_ml").alias("_ma"))
+    b = lists.select(F.col("_lab").alias("label_b"), F.col("_ml").alias("_mb"))
+    pairs = a.crossJoin(b).where(F.col("label_a") < F.col("label_b"))
+    dot = F.aggregate(
+        F.zip_with("_ma", "_mb", lambda x, y: x["_m"] * y["_m"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.col("_ma"), F.lit(0.0), lambda acc, x: acc + x["_m"] * x["_m"]
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.col("_mb"), F.lit(0.0), lambda acc, x: acc + x["_m"] * x["_m"]
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(dot / (na * nb), 6).alias("cosine"),
+    )

@@ -8953,6 +8953,209 @@ FROM comp GROUP BY 1
 """
 
 
+def q_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation (analytics.classification_report):
+    per-class precision/recall/F1 of the deterministic lang-ID
+    heuristic against documents.lang — one contingency reduction,
+    tiny re-aggregations, sklearn zero_division=0 convention.
+    Data-level, one row per class."""
+    from hawk_pack_spark.operators.analytics import classification_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        T.lang_id("text").alias("pred_lang"),
+    )
+    return classification_report(pred, "true_lang", "pred_lang")
+
+
+def _langid_report_sql() -> str:
+    # the SAME lang-ID SQL expression the lang_id spec verifies
+    return f"""
+WITH toks AS (
+  SELECT lang,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+pred AS (
+  SELECT lang AS t, list_aggregate([{_LANG_STRUCTS}], 'max').lang AS p
+  FROM toks),
+cm AS (SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+tp AS (SELECT t AS label, n AS tp FROM cm WHERE t = p),
+sup AS (SELECT t AS label, CAST(SUM(n) AS BIGINT) AS support
+        FROM cm GROUP BY 1),
+prd AS (SELECT p AS label, CAST(SUM(n) AS BIGINT) AS n_predicted
+        FROM cm GROUP BY 1),
+j AS (
+  SELECT COALESCE(sup.label, prd.label) AS label,
+         COALESCE(support, 0) AS support,
+         COALESCE(n_predicted, 0) AS n_predicted,
+         COALESCE(tp.tp, 0) AS tp
+  FROM sup FULL OUTER JOIN prd ON sup.label = prd.label
+  LEFT JOIN tp ON COALESCE(sup.label, prd.label) = tp.label),
+r AS (
+  SELECT label, support, n_predicted, tp,
+    CASE WHEN n_predicted > 0
+         THEN CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE)
+         ELSE 0.0 END AS prec,
+    CASE WHEN support > 0
+         THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE)
+         ELSE 0.0 END AS rec
+  FROM j)
+SELECT label, support, n_predicted, tp,
+       ROUND(prec, 6) AS precision, ROUND(rec, 6) AS recall,
+       ROUND(CASE WHEN prec + rec > 0
+                  THEN 2.0 * prec * rec / (prec + rec)
+                  ELSE 0.0 END, 6) AS f1
+FROM r
+"""
+
+
+def q_event_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (analytics.
+    chi_square_independence): is event_type independent of the user's
+    parity cohort? One contingency reduction; X² folds over the
+    sorted cell list. Data-level single row (n, dof, chi2)."""
+    from hawk_pack_spark.operators.analytics import chi_square_independence
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", (F.col("user_id") % 2).cast("bigint").alias("cohort")
+    )
+    return chi_square_independence(ev, "event_type", "cohort")
+
+
+CHI_SQUARE_SQL = """
+WITH cm AS (
+  SELECT event_type AS a, CAST(user_id % 2 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra FROM cm GROUP BY 1),
+rb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS rb FROM cm GROUP BY 1),
+cells AS (SELECT ra.a, rb.b, COALESCE(cm.n, 0) AS n, ra.ra, rb.rb
+          FROM ra CROSS JOIN rb
+          LEFT JOIN cm ON cm.a = ra.a AND cm.b = rb.b),
+one AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS nc,
+         list({'a': a, 'b': b, 'n': n, 'ra': ra, 'rb': rb}
+              ORDER BY a, b) AS l
+  FROM cells)
+SELECT n, (nr - 1) * (nc - 1) AS dof,
+  ROUND(list_reduce(list_prepend(0.0,
+    list_transform(l, x ->
+      (CAST(x.n AS DOUBLE)
+         - CAST(x.ra AS DOUBLE) * CAST(x.rb AS DOUBLE) / CAST(n AS DOUBLE))
+      * (CAST(x.n AS DOUBLE)
+         - CAST(x.ra AS DOUBLE) * CAST(x.rb AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(x.ra AS DOUBLE) * CAST(x.rb AS DOUBLE) / CAST(n AS DOUBLE)))),
+    (acc, v) -> acc + v), 6) AS chi2
+FROM one
+"""
+
+
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (analytics.two_proportion_ztest): did
+    the even-user cohort purchase at a different rate than the odd
+    cohort? Per-user conversion flags from one reduction, pooled z
+    from exact counts in a fixed-order expression. Data-level single
+    row."""
+    from hawk_pack_spark.operators.analytics import two_proportion_ztest
+
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("_np"),
+        F.sum((F.col("event_type") == "view").cast("int")).alias("_nv"),
+    )
+    # "engaged buyer": more purchases than views — non-degenerate on
+    # this fixture (every user purchases at least once, so a bare
+    # converted flag has pooled p = 1 and an undefined z)
+    subj = per_user.select(
+        (F.col("user_id") % 2).cast("bigint").alias("cohort"),
+        (F.col("_np") > F.col("_nv")).alias("converted"),
+    )
+    return two_proportion_ztest(subj, "cohort", "converted")
+
+
+AB_TEST_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              > SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS INT) AS conv
+  FROM events GROUP BY 1),
+g AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS k
+  FROM pu GROUP BY 1),
+w AS (
+  SELECT MIN(grp) AS ga, MAX(grp) AS gb,
+         MIN(CASE WHEN rn = 1 THEN n END) AS n1,
+         MIN(CASE WHEN rn = 2 THEN n END) AS n2,
+         MIN(CASE WHEN rn = 1 THEN k END) AS k1,
+         MIN(CASE WHEN rn = 2 THEN k END) AS k2
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY grp) AS rn FROM g))
+SELECT ga AS group_a, gb AS group_b, n1 AS n_a, n2 AS n_b,
+       k1 AS k_a, k2 AS k_b,
+       ROUND(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate_a,
+       ROUND(CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS rate_b,
+       ROUND((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / SQRT((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))),
+             6) AS z
+FROM w
+"""
+
+
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-geometry diagnostic (linalg.label_centroid_similarity):
+    pairwise cosine between per-label centroid embeddings — exact
+    decimal per-(label,dim) sums, dim-sorted cosine folds, bounded
+    labels² pair join. Data-level, one row per unordered label
+    pair."""
+    from hawk_pack_spark.operators.linalg import label_centroid_similarity
+
+    emb = _embeddings_vectors(spark, sf_dir).join(
+        load_table(spark, "embeddings", sf_dir).select("vec_id", "label"),
+        "vec_id",
+    )
+    # bounded pair count for the driver row: 8 labels -> 28 pairs
+    sub = emb.where(F.col("label") < 8)
+    return label_centroid_similarity(sub, "label", "embedding")
+
+
+CENTROID_SIM_SQL = """
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings WHERE label < 8),
+pd AS (
+  SELECT label, i.d AS d,
+         CAST(SUM(CAST(ROUND(v[i.d] * 1000000) AS BIGINT) ) AS BIGINT)
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e, (SELECT UNNEST(range(1, 65)) AS d) i
+  GROUP BY 1, 2),
+m AS (
+  SELECT label,
+         list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY d) AS ml
+  FROM pd GROUP BY 1),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.ml AS ma, b.ml AS mb
+  FROM m a JOIN m b ON a.label < b.label)
+SELECT label_a, label_b,
+  ROUND(
+    list_reduce(list_prepend(0.0,
+      list_transform(range(1, 65), i -> ma[i] * mb[i])), (x, y) -> x + y)
+    / (SQRT(list_reduce(list_prepend(0.0,
+         list_transform(ma, x -> x * x)), (x, y) -> x + y))
+       * SQRT(list_reduce(list_prepend(0.0,
+           list_transform(mb, x -> x * x)), (x, y) -> x + y))), 6)
+    AS cosine
+FROM p
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -9149,6 +9352,10 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "binary_quant_knn": QuerySpec(q_binary_quant_knn, BINARY_QUANT_SQL, "1-bit binary-quantized kNN (sign-packed 32-bit words, XOR+popcount prefilter, exact re-rank) — FULL value parity, data-level"),
     "events_rolling_zscore": QuerySpec(q_events_rolling_zscore, ROLLING_ZSCORE_SQL, "trailing-20-row z-score anomaly flags (exact decimal frame sums, one division, level-shift adaptive), data-level"),
     "neardup_component_sizes": QuerySpec(q_neardup_component_sizes, _component_sizes_sql(), "near-dup cluster-size census (hash-min label propagation ≡ recursive-closure oracle), data-level"),
+    "langid_classification_report": QuerySpec(q_langid_report, _langid_report_sql(), "per-class precision/recall/F1 of the lang-ID heuristic (one contingency reduction, sklearn zero_division=0), data-level"),
+    "events_chi_square": QuerySpec(q_event_chi_square, CHI_SQUARE_SQL, "chi-square independence test (sorted-cell fold, exact marginals), data-level single row"),
+    "ab_test_conversion": QuerySpec(q_ab_test_conversion, AB_TEST_SQL, "two-proportion pooled z-test on per-user conversion (exact counts, fixed-order expression), data-level single row"),
+    "label_centroid_similarity": QuerySpec(q_label_centroid_similarity, CENTROID_SIM_SQL, "pairwise cosine between per-label centroids (exact decimal dim sums, dim-sorted folds, labels^2 bounded), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
