@@ -108,6 +108,13 @@ HEADLINE = [
     "events_ohlc_hourly",
     "boolean_retrieval_docs",
     "copurchase_bfs",
+    # round-9: one representative per new family (substring dedup,
+    # BQ-ANN, link analysis, distributed-rank binning, funnel latency)
+    "dup_ngram_docs",
+    "binary_quant_knn",
+    "copurchase_link_pred",
+    "events_decile_bins",
+    "funnel_stage_latency",
 ]
 
 # catalog rows too expensive for REPEATS× count + collected sweeps (the
