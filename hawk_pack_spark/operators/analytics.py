@@ -2091,3 +2091,75 @@ def two_proportion_ztest(
         F.round(p2, 6).alias("rate_b"),
         F.round(z, 6).alias("z"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    id_col: str,
+    r_col: str,
+    f_col: str,
+    m_col: str,
+) -> DataFrame:
+    """RFM segmentation: every customer scored 1–5 on Recency (lower
+    is better), Frequency, and Monetary value against the population's
+    nearest-rank quintile THRESHOLDS, combined as segment =
+    100·R + 10·F + M — the classic lifecycle grid (555 champions, 1xx
+    at-risk). Inputs must be exact integers (days / counts / cents).
+
+    The thresholds come from `nearest_rank_percentiles` (two-phase
+    distributed rank — no one-partition window) and BROADCAST as one
+    12-value row; assignment is then a pure comparison projection over
+    the entity table. Threshold-crossing scores (1 + Σ v > t_p for
+    F/M, 1 + Σ v < t_p for R) are value-deterministic: boundary ties
+    bin by strict comparison, the documented convention (exact
+    equal-frequency bins under heavy ties would need the full rank —
+    that is `equal_frequency_bins`).
+    """
+    dims = {"r": r_col, "f": f_col, "m": m_col}
+    one = None
+    for dim, col in dims.items():
+        t = nearest_rank_percentiles(
+            df.select(F.col(id_col), F.col(col)),
+            col,
+            (20, 40, 60, 80),
+            tiebreak_col=id_col,
+        )
+        row = t.agg(
+            *[
+                F.max(
+                    F.when(F.col("percentile") == p, F.col("value"))
+                ).alias(f"_{dim}{p}")
+                for p in (20, 40, 60, 80)
+            ]
+        )
+        one = row if one is None else one.crossJoin(row)
+    scored = df.crossJoin(F.broadcast(one))
+
+    def up_score(col):
+        v = F.col(col)
+        return (
+            F.lit(1)
+            + sum(
+                (v > F.col(f"_{d}{p}")).cast("int")
+                for d, c in dims.items()
+                if c == col
+                for p in (20, 40, 60, 80)
+            )
+        )
+
+    r = F.col(r_col)
+    r_score = F.lit(1) + sum(
+        (r < F.col(f"_r{p}")).cast("int") for p in (20, 40, 60, 80)
+    )
+    f_score = up_score(f_col)
+    m_score = up_score(m_col)
+    return scored.select(
+        F.col(id_col),
+        F.col(r_col).alias("recency"),
+        F.col(f_col).alias("frequency"),
+        F.col(m_col).alias("monetary"),
+        r_score.cast("int").alias("r_score"),
+        f_score.cast("int").alias("f_score"),
+        m_score.cast("int").alias("m_score"),
+        (r_score * 100 + f_score * 10 + m_score).cast("int").alias("segment"),
+    )

@@ -298,3 +298,57 @@ def ctfidf_terms(
         .where(F.col("rank") <= top_k)
         .select("class", "rank", "term", "tf", "df_classes", "ctfidf")
     )
+
+
+def vocab_overlap(
+    docs: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between classes (sources/domains):
+    |Va ∩ Vb|, |Va ∪ Vb|, and token-set Jaccard for every unordered
+    class pair — the corpus-mix diagnostic (two sources with Jaccard
+    ~1 are the same distribution wearing different labels; near 0,
+    disjoint registers). One (class, token) DISTINCT reduction, one
+    token-keyed self-join for intersections (postings-shaped, fan-out
+    per token = classes holding it), one class-size join; exact
+    integer counts, ONE final division.
+    """
+    from hawk_pack_spark.functions.text import tokens
+
+    v = (
+        docs.select(
+            F.col(class_col).alias("_c"),
+            F.explode(tokens(F.col(text_col))).alias("_t"),
+        )
+        .distinct()
+    )
+    sizes = v.groupBy("_c").agg(F.count(F.lit(1)).cast("bigint").alias("_sz"))
+    a = v.select(F.col("_c").alias("class_a"), "_t")
+    b = v.select(F.col("_c").alias("class_b"), "_t")
+    inter = (
+        a.join(b, "_t")
+        .where(F.col("class_a") < F.col("class_b"))
+        .groupBy("class_a", "class_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("_c").alias("class_a"), F.col("_sz").alias("_sa")),
+            "class_a",
+        )
+        .join(
+            sizes.select(F.col("_c").alias("class_b"), F.col("_sz").alias("_sb")),
+            "class_b",
+        )
+    )
+    union = F.col("_sa") + F.col("_sb") - F.col("n_common")
+    return out.select(
+        "class_a",
+        "class_b",
+        "n_common",
+        union.cast("bigint").alias("n_union"),
+        F.round(
+            F.col("n_common").cast("double") / union.cast("double"), 6
+        ).alias("jaccard"),
+    )
