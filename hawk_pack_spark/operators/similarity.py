@@ -1283,7 +1283,9 @@ def binary_quant_knn(
     oracle-expressible (DuckDB xor/bit_count) — unlike the PQ/IVF
     rows this ANN row is value-parity-checkable end to end, not just
     recall-gated. Queries broadcast (bounded query set); the corpus
-    never shuffles until the k·oversample survivors.
+    never shuffles until the k·oversample survivors. The popcount
+    fold is UNROLLED per word (a higher-order zip_with fold runs
+    interpreted and evicts the stage from codegen — plan-pinned).
     """
     from hawk_pack_spark.functions.distance import l2_sq_unrolled
     from hawk_pack_spark.operators.topk import topk_rows
@@ -1296,15 +1298,18 @@ def binary_quant_knn(
         F.col(query_vec_col).alias("_qv"),
         F.col("_qcode"),
     )
-    hd = F.aggregate(
-        F.zip_with(
-            F.col("bq_code"),
-            F.col("_qcode"),
-            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # UNROLLED per-word popcount sum: the higher-order
+    # aggregate(zip_with(...)) form runs INTERPRETED (HOFs are not
+    # codegen-supported, and their presence knocked the whole stage out
+    # of WholeStageCodegen — caught by the plan-pin test); with
+    # n_words known from dim, the plain expression stays in codegen
+    # exactly like the l2_sq_unrolled fold
+    n_words = (dim + 31) // 32
+    hd = F.lit(0).cast("long")
+    for _w in range(n_words):
+        hd = hd + F.bit_count(
+            F.get(F.col("bq_code"), _w).bitwiseXOR(F.get(F.col("_qcode"), _w))
+        )
     scored = codes.crossJoin(F.broadcast(qcodes)).select(
         query_id_col,
         id_col,
