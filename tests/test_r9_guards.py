@@ -154,9 +154,13 @@ def test_knn_join_corpus_joins_never_broadcast(spark):
         [(i, [float(x) for x in mat[i]]) for i in range(400)],
         "vec_id long, embedding array<double>",
     )
+    # n_rows above _MERGE_PIN_MIN_ROWS: the pin is CONDITIONAL on
+    # corpus size (small corpora let AQE broadcast, measured 2x faster
+    # at 50k) — the plan contract below is for the big-corpus path,
+    # which is what the hint protects
     g = knn_join(
         df, k=3, n_clusters=4, nprobe=2, replicas=1,
-        descent_rounds=1, n_rows=400, dim=8, fit_fraction=1.0,
+        descent_rounds=1, n_rows=300_000, dim=8, fit_fraction=1.0,
     )
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SortMergeJoin") >= 3, plan[:2000]
