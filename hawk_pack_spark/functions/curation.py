@@ -444,7 +444,19 @@ def leakage_safe_split(
     duplicate clusters (small by construction after upstream dedup);
     the hash itself pre-reduces mod 2^31−1 before the multiply so the
     product stays in int64 at any id scale (the ADVICE r8 rule).
+
+    The id column must be integral (ADVICE r9): a string/uuid id would
+    cast to NULL, yield a NULL bucket, and silently drop EVERY document
+    into 'test' — so misuse raises here instead. Hash a non-numeric id
+    to a long (e.g. ``functions.text.hash64``) before calling.
     """
+    id_type = dict(docs.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"leakage_safe_split: id column {id_col!r} has non-integral "
+            f"type {id_type!r}; a cast-to-long would NULL out and send "
+            "every row to 'test'. Pre-hash it to a long (hash64) first."
+        )
     mult, mod, premod = 2654435761, 4294967291, 2147483647
     h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("long")
     w = Window.partitionBy("_content_key")

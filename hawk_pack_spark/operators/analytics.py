@@ -1325,8 +1325,14 @@ def _two_phase_rank(
     prefix offset (cumsum over the #partitions-row count table,
     broadcast back). Returns (_v, _rank 1-based, _n total) — never a
     one-partition window. The building block for exact equal-frequency
-    bins and nearest-rank percentile selections."""
-    ranged = df.select(
+    bins and nearest-rank percentile selections.
+
+    NULL values are excluded up front (ADVICE r9): Spark's ASC default
+    sorts NULLs first while the DuckDB oracles' ROW_NUMBER uses NULLS
+    LAST, so a NULL would silently take rank 1 on the Spark side only.
+    Ranks are therefore over non-null values — the same contract every
+    percentile operator in this module documents."""
+    ranged = df.where(F.col(value_col).isNotNull()).select(
         F.col(value_col).alias("_v"),
         *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
     ).repartitionByRange(

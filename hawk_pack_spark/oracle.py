@@ -52,7 +52,13 @@ def _canon_rows(cols, rows) -> list[str]:
 # (Arrow decimal128 vs int64): SUM(BIGINT) is typed HUGEINT by DuckDB, so
 # any oracle emitting one of these hash-mismatches even when the VALUES
 # are identical (r7 root cause: user_daily_gapfill / dq_expectations).
-_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+# LIST/ARRAY/STRUCT/MAP are banned outright: the driver canonicalizes via
+# pandas sort_values, and a list cell is unhashable there (r9 root cause:
+# lineitem_fd_violations errored before any comparison). Nested output
+# must be serialized — array_to_string / to_json — in BOTH engines.
+_BANNED_ORACLE_TYPES = (
+    "HUGEINT", "UHUGEINT", "DECIMAL", "LIST", "ARRAY", "STRUCT", "MAP",
+)
 
 
 def lint_oracle_types(
@@ -61,13 +67,29 @@ def lint_oracle_types(
     """Return ``col:type`` offenders whose DuckDB result type the driver
     cannot hash-compare against Spark. Uses the lazy relation's type
     plan — no execution — so the full ALL_SPECS sweep is cheap. Fix
-    offenders with ``CAST(… AS BIGINT)`` (or DOUBLE) in the oracle SQL.
+    offenders with ``CAST(… AS BIGINT)`` (or DOUBLE) in the oracle SQL;
+    serialize nested types (``array_to_string`` / ``to_json``).
     """
     rel = con.sql(sql)
     return [
         f"{name}:{t}"
         for name, t in zip(rel.columns, rel.types)
         if any(b in str(t).upper() for b in _BANNED_ORACLE_TYPES)
+    ]
+
+
+def lint_spark_result_types(spark_df: DataFrame) -> list[str]:
+    """Mirror lint on the SPARK result schema: the driver's pandas-based
+    hasher cannot sort ArrayType/MapType/StructType cells (unhashable in
+    ``sort_values`` — the ``lineitem_fd_violations`` r9 failure), so no
+    catalog query may emit one. Schema-only — no job runs.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
     ]
 
 
@@ -94,8 +116,16 @@ def compare(
         return ParityResult(
             name,
             False,
-            "oracle emits driver-unhashable types (CAST to BIGINT/DOUBLE): "
-            + ", ".join(bad_types),
+            "oracle emits driver-unhashable types (CAST to BIGINT/DOUBLE, "
+            "serialize nested): " + ", ".join(bad_types),
+        )
+    bad_spark = lint_spark_result_types(spark_df)
+    if bad_spark:
+        return ParityResult(
+            name,
+            False,
+            "spark result emits driver-unhashable nested types "
+            "(array_join / to_json them): " + ", ".join(bad_spark),
         )
     s_rows = [tuple(r) for r in spark_df.collect()]
     cur = con.execute(oracle_sql)

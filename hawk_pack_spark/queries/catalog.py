@@ -7844,11 +7844,18 @@ def q_lineitem_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_partkey determine l_suppkey? (It does not — TPC-H gives each
     part several suppliers; every multi-supplier part is a violation
     row with sorted evidence values.) One distinct reduction + one
-    same-key groupBy, the TANE-style single-FD check. Data-level."""
+    same-key groupBy, the TANE-style single-FD check. Data-level.
+
+    The evidence list leaves the operator as ARRAY<STRING> but the
+    catalog row emits it comma-joined: the driver's pandas hasher
+    cannot sort list cells (r9's only driver failure), so no catalog
+    output column may be ARRAY/MAP/STRUCT — enforced by
+    oracle.lint_spark_result_types + the ALL_SPECS sweep test."""
     from hawk_pack_spark.operators.profile import fd_violations
 
     li = load_table(spark, "lineitem", sf_dir)
-    return fd_violations(li, "l_partkey", "l_suppkey", max_examples=2)
+    v = fd_violations(li, "l_partkey", "l_suppkey", max_examples=2)
+    return v.withColumn("examples", F.array_join(F.col("examples"), ","))
 
 
 FD_VIOLATIONS_SQL = """
@@ -7857,8 +7864,9 @@ WITH p AS (SELECT DISTINCT l_partkey AS determinant,
            FROM lineitem WHERE l_partkey IS NOT NULL),
 g AS (
   SELECT determinant, CAST(COUNT(*) AS BIGINT) AS n_dependents,
-         list(CAST(dependent AS VARCHAR) ORDER BY CAST(dependent AS VARCHAR))[1:2]
-           AS examples
+         array_to_string(
+           list(CAST(dependent AS VARCHAR) ORDER BY CAST(dependent AS VARCHAR))[1:2],
+           ',') AS examples
   FROM p GROUP BY 1)
 SELECT determinant, n_dependents, examples FROM g WHERE n_dependents > 1
 """
@@ -9027,7 +9035,11 @@ CHI_SQUARE_SQL = """
 WITH cm AS (
   SELECT event_type AS a, CAST(user_id % 2 AS BIGINT) AS b,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+  FROM events
+  -- two-sided null filter mirrors chi_square_independence, which drops
+  -- rows where EITHER column is NULL (ADVICE r9: GROUP BY would keep a
+  -- NULL cohort group here while Spark discards it)
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2),
 ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra FROM cm GROUP BY 1),
 rb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS rb FROM cm GROUP BY 1),
 cells AS (SELECT ra.a, rb.b, COALESCE(cm.n, 0) AS n, ra.ra, rb.rb
@@ -9284,11 +9296,18 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tie-explicit (ADVICE r9): asof_join_forward deterministically picks the
+# SMALLEST value tuple among equal-(key, ts) right rows, while DuckDB's
+# native ASOF leaves duplicate-right-timestamp ties unspecified. Reducing
+# the right side to MIN(value) per (user_id, ts) BEFORE the ASOF join makes
+# the oracle's tie rule identical to the operator's without changing which
+# timestamp matches — parity no longer depends on the fixture having
+# unique (user_id, ts) purchases.
 ASOF_FWD_SQL = """
 SELECT e.event_id, e.user_id, ROUND(p.value, 6) AS asof_value
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, MIN(value) AS value FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts) p
   ON e.user_id = p.user_id AND p.ts >= e.ts
 """
 

@@ -50,6 +50,28 @@ def test_no_oracle_emits_hugeint_or_decimal(sf_dir, duck):
     assert not offenders, f"oracles emitting HUGEINT/DECIMAL: {offenders}"
 
 
+def test_no_spec_emits_nested_spark_types(spark, sf_dir):
+    """VERDICT r9 #1: the driver's pandas hasher cannot sort
+    ArrayType/MapType/StructType cells (`lineitem_fd_violations` erred
+    before any comparison with `unhashable type: 'list'`). Lint EVERY
+    oracle-paired spec's SPARK result schema across ALL_SPECS — schema
+    only, no jobs — so the class is dead, not the instance."""
+    from hawk_pack_spark.oracle import lint_spark_result_types
+    from hawk_pack_spark.queries import ALL_SPECS
+
+    offenders = {}
+    for name, spec in ALL_SPECS.items():
+        if spec.oracle is None:
+            continue
+        bad = lint_spark_result_types(spec.fn(spark, sf_dir))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"specs emitting nested Spark output (array_join/to_json them): "
+        f"{offenders}"
+    )
+
+
 def test_check_catalog_unknown_names_raise_descriptive_error(spark, sf_dir):
     """ADVICE r4: a stale rotation name or typo must abort up front with
     the offending names listed, not crash mid-sweep with a bare KeyError
