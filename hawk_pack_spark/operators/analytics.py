@@ -2169,3 +2169,82 @@ def rfm_segments(
         m_score.cast("int").alias("m_score"),
         (r_score * 100 + f_score * 10 + m_score).cast("int").alias("segment"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a per-key daily
+    series (exact-integer values, e.g. micro-units): value = trend +
+    seasonal + residual, where trend is the centered ``period``-row
+    moving average (NULL until the window is full — no half-window
+    edge estimates), seasonal is the per-phase mean of the detrended
+    series (phase = epoch-day mod period: engine-exact integer
+    arithmetic, no day-of-week builtin whose origin differs across
+    engines), and residual is what remains. The seasonality/trend
+    split behind "is Monday really lower, or is the whole series
+    falling" — the diagnostic upstream of the ACF/CUSUM battery.
+
+    Float discipline: the moving average stays an exact integer SUM
+    over the rows frame (trend = sum/period is the final division);
+    detrended mass is period·value − trend_sum (exact int), so the
+    per-phase mean is an exact-integer ratio num/(period·cnt); the
+    residual is three fixed-order double ops. ROWS (not calendar)
+    window semantics — run gapfill_daily first on sparse series, the
+    documented contract.
+
+    Shape: one (key, day) window sort shared by the trend frame, one
+    (key, phase) groupBy, one broadcast-back join. Linear, no driver
+    action.
+    """
+    kcols = [F.col(k) for k in keys]
+    w = (
+        Window.partitionBy(*kcols)
+        .orderBy(F.col("_day"))
+        .rowsBetween(-(period // 2), period // 2)
+    )
+    base = df.select(
+        *keys,
+        F.col(day_col).alias("_day"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    )
+    t = base.withColumn(
+        "_tsum",
+        F.when(
+            F.count("_v").over(w) == period, F.sum("_v").over(w)
+        ).cast("bigint"),
+    ).withColumn(
+        "_phase",
+        F.pmod(
+            F.datediff(F.col("_day"), F.lit("1970-01-01").cast("date")),
+            F.lit(period),
+        ).cast("int"),
+    ).withColumn(
+        "_det", (F.lit(period) * F.col("_v") - F.col("_tsum")).cast("bigint")
+    )
+    seas = (
+        t.where(F.col("_det").isNotNull())
+        .groupBy(*keys, "_phase")
+        .agg(
+            F.sum("_det").cast("bigint").alias("_snum"),
+            F.count(F.lit(1)).cast("bigint").alias("_scnt"),
+        )
+    )
+    j = t.join(F.broadcast(seas), [*keys, "_phase"], "left")
+    trend = F.col("_tsum").cast("double") / F.lit(float(period))
+    seasonal = F.col("_snum").cast("double") / (
+        F.lit(float(period)) * F.col("_scnt").cast("double")
+    )
+    residual = F.col("_v").cast("double") - trend - seasonal
+    return j.select(
+        *keys,
+        F.col("_day").alias(day_col),
+        F.col("_v").alias(value_col),
+        F.round(trend, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(residual, 6).alias("residual"),
+    )

@@ -352,3 +352,125 @@ def vocab_overlap(
             F.col("n_common").cast("double") / union.cast("double"), 6
         ).alias("jaccard"),
     )
+
+
+def js_divergence(
+    docs: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+    vocab_size: int = 2000,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between the unigram
+    distributions of every class pair — the symmetric, bounded
+    ([0, ln 2]) domain-shift measure a mixing pipeline tracks where
+    vocab_overlap's set Jaccard ignores frequency and KL blows up on
+    disjoint support. JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2.
+
+    Scale contract: the distribution support is cut to the corpus'
+    top-``vocab_size`` tokens (TakeOrderedAndProject — the oov_rate
+    discipline, never a one-partition sort); all remaining mass per
+    class collapses into ONE residual bucket (token '' — unreachable
+    by real tokens since tokenize drops empties), so per-pair state is
+    ≤ vocab_size+1 entries regardless of corpus size, and the measure
+    stays a true JS over a (vocab_size+1)-category distribution.
+    Per-pair divergence folds over the token-SORTED (term, n1, n2)
+    list in fixed operand order (p = n1/t1, q = n2/t2, m = (p+q)/2,
+    acc + p·ln(p/m) + q·ln(q/m)) — deterministic IEEE float sums, the
+    repo's no-shuffle-order-float-sums rule. Class pairs are
+    class-count-bounded; the spine (pairs × vocab) is broadcast-sized.
+    """
+    from hawk_pack_spark.functions.text import tokens
+
+    tok = docs.select(
+        F.col(class_col).alias("_c"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    )
+    vocab = (
+        tok.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_t").asc())
+        .limit(vocab_size)
+        .select("_t")
+    )
+    bucketed = (
+        tok.join(
+            F.broadcast(vocab.withColumn("_in", F.lit(1))), "_t", "left"
+        )
+        .select(
+            "_c",
+            F.when(F.col("_in").isNotNull(), F.col("_t"))
+            .otherwise(F.lit(""))
+            .alias("_t"),
+        )
+        .groupBy("_c", "_t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    )
+    totals = bucketed.groupBy("_c").agg(
+        F.sum("_n").cast("bigint").alias("_tot")
+    )
+    classes = totals.select("_c")
+    pairs = (
+        classes.select(F.col("_c").alias("class_a"))
+        .crossJoin(classes.select(F.col("_c").alias("class_b")))
+        .where(F.col("class_a") < F.col("class_b"))
+    )
+    support = bucketed.select("_t").distinct()
+    spine = pairs.crossJoin(F.broadcast(support))
+    j = (
+        spine.join(
+            bucketed.select(
+                F.col("_c").alias("class_a"), "_t", F.col("_n").alias("_n1")
+            ),
+            ["class_a", "_t"],
+            "left",
+        )
+        .join(
+            bucketed.select(
+                F.col("_c").alias("class_b"), "_t", F.col("_n").alias("_n2")
+            ),
+            ["class_b", "_t"],
+            "left",
+        )
+        .select(
+            "class_a",
+            "class_b",
+            "_t",
+            F.coalesce("_n1", F.lit(0)).cast("bigint").alias("_n1"),
+            F.coalesce("_n2", F.lit(0)).cast("bigint").alias("_n2"),
+        )
+    )
+    lst = j.groupBy("class_a", "class_b").agg(
+        F.array_sort(
+            F.collect_list(F.struct("_t", "_n1", "_n2"))
+        ).alias("_l")
+    )
+    out = (
+        lst.join(
+            totals.select(F.col("_c").alias("class_a"),
+                          F.col("_tot").alias("_t1")),
+            "class_a",
+        )
+        .join(
+            totals.select(F.col("_c").alias("class_b"),
+                          F.col("_tot").alias("_t2")),
+            "class_b",
+        )
+    )
+
+    def _term(x):
+        p = x["_n1"].cast("double") / F.col("_t1").cast("double")
+        q = x["_n2"].cast("double") / F.col("_t2").cast("double")
+        m = (p + q) / F.lit(2.0)
+        pt = F.when(x["_n1"] > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        qt = F.when(x["_n2"] > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+        return pt + qt
+
+    js = F.aggregate(
+        F.col("_l"), F.lit(0.0), lambda acc, x: acc + _term(x)
+    )
+    return out.select(
+        "class_a",
+        "class_b",
+        F.size("_l").alias("n_terms"),
+        F.round(F.lit(0.5) * js, 6).alias("js_divergence"),
+    )

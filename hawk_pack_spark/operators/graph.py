@@ -647,3 +647,69 @@ def component_sizes(
         cc.groupBy("component")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Degree assortativity coefficient of an undirected graph (Newman,
+    PRL 2002): the Pearson correlation of endpoint degrees over the
+    directed-edge list (each undirected edge counted in BOTH
+    directions, so the two marginals coincide). r > 0 — hubs attach to
+    hubs (social-graph shape); r < 0 — hubs attach to leaves
+    (dependency/star shape). ONE number summarizing whether a
+    co-occurrence graph's heavy keys will meet each other in joins.
+
+    r = (M·Σxy − Σx·Σy) / (M·Σx² − (Σx)²), all accumulators exact
+    decimal(38,0) over integer degrees (x = deg(src), y = deg(dst),
+    M = 2m directed edges; Σx = Σy by symmetry) — the single final
+    division is the only float op, identical operand order on both
+    engines. Shape: one degree groupBy + two broadcast-friendly degree
+    joins + ONE aggregate; nothing quadratic, no driver action.
+    Degenerate (regular) graphs with zero degree variance return NULL.
+    """
+    und = edges.select(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    )
+    directed = und.unionAll(
+        und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    )
+    deg = directed.groupBy(F.col("_a").alias("_n")).agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("_d")
+    )
+    xy = (
+        directed.join(deg.select(F.col("_n").alias("_a"),
+                                 F.col("_d").alias("_dx")), "_a")
+        .join(deg.select(F.col("_n").alias("_b"),
+                         F.col("_d").alias("_dy")), "_b")
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_m"),
+        F.sum(F.col("_dx").cast("decimal(38,0)")).alias("_sx"),
+        F.sum((F.col("_dx") * F.col("_dy")).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((F.col("_dx") * F.col("_dx")).cast("decimal(38,0)")).alias("_sxx"),
+    )
+    # silent-NULL decimal overflow guard (the repo-wide rule): any NULL
+    # accumulator on a non-empty edge list is an overflow, not data
+    not_overflowed = (F.col("_m") == F.lit(0).cast("decimal(38,0)")) | (
+        F.col("_sx").isNotNull()
+        & F.col("_sxy").isNotNull()
+        & F.col("_sxx").isNotNull()
+    )
+    agg = agg.where(
+        F.assert_true(
+            not_overflowed,
+            "degree_assortativity: decimal accumulator overflowed",
+        ).isNull()
+    )
+    num = F.col("_m") * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    den = F.col("_m") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return agg.select(
+        F.col("_m").cast("bigint").alias("m_directed"),
+        F.when(
+            den != F.lit(0).cast("decimal(38,0)"),
+            F.round(
+                num.cast("double") / den.cast("double"), 6
+            ),
+        ).alias("assortativity"),
+    )

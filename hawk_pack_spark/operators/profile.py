@@ -432,3 +432,107 @@ def fd_violations(
         ).alias("examples"),
     )
     return g.where(F.col("n_dependents") > 1)
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Join-key skew profiler: the heavy-hitter report run BEFORE a big
+    join or groupBy to predict shuffle skew — the diagnostic behind
+    "does this key need salting / AQE skew handling". One row per
+    top-``top_k`` key by row count with:
+
+    - ``n_rows``  — exact count;
+    - ``share_ppm`` — the key's share of all non-null rows in exact
+      integer parts-per-million (cross-multiplied, no float division);
+    - ``skew_ratio`` — n_rows over the mean rows-per-key (n·distinct /
+      total as one fixed-order double division, rounded): 1.0 means
+      perfectly uniform, the two-sided-salting literature's trigger
+      zone starts around 10x.
+
+    Shape: ONE (key, count) reduction (map-side combinable), a 1-row
+    broadcast total, and a TakeOrdered top-k — never a full sort; the
+    report is top_k rows regardless of key cardinality. NULL keys are
+    excluded (they never join anyway). Complements join_cardinality
+    (which predicts the JOIN's output volume; this predicts the
+    shuffle's per-task balance).
+    """
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("_total"),
+        F.count(F.lit(1)).cast("bigint").alias("_distinct"),
+    )
+    top = (
+        counts.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+    )
+    return top.select(
+        F.col("key").cast("string").alias("key"),
+        "n_rows",
+        (F.col("n_rows") * F.lit(1_000_000) / F.col("_total"))
+        .cast("bigint")
+        .alias("share_ppm"),
+        F.round(
+            (F.col("n_rows") * F.col("_distinct")).cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("skew_ratio"),
+    )
+
+
+# Benford expected first-digit shares log10(1+1/d), d=1..9, as exact
+# integer ppm CONSTANTS (hardcoded on both engines rather than computed:
+# libm log10 rounding is not contractually identical across engines)
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic anomaly/fabrication screen for monetary columns (Nigrini
+    1996). Returns one row per digit 1-9: observed count, observed
+    share_ppm (exact integer cross-multiplication), expected
+    benford_ppm (hardcoded integer constants — libm log10 is not
+    engine-contractual), and the absolute deviation.
+
+    Engine-exact digit extraction: the value is captured as integer
+    cents (round(v·100)) and the digit is the first character of the
+    INTEGER's decimal string — integer-to-string is exact on every
+    engine, where double→string formatting and floor(log10(v)) both
+    have cross-engine edge cases. Non-positive and null values are
+    excluded. ONE groupBy over 9 groups; nothing wide.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_values"))
+    )
+    total = counts.agg(F.sum("n_values").cast("bigint").alias("_total"))
+    bppm = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_values",
+            (F.col("n_values") * F.lit(1_000_000) / F.col("_total"))
+            .cast("bigint")
+            .alias("share_ppm"),
+            bppm[F.col("digit")].cast("bigint").alias("benford_ppm"),
+        )
+        .withColumn(
+            "deviation_ppm",
+            F.abs(F.col("share_ppm") - F.col("benford_ppm")).cast("bigint"),
+        )
+    )

@@ -9312,6 +9312,283 @@ ASOF LEFT JOIN (SELECT user_id, ts, MIN(value) AS value FROM events
 """
 
 
+def q_orders_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile (profile.key_skew_profile) of orders on
+    o_custkey: the top-20 heavy-hitter report with exact ppm shares
+    and the skew ratio vs a uniform key — the pre-join diagnostic that
+    decides salting/AQE-skew handling. ONE (key,count) reduction + a
+    broadcast total + TakeOrdered; never a full sort. Data-level."""
+    from hawk_pack_spark.operators.profile import key_skew_profile
+
+    o = load_table(spark, "orders", sf_dir)
+    return key_skew_profile(o, "o_custkey", top_k=20)
+
+
+KEY_SKEW_SQL = """
+WITH c AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS nd FROM c),
+top AS (
+  SELECT k, n_rows, total, nd FROM c CROSS JOIN t
+  ORDER BY n_rows DESC, k ASC LIMIT 20)
+SELECT CAST(k AS VARCHAR) AS key, n_rows,
+  CAST(FLOOR((n_rows * 1000000) / total) AS BIGINT) AS share_ppm,
+  ROUND(CAST(n_rows * nd AS DOUBLE) / CAST(total AS DOUBLE), 6)
+    AS skew_ratio
+FROM top
+"""
+
+
+def q_orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen
+    (profile.benford_first_digit) on o_totalprice — the monetary-
+    column fabrication/anomaly diagnostic (Nigrini 1996). Digit
+    extraction is engine-exact (first char of the integer cents
+    string); expected shares are hardcoded integer ppm constants on
+    BOTH engines (libm log10 is not engine-contractual). Data-level,
+    one row per observed digit."""
+    from hawk_pack_spark.operators.profile import benford_first_digit
+
+    o = load_table(spark, "orders", sf_dir)
+    return benford_first_digit(o, "o_totalprice")
+
+
+BENFORD_SQL = """
+WITH c AS (
+  SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_values
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+  GROUP BY 1),
+t AS (SELECT CAST(SUM(n_values) AS BIGINT) AS total FROM c),
+e AS (
+  SELECT digit, n_values,
+    CAST(FLOOR((n_values * 1000000) / total) AS BIGINT) AS share_ppm,
+    CAST(CASE digit
+      WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+      WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+      WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+    END AS BIGINT) AS benford_ppm
+  FROM c CROSS JOIN t)
+SELECT digit, n_values, share_ppm, benford_ppm,
+       CAST(ABS(share_ppm - benford_ppm) AS BIGINT) AS deviation_ppm
+FROM e
+"""
+
+
+def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (graph.degree_assortativity, Newman PRL
+    2002) of the co-purchase graph: ONE number — do high-degree parts
+    co-occur with each other (r>0) or with leaves (r<0)? Exact
+    decimal(38,0) Pearson accumulators over integer degrees; the
+    single final division is the only float op. Data-level 1 row."""
+    from hawk_pack_spark.operators.graph import (
+        copurchase_pairs,
+        degree_assortativity,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    und = copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return degree_assortativity(und, "item_a", "item_b")
+
+
+ASSORTATIVITY_SQL = """
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb FROM t a JOIN t b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS MATERIALIZED (
+  SELECT pa AS s, pb AS d FROM und UNION ALL SELECT pb, pa FROM und),
+deg AS MATERIALIZED (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+xy AS (
+  SELECT dx.dg AS x, dy.dg AS y
+  FROM e JOIN deg dx ON e.s = dx.s JOIN deg dy ON e.d = dy.s),
+agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx
+  FROM xy)
+SELECT CAST(m AS BIGINT) AS m_directed,
+  CASE WHEN m * sxx - sx * sx <> 0 THEN
+    ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+          / CAST(m * sxx - sx * sx AS DOUBLE), 6)
+  END AS assortativity
+FROM agg
+"""
+
+
+def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bm25.js_divergence, nats) between
+    every source pair's unigram distribution over the corpus top-500
+    vocabulary + ONE residual bucket — the frequency-aware domain-
+    shift measure beside vocab_overlap's set Jaccard. Per-pair
+    divergence folds over the token-SORTED list in fixed operand
+    order (deterministic IEEE sums). Data-level, one row per source
+    pair."""
+    from hawk_pack_spark.operators.bm25 import js_divergence
+
+    d = load_table(spark, "documents", sf_dir)
+    return js_divergence(d, "source", "text", vocab_size=500)
+
+
+JS_DIVERGENCE_SQL = """
+WITH tok AS MATERIALIZED (
+  SELECT source AS c,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x != '')) AS t
+  FROM documents),
+vocab AS MATERIALIZED (
+  SELECT t FROM (
+    SELECT t, COUNT(*) AS n FROM tok GROUP BY 1
+    ORDER BY n DESC, t ASC LIMIT 500)),
+b AS MATERIALIZED (
+  SELECT c, CASE WHEN v.t IS NOT NULL THEN tok.t ELSE '' END AS t,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok LEFT JOIN vocab v ON tok.t = v.t GROUP BY 1, 2),
+tot AS (SELECT c, CAST(SUM(n) AS BIGINT) AS tt FROM b GROUP BY 1),
+pairs AS (
+  SELECT a.c AS ca, b2.c AS cb FROM tot a JOIN tot b2 ON a.c < b2.c),
+sup AS (SELECT DISTINCT t FROM b),
+spine AS (SELECT ca, cb, t FROM pairs CROSS JOIN sup),
+j AS (
+  SELECT ca, cb, spine.t,
+         COALESCE(x1.n, 0) AS n1, COALESCE(x2.n, 0) AS n2
+  FROM spine
+  LEFT JOIN b x1 ON x1.c = spine.ca AND x1.t = spine.t
+  LEFT JOIN b x2 ON x2.c = spine.cb AND x2.t = spine.t),
+l AS (
+  SELECT ca, cb, list({'t': t, 'n1': n1, 'n2': n2} ORDER BY t) AS ll
+  FROM j GROUP BY 1, 2),
+w AS (
+  SELECT l.ca, l.cb, ll, t1.tt AS t1, t2.tt AS t2
+  FROM l JOIN tot t1 ON t1.c = l.ca JOIN tot t2 ON t2.c = l.cb)
+SELECT ca AS class_a, cb AS class_b,
+  CAST(len(ll) AS INT) AS n_terms,
+  ROUND(0.5 * list_reduce(list_prepend(0.0, list_transform(ll, x ->
+    CASE WHEN x.n1 > 0 THEN
+      (CAST(x.n1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+      * ln((CAST(x.n1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+           / ((CAST(x.n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+               + CAST(x.n2 AS DOUBLE) / CAST(t2 AS DOUBLE)) / 2.0))
+    ELSE 0.0 END
+    + CASE WHEN x.n2 > 0 THEN
+      (CAST(x.n2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+      * ln((CAST(x.n2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+           / ((CAST(x.n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+               + CAST(x.n2 AS DOUBLE) / CAST(t2 AS DOUBLE)) / 2.0))
+    ELSE 0.0 END)),
+    (acc, v) -> acc + v), 6) AS js_divergence
+FROM w
+"""
+
+
+def q_events_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition
+    (analytics.seasonal_decompose, period 7) of each event type's
+    daily value series (exact integer micros): value = trend
+    (centered 7-row MA, NULL at edges) + seasonal (per-phase mean of
+    the detrended series, phase = epoch-day mod 7) + residual. The
+    trend/seasonality split upstream of the ACF/CUSUM battery.
+    Data-level, one row per (type, day)."""
+    from hawk_pack_spark.operators.analytics import seasonal_decompose
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("micros")
+    )
+    return seasonal_decompose(daily, ["event_type"], "day", "micros", period=7)
+
+
+SEASONAL_DECOMP_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS micros
+  FROM events GROUP BY 1, 2),
+t AS MATERIALIZED (
+  SELECT event_type, day, micros,
+    CASE WHEN COUNT(*) OVER w = 7
+         THEN CAST(SUM(micros) OVER w AS BIGINT) END AS tsum,
+    CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS INT) AS phase
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+s AS (
+  SELECT event_type, phase,
+         CAST(SUM(7 * micros - tsum) AS BIGINT) AS snum,
+         CAST(COUNT(*) AS BIGINT) AS scnt
+  FROM t WHERE tsum IS NOT NULL GROUP BY 1, 2)
+SELECT t.event_type, t.day, t.micros,
+  ROUND(CAST(t.tsum AS DOUBLE) / 7.0, 6) AS trend,
+  ROUND(CAST(s.snum AS DOUBLE) / (7.0 * CAST(s.scnt AS DOUBLE)), 6)
+    AS seasonal,
+  ROUND(CAST(t.micros AS DOUBLE) - CAST(t.tsum AS DOUBLE) / 7.0
+        - CAST(s.snum AS DOUBLE) / (7.0 * CAST(s.scnt AS DOUBLE)), 6)
+    AS residual
+FROM t LEFT JOIN s ON t.event_type = s.event_type AND t.phase = s.phase
+"""
+
+
+def q_cosine_docs_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS all-pairs weighted-cosine self-join
+    (dedup.cosine_prefix_join — Bayardo et al., WWW'07): every doc
+    pair with tf-idf unit-vector cosine ≥ 0.8, via the canonical-order
+    prefix filter (suffix-norm² < τ tail rule, Cauchy-Schwarz
+    losslessness). The frequency-aware exact complement of
+    jaccard_docs_lossless. The oracle is the TRUE brute-force over
+    term-sharing pairs — quadratic by nature, so this row (like the
+    jaccard precedent) is expected spark-only at the 10× gate.
+    Data-level (id_a, id_b, cosine)."""
+    from hawk_pack_spark.operators.dedup import cosine_prefix_join
+
+    d = load_table(spark, "documents", sf_dir)
+    return cosine_prefix_join(d, threshold=0.8)
+
+
+COSINE_LOSSLESS_SQL = """
+WITH tf AS MATERIALIZED (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x != '')) AS t
+    FROM documents) GROUP BY 1, 2),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+dfq AS MATERIALIZED (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+w AS MATERIALIZED (
+  SELECT doc_id, t, wv FROM (
+    SELECT tf.doc_id, tf.t,
+           CAST(tf.tf AS DOUBLE)
+             * ln(CAST(nd.n AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS wv
+    FROM tf JOIN dfq USING (t) CROSS JOIN nd)
+  WHERE wv > 0),
+nrm AS MATERIALIZED (
+  SELECT doc_id,
+         sqrt(list_reduce(list_prepend(0.0, list(wv * wv ORDER BY t)),
+                          (a, v) -> a + v)) AS nrm
+  FROM w GROUP BY doc_id),
+u AS MATERIALIZED (
+  SELECT w.doc_id, t, w.wv / nrm.nrm AS u FROM w JOIN nrm USING (doc_id)),
+prod AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, a.t, a.u * b.u AS p
+  FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id),
+sim AS (
+  SELECT ia, ib,
+         list_reduce(list_prepend(0.0, list(p ORDER BY t)),
+                     (a, v) -> a + v) AS s
+  FROM prod GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b, ROUND(s, 6) AS cosine
+FROM sim WHERE s >= 0.8
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -9515,6 +9792,13 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "customer_rfm_segments": QuerySpec(q_customer_rfm, RFM_SQL, "RFM quintile segmentation (nearest-rank thresholds broadcast, comparison projection, 100R+10F+M), data-level"),
     "source_vocab_overlap": QuerySpec(q_source_vocab_overlap, VOCAB_OVERLAP_SQL, "pairwise source vocabulary Jaccard (distinct postings self-join, exact counts), data-level"),
     "asof_next_purchase": QuerySpec(q_asof_next_purchase, ASOF_FWD_SQL, "FORWARD as-of join (next purchase at-or-after each error; union + reverse-ordered window carry) vs native ASOF >= oracle, data-level"),
+    # -- round-10 block
+    "orders_key_skew": QuerySpec(q_orders_key_skew, KEY_SKEW_SQL, "join-key skew profile: top-20 heavy hitters with exact ppm share + skew ratio vs uniform, data-level"),
+    "orders_benford_digits": QuerySpec(q_orders_benford_digits, BENFORD_SQL, "Benford first-digit screen on o_totalprice (integer-cents digit extraction, hardcoded expected ppm), data-level"),
+    "copurchase_assortativity": QuerySpec(q_copurchase_assortativity, ASSORTATIVITY_SQL, "degree assortativity of the co-purchase graph (exact decimal Pearson accumulators, one final division), data-level"),
+    "source_js_divergence": QuerySpec(q_source_js_divergence, JS_DIVERGENCE_SQL, "pairwise Jensen-Shannon divergence between source unigram distributions (top-500 vocab + residual bucket, token-sorted folds), data-level"),
+    "events_seasonal_decomp": QuerySpec(q_events_seasonal_decomp, SEASONAL_DECOMP_SQL, "additive seasonal decomposition of daily event series (integer-exact centered MA + phase means, period 7), data-level"),
+    "cosine_docs_lossless": QuerySpec(q_cosine_docs_lossless, COSINE_LOSSLESS_SQL, "LOSSLESS all-pairs tf-idf cosine self-join (Bayardo WWW'07 prefix filter) vs true brute-force oracle, data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -9685,6 +9969,18 @@ _DEBUT_ORDER = [
     # r9 debuts
     "basket_rules", "events_rolling_median", "events_mad_outliers",
     "token_pmi_pairs",
+    # r9 rotation-overflow stragglers + the repaired fd row (VERDICT r9
+    # #2/#1): these 11 must earn their FIRST driver rows in the r10
+    # window before any r10 debut takes a slot
+    "lineitem_fd_violations", "user_conversion_survival",
+    "source_ctfidf_terms", "phrase_search_docs", "parts_skyline",
+    "purchase_attribution", "retrieval_eval_knn", "user_event_entropy",
+    "parts_abc_classes", "purchase_latency_percentiles",
+    "source_vocab_overlap",
+    # r10 debuts
+    "orders_key_skew", "orders_benford_digits",
+    "copurchase_assortativity", "source_js_divergence",
+    "events_seasonal_decomp", "cosine_docs_lossless",
 ]
 
 
