@@ -2248,3 +2248,140 @@ def seasonal_decompose(
         F.round(seasonal, 6).alias("seasonal"),
         F.round(residual, 6).alias("residual"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Classifier calibration (reliability) report: predictions bucketed
+    into ``n_bins`` equal-width probability bins, each bin reporting
+    count, positives, mean predicted probability, empirical positive
+    rate, and the bin's Brier contribution — the "is 0.8 really 80%"
+    diagnostic run on every quality/langid gate before its threshold is
+    trusted (Brier 1950; reliability diagrams per Murphy 1973).
+
+    Float discipline: probabilities are captured ONCE as exact integer
+    micro-units (round(p·1e6) — the report's documented quantization);
+    every aggregate is then an exact integer/decimal sum (Σp_micro,
+    Σ(p_micro − y·1e6)² in decimal(38,0)) and the only float ops are
+    the final divisions — no shuffle-order float sums. Bin assignment
+    floor(p_micro·B/1e6) clamped to B−1 is pure integer arithmetic.
+    ONE groupBy over ≤ n_bins groups; NULL probs/labels excluded.
+    """
+    pm = F.round(F.col(prob_col) * 1_000_000).cast("bigint")
+    y = F.col(label_col).cast("bigint")
+    binc = F.least(
+        F.floor(pm * n_bins / 1_000_000).cast("int"), F.lit(n_bins - 1)
+    )
+    base = df.where(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        binc.alias("bin"),
+        pm.alias("_pm"),
+        y.alias("_y"),
+        ((pm - y * 1_000_000) * (pm - y * 1_000_000))
+        .cast("decimal(38,0)")
+        .alias("_sq"),
+    )
+    g = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        F.sum("_pm").cast("bigint").alias("_spm"),
+        F.sum("_sq").cast("decimal(38,0)").alias("_ssq"),
+    )
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(
+            F.col("_spm").cast("double")
+            / (F.lit(1e6) * F.col("n").cast("double")),
+            6,
+        ).alias("mean_pred"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("frac_pos"),
+        F.round(
+            F.col("_ssq").cast("double")
+            / (F.lit(1e12) * F.col("n").cast("double")),
+            6,
+        ).alias("brier"),
+    )
+
+
+def holt_forecast(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 1,
+) -> DataFrame:
+    """Holt's linear (double) exponential smoothing per key: level
+    l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}), trend b_t = β(l_t−l_{t−1})
+    + (1−β)b_{t−1}, initialized l₁=y₁, b₁=y₂−y₁; returns the final
+    (level, trend) state and the ``horizon``-step-ahead forecast
+    l+h·b — the trend-aware upgrade of the EWMA row (which a trending
+    series systematically lags).
+
+    BOUNDED-SERIES contract (the theil_sen discipline): the recurrence
+    is inherently sequential, so each key's series folds over its
+    order-SORTED in-memory list — state per key is O(series length);
+    run on pre-aggregated (e.g. daily) series, not raw events. The
+    fold is a fixed-operand-order double recurrence over the sorted
+    list — deterministic and engine-portable. Keys with < 2 points
+    return NULLs (no trend is estimable).
+    """
+    a_, b_ = float(alpha), float(beta)
+    lst = df.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("double").alias("y"),
+                )
+            )
+        ).alias("_l")
+    )
+    y1 = F.element_at("_l", 1)["y"]
+    y2 = F.element_at("_l", 2)["y"]
+    init = F.struct(
+        y1.alias("l"), (y2 - y1).alias("b")
+    )
+    state = F.aggregate(
+        F.slice(F.col("_l"), 2, F.greatest(F.size("_l") - 1, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            (
+                F.lit(a_) * x["y"]
+                + F.lit(1.0 - a_) * (acc["l"] + acc["b"])
+            ).alias("l"),
+            (
+                F.lit(b_)
+                * (
+                    F.lit(a_) * x["y"]
+                    + F.lit(1.0 - a_) * (acc["l"] + acc["b"])
+                    - acc["l"]
+                )
+                + F.lit(1.0 - b_) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    out = lst.select(
+        *keys,
+        F.size("_l").alias("n"),
+        F.when(F.size("_l") >= 2, state).alias("_s"),
+    )
+    return out.select(
+        *keys,
+        "n",
+        F.round(F.col("_s")["l"], 6).alias("level"),
+        F.round(F.col("_s")["b"], 6).alias("trend"),
+        F.round(
+            F.col("_s")["l"] + F.lit(float(horizon)) * F.col("_s")["b"], 6
+        ).alias("forecast"),
+    )

@@ -473,3 +473,75 @@ def phrase_search(
         F.array_min(hits).cast("bigint").alias("first_pos"),
     )
     return out.where(F.col("n_matches") > 0)
+
+
+def rank_biased_overlap(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    two per-query rankings, truncated at depth ``k`` with the standard
+    extrapolation: RBO = (1−p)·Σ_{d=1..k} p^{d−1}·A_d + p^k·A_k, where
+    A_d is the overlap fraction of the two depth-d prefixes. The
+    top-weighted "do these two retrieval arms agree" measure — RRF
+    fusion adds arms blindly; RBO says whether they are redundant
+    (≈1) or complementary (≈0).
+
+    Shape: each arm's top-k collapses to ONE ordered doc array per
+    query (top-k-bounded state), one (query) join, and a fixed
+    k-term fold — every float product in fixed operand order, so the
+    value is engine-portable. Queries present in only one arm are
+    dropped (overlap is undefined); depth-d prefixes shorter than d
+    (arms returning < k docs) use the actual prefix, per the paper's
+    uneven-list treatment.
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError("p must be in (0, 1)")
+
+    def _arr(r: DataFrame, name: str) -> DataFrame:
+        return (
+            r.where(F.col(rank_col) <= k)
+            .groupBy(query_id)
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(rank_col).alias("r"),
+                                F.col(doc_id).alias("d"),
+                            )
+                        )
+                    ),
+                    lambda x: x["d"],
+                ).alias(name)
+            )
+        )
+
+    j = _arr(ranking_a, "_la").join(_arr(ranking_b, "_lb"), query_id)
+    depth = F.sequence(F.lit(1), F.lit(k))
+    a_d = lambda d: (  # noqa: E731 — overlap fraction at depth d
+        F.size(
+            F.array_intersect(
+                F.slice(F.col("_la"), 1, d), F.slice(F.col("_lb"), 1, d)
+            )
+        ).cast("double")
+        / d.cast("double")
+    )
+    series = F.aggregate(
+        depth,
+        F.lit(0.0),
+        lambda acc, d: acc + F.pow(F.lit(p), d.cast("double") - F.lit(1.0)) * a_d(d),
+    )
+    rbo = (
+        F.lit(1.0 - p) * series
+        + F.pow(F.lit(p), F.lit(float(k))) * a_d(F.lit(k))
+    )
+    return j.select(
+        query_id,
+        F.round(rbo, 6).alias("rbo"),
+    )

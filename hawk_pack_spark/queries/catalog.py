@@ -9589,6 +9589,249 @@ FROM sim WHERE s >= 0.8
 """
 
 
+def q_doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) report + per-bin Brier
+    (analytics.calibration_report) of an engine-portable repetition
+    scorer against planted spam labels: the quality_classifier fixture
+    (doc_id % 4 twins whose text is the first 3 tokens ×12) scored by
+    p = sigmoid(6·dup_ratio − 3), dup_ratio = 1 − distinct/total
+    tokens. Probabilities quantize ONCE to integer micro-units, so all
+    aggregates are exact integer sums (decimal(38,0) for the Brier
+    squares) — "is 0.8 really 80%" as data-level rows per bin."""
+    from hawk_pack_spark.operators.analytics import calibration_report
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    ts = T.tokens("text")
+    base = docs.select(ts.alias("_ts"), F.lit(0).alias("label")).unionAll(
+        docs.where(F.col("doc_id") % 4 == 0).select(
+            F.flatten(F.array_repeat(F.slice(ts, 1, 3), 12)).alias("_ts"),
+            F.lit(1).alias("label"),
+        )
+    ).where(F.size("_ts") > 0)
+    dup = F.lit(1.0) - (
+        F.size(F.array_distinct("_ts")).cast("double")
+        / F.size("_ts").cast("double")
+    )
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(6.0) * dup - F.lit(3.0)))
+    )
+    scored = base.select(p.alias("p"), "label")
+    return calibration_report(scored, "p", "label", n_bins=10)
+
+
+CALIBRATION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+base AS (
+  SELECT ts, 0 AS label FROM toks
+  UNION ALL
+  SELECT flatten(list_transform(range(0, 12), i -> ts[1:3])), 1
+  FROM toks WHERE doc_id % 4 = 0),
+feat AS (
+  SELECT label,
+    1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE)
+      AS dup
+  FROM base WHERE len(ts) > 0),
+pr AS (
+  SELECT CAST(label AS BIGINT) AS y,
+         1.0 / (1.0 + exp(-(6.0 * dup - 3.0))) AS p
+  FROM feat),
+pm AS (SELECT y, CAST(ROUND(p * 1000000) AS BIGINT) AS pm FROM pr),
+b AS (
+  SELECT LEAST(CAST(FLOOR((pm * 10) / 1000000) AS INT), 9) AS bin, pm, y,
+         CAST(pm - y * 1000000 AS HUGEINT)
+           * CAST(pm - y * 1000000 AS HUGEINT) AS sq
+  FROM pm),
+g AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(pm) AS BIGINT) AS spm,
+         CAST(SUM(sq) AS HUGEINT) AS ssq
+  FROM b GROUP BY 1)
+SELECT bin, n, n_pos,
+  ROUND(CAST(spm AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)), 6)
+    AS mean_pred,
+  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+  ROUND(CAST(ssq AS DOUBLE) / (1000000000000.0 * CAST(n AS DOUBLE)), 6)
+    AS brier
+FROM g
+"""
+
+
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (analytics.holt_forecast,
+    α=0.5, β=0.25, h=1) over each event type's daily value series
+    (exact integer micros): final level/trend state + one-step
+    forecast — the trend-aware upgrade of the EWMA row. The recurrence
+    folds over the day-SORTED list in fixed operand order (bounded
+    series: 30 days/type). The exact-integer daily micros convert to
+    UNITS (one identical /1e6 on both engines) before the fold: at
+    micro magnitude (~3e9) round(6) sits BELOW one double ulp, where
+    the two engines' rounding implementations may legally disagree —
+    at unit magnitude the discipline is safe again. Data-level, one
+    row per type."""
+    from hawk_pack_spark.operators.analytics import holt_forecast
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("micros")
+    ).select(
+        "event_type", "day", (F.col("micros") / F.lit(1e6)).alias("units")
+    )
+    return holt_forecast(
+        daily, ["event_type"], "day", "units", alpha=0.5, beta=0.25,
+        horizon=1,
+    )
+
+
+# NOTE: a list_reduce with a STRUCT accumulator whose fields
+# cross-reference was measured mis-folding in DuckDB (probe: fields see
+# inconsistent accumulator snapshots across steps) — the recurrence is
+# therefore rendered as a recursive CTE, one exact double step per row.
+HOLT_SQL = """
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS micros
+  FROM events GROUP BY 1, 2),
+ord AS MATERIALIZED (
+  SELECT event_type,
+         CAST(micros AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+              AS INT) AS rn
+  FROM daily),
+cnt AS (SELECT event_type, CAST(COUNT(*) AS INT) AS n
+        FROM ord GROUP BY 1),
+rec AS (
+  SELECT a.event_type, 1 AS rn, a.y AS l, b.y - a.y AS b
+  FROM ord a JOIN ord b
+    ON a.event_type = b.event_type AND a.rn = 1 AND b.rn = 2
+  UNION ALL
+  SELECT r.event_type, r.rn + 1,
+         0.5 * o.y + 0.5 * (r.l + r.b),
+         0.25 * (0.5 * o.y + 0.5 * (r.l + r.b) - r.l) + 0.75 * r.b
+  FROM rec r JOIN ord o
+    ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+SELECT cnt.event_type, cnt.n,
+  ROUND(rec.l, 6) AS level, ROUND(rec.b, 6) AS trend,
+  ROUND(rec.l + 1.0 * rec.b, 6) AS forecast
+FROM cnt LEFT JOIN rec
+  ON rec.event_type = cnt.event_type AND rec.rn = cnt.n
+"""
+
+
+def q_retrieval_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (retrieval.rank_biased_overlap, Webber et
+    al. TOIS 2010; k=10, p=0.9) between the BM25 lexical arm and the
+    hash-embedding cosine arm of the hybrid retriever — are the two
+    arms redundant (RBO→1) or complementary (RBO→0) before RRF fuses
+    them? Arms reuse the proven BM25/HASH_EMB renderings; the fold is
+    a fixed 10-term series with every float product in fixed operand
+    order. Data-level, one row per query."""
+    from hawk_pack_spark.operators.bm25 import bm25_build, bm25_search
+    from hawk_pack_spark.operators.retrieval import rank_biased_overlap
+    from hawk_pack_spark.operators.similarity import hash_embeddings
+
+    docs = load_table(spark, "documents", sf_dir)
+    qterms = spark.createDataFrame(
+        [(0, ["scan", "merge"]), (1, ["window", "join"])],
+        "query_id long, terms array<string>",
+    )
+    lex = bm25_search(bm25_build(docs), qterms, k=10, score_round=6).select(
+        "query_id", "doc_id", "rank"
+    )
+    qtexts = spark.createDataFrame(
+        [(0, "scan merge"), (1, "window join")], "query_id long, text string"
+    )
+    dvec = hash_embeddings(docs, "doc_id", "text", dim=32)
+    qvec = hash_embeddings(qtexts, "query_id", "text", dim=32).select(
+        "query_id", F.col("embedding").alias("qv")
+    )
+    pairs = dvec.crossJoin(F.broadcast(qvec))
+    sim = F.round(D.cosine_sim(F.col("qv"), F.col("embedding")), 6)
+    sem = topk_rows(
+        pairs.select("query_id", "doc_id", sim.alias("sim")),
+        ["query_id"], "sim", 10, ascending=False, tie_cols=["doc_id"],
+    ).select("query_id", "doc_id", "rank")
+    return rank_biased_overlap(lex, sem, k=10, p=0.9)
+
+
+RANK_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+ex AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q AS (
+  SELECT 0 AS query_id, unnest(['scan', 'merge']) AS term
+  UNION ALL
+  SELECT 1 AS query_id, unnest(['window', 'join']) AS term),
+s AS (
+  SELECT q.query_id, tf.doc_id,
+    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, corpus),
+sc AS (SELECT query_id, doc_id, ROUND(SUM(s), 6) AS score
+       FROM s GROUP BY query_id, doc_id),
+lexr AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         FROM sc),
+v AS (
+  SELECT doc_id,
+    list_transform(range(0, 32), i -> CAST(len(list_filter(ts,
+      t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 32 = i)) AS DOUBLE)) AS v
+  FROM toks),
+qt AS (
+  SELECT 0 AS query_id, ['scan', 'merge'] AS ts
+  UNION ALL
+  SELECT 1 AS query_id, ['window', 'join'] AS ts),
+qv AS (
+  SELECT query_id,
+    list_transform(range(0, 32), i -> CAST(len(list_filter(ts,
+      t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 32 = i)) AS DOUBLE)) AS qv
+  FROM qt),
+d AS (
+  SELECT query_id, v.doc_id,
+    ROUND(list_sum(list_transform(range(1, 33), i -> qv[i] * v.v[i]))
+      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+         * sqrt(list_sum(list_transform(v.v, x -> x * x)))), 6) AS sim
+  FROM qv, v),
+semr AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rank
+         FROM d),
+la AS (SELECT query_id, list(doc_id ORDER BY rank) AS la
+       FROM lexr WHERE rank <= 10 GROUP BY 1),
+lb AS (SELECT query_id, list(doc_id ORDER BY rank) AS lb
+       FROM semr WHERE rank <= 10 GROUP BY 1),
+j AS (SELECT la.query_id, la.la, lb.lb FROM la JOIN lb USING (query_id)),
+r AS (
+  SELECT query_id,
+    list_reduce(list_prepend(0.0, list_transform(range(1, 11), dd ->
+      pow(0.9, CAST(dd AS DOUBLE) - 1.0)
+        * (CAST(len(list_intersect(la[1:dd], lb[1:dd])) AS DOUBLE)
+           / CAST(dd AS DOUBLE)))),
+      (acc, x) -> acc + x) AS series,
+    CAST(len(list_intersect(la[1:10], lb[1:10])) AS DOUBLE)
+      / CAST(10 AS DOUBLE) AS ak
+  FROM j)
+SELECT query_id,
+  ROUND((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * series
+        + pow(0.9, 10.0) * ak, 6) AS rbo
+FROM r
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -9799,6 +10042,9 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "source_js_divergence": QuerySpec(q_source_js_divergence, JS_DIVERGENCE_SQL, "pairwise Jensen-Shannon divergence between source unigram distributions (top-500 vocab + residual bucket, token-sorted folds), data-level"),
     "events_seasonal_decomp": QuerySpec(q_events_seasonal_decomp, SEASONAL_DECOMP_SQL, "additive seasonal decomposition of daily event series (integer-exact centered MA + phase means, period 7), data-level"),
     "cosine_docs_lossless": QuerySpec(q_cosine_docs_lossless, COSINE_LOSSLESS_SQL, "LOSSLESS all-pairs tf-idf cosine self-join (Bayardo WWW'07 prefix filter) vs true brute-force oracle, data-level"),
+    "doc_quality_calibration": QuerySpec(q_doc_quality_calibration, CALIBRATION_SQL, "calibration/reliability report + per-bin Brier of a repetition scorer vs planted spam (micro-unit quantized, exact integer sums), data-level"),
+    "events_holt_forecast": QuerySpec(q_events_holt_forecast, HOLT_SQL, "Holt double exponential smoothing per event type (sorted-list fold, fixed operand order), data-level"),
+    "retrieval_rank_overlap": QuerySpec(q_retrieval_rank_overlap, RANK_OVERLAP_SQL, "rank-biased overlap between BM25 and embedding arms (Webber 2010, fixed 10-term fold), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -9981,6 +10227,8 @@ _DEBUT_ORDER = [
     "orders_key_skew", "orders_benford_digits",
     "copurchase_assortativity", "source_js_divergence",
     "events_seasonal_decomp", "cosine_docs_lossless",
+    "doc_quality_calibration", "events_holt_forecast",
+    "retrieval_rank_overlap",
 ]
 
 

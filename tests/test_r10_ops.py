@@ -194,3 +194,94 @@ def test_cosine_prefix_join_validates_threshold(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="threshold"):
         cosine_prefix_join(df, threshold=0.0)
+
+
+def test_calibration_report_closed_form(spark):
+    from hawk_pack_spark.operators.analytics import calibration_report
+
+    df = spark.createDataFrame(
+        [(0.05, 0), (0.15, 0), (0.95, 1), (0.95, 0), (1.0, 1), (None, 1),
+         (0.5, None)],
+        "p double, y int",
+    )
+    got = {r.bin: r for r in calibration_report(df, "p", "y").collect()}
+    assert set(got) == {0, 1, 9}  # NULLs excluded; p=1.0 clamps to bin 9
+    assert got[0].n == 1 and got[0].frac_pos == 0.0
+    assert got[0].brier == pytest.approx(0.0025)
+    assert got[1].brier == pytest.approx(0.0225)
+    b9 = got[9]
+    assert b9.n == 3 and b9.n_pos == 2
+    assert b9.mean_pred == pytest.approx((0.95 + 0.95 + 1.0) / 3, abs=1e-6)
+    assert b9.frac_pos == pytest.approx(2 / 3, abs=1e-6)
+    assert b9.brier == pytest.approx(
+        ((0.95 - 1) ** 2 + 0.95 ** 2 + 0.0) / 3, abs=1e-6
+    )
+
+
+def test_holt_forecast_matches_reference_loop(spark):
+    from hawk_pack_spark.operators.analytics import holt_forecast
+
+    ys = [10.0, 12.0, 15.0, 14.0, 18.0, 21.0]
+    a, b = 0.5, 0.25
+    l, t = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        l_new = a * y + (1 - a) * (l + t)
+        t = b * (l_new - l) + (1 - b) * t
+        l = l_new
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(ys)] + [("solo", 0, 5.0)],
+        "g string, o int, v double",
+    )
+    got = {
+        r.g: r
+        for r in holt_forecast(
+            df, ["g"], "o", "v", alpha=a, beta=b, horizon=2
+        ).collect()
+    }
+    assert got["k"].level == pytest.approx(l, abs=1e-6)
+    assert got["k"].trend == pytest.approx(t, abs=1e-6)
+    assert got["k"].forecast == pytest.approx(l + 2 * t, abs=1e-6)
+    assert got["solo"].level is None  # < 2 points: no trend estimable
+
+
+def test_rank_biased_overlap_identical_disjoint_partial(spark):
+    from hawk_pack_spark.operators.retrieval import rank_biased_overlap
+
+    def ranking(qid, doclist):
+        return [(qid, d, i + 1) for i, d in enumerate(doclist)]
+
+    k, p = 5, 0.8
+    a = spark.createDataFrame(
+        ranking(1, [10, 11, 12, 13, 14])
+        + ranking(2, [10, 11, 12, 13, 14])
+        + ranking(3, [10, 11, 12, 13, 14]),
+        "query_id long, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        ranking(1, [10, 11, 12, 13, 14])      # identical
+        + ranking(2, [20, 21, 22, 23, 24])    # disjoint
+        + ranking(3, [11, 10, 12, 13, 14]),   # top-2 swapped
+        "query_id long, doc_id long, rank long",
+    )
+    got = {
+        r.query_id: r.rbo
+        for r in rank_biased_overlap(a, b, k=k, p=p).collect()
+    }
+    assert got[1] == pytest.approx(1.0, abs=1e-6)
+    assert got[2] == pytest.approx(0.0, abs=1e-6)
+    # local reference for the swapped case
+    la, lb = [10, 11, 12, 13, 14], [11, 10, 12, 13, 14]
+    s = sum(
+        p ** (d - 1) * len(set(la[:d]) & set(lb[:d])) / d
+        for d in range(1, k + 1)
+    )
+    ref = (1 - p) * s + p ** k * (len(set(la) & set(lb)) / k)
+    assert got[3] == pytest.approx(ref, abs=1e-6)
+
+
+def test_rank_biased_overlap_validates_p(spark):
+    from hawk_pack_spark.operators.retrieval import rank_biased_overlap
+
+    df = spark.createDataFrame([(1, 2, 1)], "query_id long, doc_id long, rank long")
+    with pytest.raises(ValueError, match="p must"):
+        rank_biased_overlap(df, df, p=1.0)

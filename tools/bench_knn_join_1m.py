@@ -6,7 +6,10 @@ clustered workload) — a 1M-row driver-side createDataFrame would be
 the bottleneck, not the operator.
 
 Usage: python tools/bench_knn_join_1m.py [n] [nprobe] [replicas] [rounds]
-Defaults 1000000 6 2 1. Prints one JSON line for NOTES.md.
+Defaults 1000000 6 2 1. Pass "auto" for nprobe/replicas to exercise the
+DEFAULTED path (budget-aware derating, VERDICT r9 #3) — the operator
+measures the candidate volume and picks the point itself. Prints one
+JSON line for NOTES.md.
 """
 from __future__ import annotations
 
@@ -22,9 +25,14 @@ from hawk_pack_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    def _arg(i: int, default):
+        if len(sys.argv) <= i:
+            return default
+        return None if sys.argv[i] == "auto" else int(sys.argv[i])
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    nprobe = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    nprobe = _arg(2, 6)
+    replicas = _arg(3, 2)
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     spark = get_spark("knn-join-1m", shuffle_partitions=256)
     spark.sparkContext.setLogLevel("ERROR")
@@ -67,7 +75,9 @@ def main() -> None:
         exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi"
     ).count()
     print(json.dumps({
-        "n": n, "nprobe": nprobe, "replicas": replicas,
+        "n": n,
+        "nprobe": nprobe if nprobe is not None else "auto",
+        "replicas": replicas if replicas is not None else "auto",
         "descent_rounds": rounds, "n_clusters": max(16, n // 250),
         "build_join_sec": round(dt, 1), "n_edges": n_edges,
         "recall_at_10_64anchors": round(hit / 640, 4),
