@@ -179,7 +179,7 @@ def knn_join(
     fit_fraction: float | None = None,
     n_rows: int | None = None,
     dim: int | None = None,
-    candidate_budget: int | None = 1_500_000_000,
+    candidate_budget: int | None = 5_000_000_000,
 ) -> DataFrame:
     """Blocked k-NN SELF-join: every vector's top-k nearest neighbors
     (self excluded) — the kNN-graph builder behind SemDeDup clustering,
@@ -238,14 +238,17 @@ def knn_join(
     aggregate over the cell assignment (decimal(38,0) accumulators; one
     extra linear pass — the documented price of the guard) and picks
     the highest-volume point within ``candidate_budget`` pairs,
-    warning loudly when it derates. A 4x-allowanced uniform-cell bound
+    warning loudly when it derates. An 8x-allowanced uniform-cell bound
     short-circuits the measuring job for corpora that cannot breach the
     budget (the n_rows+dim hint path stays zero-driver-action below
-    ~100k rows). The default budget 1.5e9 pairs is
-    sized to executor-local disk on the measured box: (4,1) at n=1M
-    ≈ 1e9 pairs completed with bounded spill, while the old fixed
-    default (6,2) ≈ 3e9 pairs spilled >80 GB and hit the disk ceiling
-    (NOTES r9 §12a). Explicit ``nprobe``/``replicas`` are ABSOLUTE —
+    ~50k rows); 8x covers the WORST measured skew inflation — on the
+    1M content-clustered corpus the exact volume at (6,2) was 18.7e9
+    pairs, 6.2x the uniform 3e9 estimate. The default budget 5e9 pairs
+    is sized to executor-local disk on the measured box: the r9 (4,1)
+    point (~5e9 exact pairs) completed with bounded spill, while the
+    old fixed default (6,2) = 18.7e9 pairs spilled >80 GB and hit the
+    disk ceiling (NOTES r9 §12a); size it to YOUR executors' local
+    disk when that differs. Explicit ``nprobe``/``replicas`` are ABSOLUTE —
     passing either disables derating entirely; ``candidate_budget=None``
     restores the fixed (6,2) default unconditionally. Derating lowers
     nprobe/replicas rather than raising ``n_clusters``: a larger cell
@@ -307,14 +310,14 @@ def knn_join(
     if auto_derate and candidate_budget is not None:
         # Analytic fast path: under uniform cells the pair volume is
         # n·nprobe·replicas·(n/n_clusters); skew concentrates mass and
-        # RAISES the product sum, but measured at 1M-clustered the true
-        # volume sat within ~1x of uniform (NOTES r9 §12a), so a 4x
-        # allowance is generous. When even the allowanced bound fits the
+        # RAISES the product sum — measured 6.2x uniform on the 1M
+        # content-clustered corpus (exact 18.7e9 vs uniform 3e9), so
+        # the allowance is 8x. When even the allowanced bound fits the
         # budget, skip the measuring job entirely — the hint path
         # (n_rows + dim given) stays zero-driver-action for every
         # corpus that cannot possibly breach the budget.
         est = (
-            4 * _n_known * nprobe * replicas
+            8 * _n_known * nprobe * replicas
             * max(1, _n_known // max(1, n_clusters))
             if _n_known is not None
             else None

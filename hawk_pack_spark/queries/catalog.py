@@ -9832,6 +9832,88 @@ FROM r
 """
 
 
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters (streaming/stateful.py
+    `streaming_heavy_hitters`) ≡ the batch GROUP BY when capacity ≥
+    the group's distinct items (the EXACT regime — zero decrements by
+    the MG guarantee): events stream as three event-time thirds, items
+    are user-id buckets (mod 200) per event type, capacity 300. The
+    final snapshot (max-n_seen rows per group) must equal exact batch
+    counts with undercount_bound 0; the approximation-regime bounds
+    are pinned in tests/test_streaming_heavy_hitters.py. Per-key state
+    is O(capacity) forever — the scale contract."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.streaming.stateful import streaming_heavy_hitters
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 200).cast("string").alias("item"),
+        "ts",
+    )
+    s1, s2 = "2024-01-11 00:00:00", "2024-01-21 00:00:00"
+    tmp = tempfile.mkdtemp(prefix="hps_q_stream_hh_")
+    try:
+        ev.where(F.col("ts") < F.lit(s1).cast("timestamp")).coalesce(
+            1
+        ).write.parquet(f"{tmp}/src/b0")
+        ev.where(
+            (F.col("ts") >= F.lit(s1).cast("timestamp"))
+            & (F.col("ts") < F.lit(s2).cast("timestamp"))
+        ).coalesce(1).write.parquet(f"{tmp}/src/b1")
+        ev.where(F.col("ts") >= F.lit(s2).cast("timestamp")).coalesce(
+            1
+        ).write.parquet(f"{tmp}/src/b2")
+        schema = spark.read.parquet(f"{tmp}/src/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src/*")
+        )
+        q = (
+            streaming_heavy_hitters(
+                stream.drop("ts"), "event_type", "item", capacity=300
+            )
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("hps_stream_hh_q")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming_heavy_hitters exceeded 600s")
+        allrows = spark.sql("SELECT * FROM hps_stream_hh_q")
+        wmax = Window.partitionBy("event_type")
+        final = (
+            allrows.withColumn("_m", F.max("n_seen").over(wmax))
+            .where(F.col("n_seen") == F.col("_m"))
+            .select(
+                "event_type", "item", "est_count", "n_seen",
+                "undercount_bound",
+            )
+        )
+        return final.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_HH_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(user_id % 200 AS VARCHAR) AS item,
+         CAST(COUNT(*) AS BIGINT) AS est_count
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, CAST(SUM(est_count) AS BIGINT) AS n_seen FROM c
+  GROUP BY 1)
+SELECT c.event_type, c.item, c.est_count, t.n_seen,
+       CAST(0 AS BIGINT) AS undercount_bound
+FROM c JOIN t USING (event_type)
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -10045,6 +10127,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "doc_quality_calibration": QuerySpec(q_doc_quality_calibration, CALIBRATION_SQL, "calibration/reliability report + per-bin Brier of a repetition scorer vs planted spam (micro-unit quantized, exact integer sums), data-level"),
     "events_holt_forecast": QuerySpec(q_events_holt_forecast, HOLT_SQL, "Holt double exponential smoothing per event type (sorted-list fold, fixed operand order), data-level"),
     "retrieval_rank_overlap": QuerySpec(q_retrieval_rank_overlap, RANK_OVERLAP_SQL, "rank-biased overlap between BM25 and embedding arms (Webber 2010, fixed 10-term fold), data-level"),
+    "streaming_heavy_hitters": QuerySpec(q_streaming_heavy_hitters, STREAMING_HH_SQL, "streaming Misra-Gries heavy hitters (O(capacity) state per key) == batch GROUP BY in the exact regime, data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -10228,7 +10311,7 @@ _DEBUT_ORDER = [
     "copurchase_assortativity", "source_js_divergence",
     "events_seasonal_decomp", "cosine_docs_lossless",
     "doc_quality_calibration", "events_holt_forecast",
-    "retrieval_rank_overlap",
+    "retrieval_rank_overlap", "streaming_heavy_hitters",
 ]
 
 

@@ -124,3 +124,92 @@ def streaming_pack(docs_stream, budget: int = 128,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _mg_fold(counters: dict, item, w: int, cap: int) -> tuple[dict, int]:
+    """Weighted Misra-Gries add: insert-then-rebalance. Subtracting the
+    minimum from EVERY counter when the summary overflows charges that
+    minimum against all items uniformly, so the classic guarantee
+    holds: true_count − undercount ≤ estimate ≤ true_count, with the
+    global undercount bounded by total_decrements (≤ n/capacity)."""
+    counters[item] = counters.get(item, 0) + w
+    dec = 0
+    while len(counters) > cap:
+        m = min(counters.values())
+        counters = {k: v - m for k, v in counters.items() if v - m > 0}
+        dec += m
+    return counters, dec
+
+
+def _heavy_hitters_fn_factory(item_col: str, capacity: int, key_names):
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            items, counts, n, d = state.get
+            counters = dict(zip(list(items), list(counts)))
+        else:
+            counters, n, d = {}, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vc = pdf[item_col].astype("string").value_counts()
+            # deterministic per-batch fold order (MG is order-sensitive)
+            for it in sorted(vc.index):
+                w = int(vc[it])
+                counters, dec = _mg_fold(counters, str(it), w, capacity)
+                n += w
+                d += dec
+        ordered = sorted(counters.items())
+        state.update((
+            [k for k, _ in ordered], [v for _, v in ordered], n, d
+        ))
+        out = pd.DataFrame(
+            {
+                **{kn: [kv] * len(ordered) for kn, kv in zip(key_names, key)},
+                "item": [k for k, _ in ordered],
+                "est_count": [v for _, v in ordered],
+                "n_seen": [n] * len(ordered),
+                "undercount_bound": [d] * len(ordered),
+            }
+        )
+        yield out
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    stream,
+    group_col: str,
+    item_col: str,
+    capacity: int = 100,
+    group_type: str = "string",
+):
+    """Streaming heavy hitters per group via the Misra-Gries summary
+    (Misra & Gries 1982): at most ``capacity`` counters per group,
+    every item with true frequency > n/capacity guaranteed present,
+    and estimates within the emitted ``undercount_bound`` (total
+    decrements, ≤ n/capacity) of the true count. With ``capacity`` ≥
+    the group's distinct-item count the summary is EXACT (zero
+    decrements) — the property the catalog row checks against the
+    batch GROUP BY; the approximation bounds are pinned in pytest.
+
+    State per key is O(capacity) regardless of stream length — the
+    100 TB-safe shape for "top items per key, forever". Each
+    micro-batch emits the group's FULL current summary (update mode);
+    the final snapshot is the rows carrying the group's maximum
+    ``n_seen``. The per-batch fold processes items in sorted order, so
+    a replay from the same batch splits reproduces the summary
+    bit-for-bit.
+    """
+    fn = _heavy_hitters_fn_factory(item_col, capacity, [group_col])
+    return stream.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{group_col} {group_type}, item string, est_count long, "
+            "n_seen long, undercount_bound long"
+        ),
+        stateStructType=(
+            "items array<string>, counts array<long>, n long, d long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -42,6 +42,9 @@ ORACLE_SPARK_ONLY = {
     # same brute-force-oracle argument for the directed containment
     # join (r9 batch 6)
     "containment_docs_lossless",
+    # and for the all-pairs weighted-cosine join (r10): the oracle is
+    # the TRUE brute force over term-sharing pairs, quadratic by nature
+    "cosine_docs_lossless",
 }
 
 
