@@ -2385,3 +2385,90 @@ def holt_forecast(
             F.col("_s")["l"] + F.lit(float(horizon)) * F.col("_s")["b"], 6
         ).alias("forecast"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on exactly two
+    groups — the continuous-metric A/B readout beside
+    two_proportion_ztest (conversions). t = (x̄1 − x̄2)/√(s1²/n1 +
+    s2²/n2) with the Welch-Satterthwaite df; Welch 1947.
+
+    Float discipline: values capture as integer units (round(v·10^d))
+    so per-group (n, Σx, Σx²) are exact decimal(38,0) accumulators
+    (silent-NULL overflow guarded); means/variances/t/df derive in ONE
+    fixed-operand-order double expression — no shuffle-order float
+    sums anywhere. Groups order by key (deterministic sign). Raises
+    via assert_true on ≠ 2 groups or zero pooled variance.
+    """
+    unit = 10 ** decimals
+    c = F.round(F.col(value_col) * unit).cast("decimal(19,0)")
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), c.alias("_c"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("_c").cast("decimal(38,0)")).alias("_sx"),
+            F.sum((F.col("_c") * F.col("_c")).cast("decimal(38,0)")).alias(
+                "_sxx"
+            ),
+        )
+    )
+    guarded = g.where(
+        F.assert_true(
+            F.col("_sx").isNotNull() & F.col("_sxx").isNotNull(),
+            "welch_ttest: decimal accumulator overflowed — lower "
+            "`decimals`",
+        ).isNull()
+    )
+    one = guarded.agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.array_sort(
+            F.collect_list(F.struct("grp", "n", "_sx", "_sxx"))
+        ).alias("_l"),
+    )
+    one = one.where(
+        F.assert_true(
+            F.col("_ng") == 2, "welch_ttest: expected exactly two groups"
+        ).isNull()
+    )
+    a, b = F.get("_l", 0), F.get("_l", 1)
+
+    def _stats(s):
+        n = s["n"].cast("double")
+        sx = s["_sx"].cast("double") / F.lit(float(unit))
+        sxx = s["_sxx"].cast("double") / F.lit(float(unit * unit))
+        mean = sx / n
+        # unbiased sample variance (n-1): (Σx² − (Σx)²/n) / (n−1)
+        var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+        return n, mean, var
+
+    n1, m1, v1 = _stats(a)
+    n2, m2, v2 = _stats(b)
+    se2 = v1 / n1 + v2 / n2
+    one = one.where(
+        F.assert_true(
+            (a["n"] > 1) & (b["n"] > 1),
+            "welch_ttest: each group needs at least 2 values",
+        ).isNull()
+    )
+    t = (m1 - m2) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - F.lit(1.0))
+        + (v2 / n2) * (v2 / n2) / (n2 - F.lit(1.0))
+    )
+    return one.select(
+        a["grp"].alias("group_a"),
+        b["grp"].alias("group_b"),
+        a["n"].alias("n_a"),
+        b["n"].alias("n_b"),
+        F.round(m1, 6).alias("mean_a"),
+        F.round(m2, 6).alias("mean_b"),
+        F.round(t, 6).alias("t"),
+        F.round(dof, 6).alias("df"),
+    )

@@ -9914,6 +9914,61 @@ FROM c JOIN t USING (event_type)
 """
 
 
+def q_events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (analytics.welch_ttest,
+    Welch 1947) on event value between the two user-parity cohorts —
+    the continuous-metric A/B readout beside ab_test_conversion.
+    Values capture as exact integer micros; (n, Σx, Σx²) are exact
+    decimal accumulators and the t/df math is ONE fixed-operand-order
+    double expression mirrored verbatim in the oracle. Data-level,
+    one row."""
+    from hawk_pack_spark.operators.analytics import welch_ttest
+
+    ev = load_table(spark, "events", sf_dir).select(
+        (F.col("user_id") % 2).cast("string").alias("cohort"), "value"
+    )
+    return welch_ttest(ev, "cohort", "value", decimals=6)
+
+
+WELCH_SQL = """
+WITH b AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS grp,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT)
+           AS sxx
+  FROM b GROUP BY 1),
+aa AS (SELECT * FROM g ORDER BY grp ASC LIMIT 1),
+bb AS (SELECT * FROM g ORDER BY grp DESC LIMIT 1),
+m AS (
+  SELECT
+    aa.grp AS group_a, bb.grp AS group_b, aa.n AS n_a, bb.n AS n_b,
+    CAST(aa.n AS DOUBLE) AS n1, CAST(bb.n AS DOUBLE) AS n2,
+    CAST(aa.sx AS DOUBLE) / 1000000.0 AS sx1,
+    CAST(bb.sx AS DOUBLE) / 1000000.0 AS sx2,
+    CAST(aa.sxx AS DOUBLE) / 1000000000000.0 AS sxx1,
+    CAST(bb.sxx AS DOUBLE) / 1000000000000.0 AS sxx2
+  FROM aa CROSS JOIN bb),
+s AS (
+  SELECT group_a, group_b, n_a, n_b, n1, n2,
+    sx1 / n1 AS m1, sx2 / n2 AS m2,
+    (sxx1 - sx1 * sx1 / n1) / (n1 - 1.0) AS v1,
+    (sxx2 - sx2 * sx2 / n2) / (n2 - 1.0) AS v2
+  FROM m),
+e AS (
+  SELECT *, v1 / n1 + v2 / n2 AS se2 FROM s)
+SELECT group_a, group_b, n_a, n_b,
+  ROUND(m1, 6) AS mean_a, ROUND(m2, 6) AS mean_b,
+  ROUND((m1 - m2) / sqrt(se2), 6) AS t,
+  ROUND((se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                       + (v2 / n2) * (v2 / n2) / (n2 - 1.0)), 6) AS df
+FROM e
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -10128,6 +10183,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "events_holt_forecast": QuerySpec(q_events_holt_forecast, HOLT_SQL, "Holt double exponential smoothing per event type (sorted-list fold, fixed operand order), data-level"),
     "retrieval_rank_overlap": QuerySpec(q_retrieval_rank_overlap, RANK_OVERLAP_SQL, "rank-biased overlap between BM25 and embedding arms (Webber 2010, fixed 10-term fold), data-level"),
     "streaming_heavy_hitters": QuerySpec(q_streaming_heavy_hitters, STREAMING_HH_SQL, "streaming Misra-Gries heavy hitters (O(capacity) state per key) == batch GROUP BY in the exact regime, data-level"),
+    "events_welch_ttest": QuerySpec(q_events_welch_ttest, WELCH_SQL, "Welch unequal-variance t-test on event value by cohort (exact decimal accumulators, one double expression), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -10312,6 +10368,7 @@ _DEBUT_ORDER = [
     "events_seasonal_decomp", "cosine_docs_lossless",
     "doc_quality_calibration", "events_holt_forecast",
     "retrieval_rank_overlap", "streaming_heavy_hitters",
+    "events_welch_ttest",
 ]
 
 

@@ -285,3 +285,38 @@ def test_rank_biased_overlap_validates_p(spark):
     df = spark.createDataFrame([(1, 2, 1)], "query_id long, doc_id long, rank long")
     with pytest.raises(ValueError, match="p must"):
         rank_biased_overlap(df, df, p=1.0)
+
+
+def test_welch_ttest_matches_reference(spark):
+    from hawk_pack_spark.operators.analytics import welch_ttest
+
+    a = [10.25, 12.5, 11.0, 13.75, 12.25]
+    b = [14.0, 15.5, 13.25, 16.75]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = welch_ttest(df, "grp", "v").collect()[0]
+
+    import statistics as st
+
+    m1, m2 = st.mean(a), st.mean(b)
+    v1, v2 = st.variance(a), st.variance(b)
+    n1, n2 = len(a), len(b)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    dof = se2 ** 2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    assert got.group_a == "A" and got.group_b == "B"
+    assert got.mean_a == pytest.approx(m1, abs=1e-6)
+    assert got.t == pytest.approx(t, abs=1e-6)
+    assert got.df == pytest.approx(dof, abs=1e-6)
+
+
+def test_welch_ttest_rejects_wrong_group_count(spark):
+    from hawk_pack_spark.operators.analytics import welch_ttest
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0), ("C", 3.0)], "grp string, v double"
+    )
+    with pytest.raises(Exception, match="two groups"):
+        welch_ttest(df, "grp", "v").collect()
