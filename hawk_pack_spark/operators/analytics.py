@@ -2472,3 +2472,94 @@ def welch_ttest(
         F.round(t, 6).alias("t"),
         F.round(dof, 6).alias("df"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test on exactly two groups —
+    the distribution-free complement of welch_ttest (outlier-heavy or
+    non-normal metrics). U_a = R_a − n_a(n_a+1)/2 with midranks for
+    ties; z uses the normal approximation WITH the tie correction:
+    σ² = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))).
+
+    Exactness: values quantize to integer units once; joint ranking
+    runs through the distributed ``_two_phase_rank`` (range partition +
+    local rank + prefix offsets — never a single-partition window);
+    midranks stay EXACT by carrying DOUBLED ranks (2·midrank = lo+hi,
+    an integer — lo/hi are each tie block's min/max row rank), so
+    R_a, U_a and the tie term are exact decimal(38,0) sums and the
+    z statistic is one fixed-operand-order double expression. Groups
+    order by key (deterministic sign); raises on ≠ 2 groups.
+    """
+    unit = 10 ** decimals
+    c = F.round(F.col(value_col) * unit).cast("bigint")
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), c.alias("_c"))
+    )
+    ranked = _two_phase_rank(base.select(F.col("_c").alias("v")), "v", None)
+    # per distinct value: tie-block min/max rank and size
+    vstats = ranked.groupBy("_v").agg(
+        F.min("_rank").cast("decimal(38,0)").alias("_lo"),
+        F.max("_rank").cast("decimal(38,0)").alias("_hi"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_t"),
+    )
+    gv = base.groupBy("grp", F.col("_c").alias("_v")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_ng")
+    )
+    j = gv.join(vstats, "_v")
+    per_group = j.groupBy("grp").agg(
+        F.sum(F.col("_ng")).cast("decimal(38,0)").alias("_n"),
+        F.sum(F.col("_ng") * (F.col("_lo") + F.col("_hi")))
+        .cast("decimal(38,0)")
+        .alias("_r2"),  # doubled rank sum
+    )
+    ties = vstats.agg(
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("decimal(38,0)")
+        .alias("_tie")
+    )
+    one = per_group.agg(
+        F.count(F.lit(1)).alias("_ng2"),
+        F.array_sort(F.collect_list(F.struct("grp", "_n", "_r2"))).alias(
+            "_l"
+        ),
+    ).crossJoin(F.broadcast(ties))
+    one = one.where(
+        F.assert_true(
+            F.col("_ng2") == 2, "mann_whitney_u: expected exactly two groups"
+        ).isNull()
+    )
+    a, b = F.get("_l", 0), F.get("_l", 1)
+    n1d, n2d = a["_n"].cast("double"), b["_n"].cast("double")
+    nd = n1d + n2d
+    # doubled U: 2U = 2R − n(n+1); halves are exact binary fractions
+    u_a = (
+        a["_r2"].cast("double") - n1d * (n1d + F.lit(1.0))
+    ) / F.lit(2.0)
+    mu = n1d * n2d / F.lit(2.0)
+    sigma2 = (
+        n1d * n2d / F.lit(12.0)
+    ) * (
+        (nd + F.lit(1.0))
+        - F.col("_tie").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    one = one.where(
+        F.assert_true(
+            (a["_n"] > 0) & (b["_n"] > 0),
+            "mann_whitney_u: both groups need values",
+        ).isNull()
+    )
+    z = (u_a - mu) / F.sqrt(sigma2)
+    return one.select(
+        a["grp"].alias("group_a"),
+        b["grp"].alias("group_b"),
+        a["_n"].cast("bigint").alias("n_a"),
+        b["_n"].cast("bigint").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(z, 6).alias("z"),
+    )

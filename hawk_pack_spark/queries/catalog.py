@@ -9969,6 +9969,69 @@ FROM e
 """
 
 
+def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum (analytics.mann_whitney_u)
+    on event value between the user-parity cohorts — the
+    distribution-free complement of events_welch_ttest. Joint ranking
+    through the distributed two-phase rank (never a one-partition
+    window); midranks exact via doubled ranks; tie-corrected normal z.
+    Data-level, one row."""
+    from hawk_pack_spark.operators.analytics import mann_whitney_u
+
+    ev = load_table(spark, "events", sf_dir).select(
+        (F.col("user_id") % 2).cast("string").alias("cohort"), "value"
+    )
+    return mann_whitney_u(ev, "cohort", "value", decimals=6)
+
+
+MANN_WHITNEY_SQL = """
+WITH b AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS grp,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL),
+vs AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM b GROUP BY 1),
+vr AS (
+  SELECT c, t,
+    CAST(COALESCE(SUM(t) OVER (ORDER BY c
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum
+  FROM vs),
+gv AS (SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS ng FROM b GROUP BY 1, 2),
+pg AS (
+  SELECT grp, CAST(SUM(ng) AS HUGEINT) AS n,
+         CAST(SUM(CAST(ng AS HUGEINT)
+                  * CAST((vr.cum + 1) + (vr.cum + vr.t) AS HUGEINT))
+              AS HUGEINT) AS r2
+  FROM gv JOIN vr USING (c) GROUP BY 1),
+tie AS (
+  SELECT CAST(SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                  * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS HUGEINT)
+           AS tied
+  FROM vs),
+aa AS (SELECT * FROM pg ORDER BY grp ASC LIMIT 1),
+bb AS (SELECT * FROM pg ORDER BY grp DESC LIMIT 1),
+m AS (
+  SELECT aa.grp AS ga, bb.grp AS gb, aa.n AS na, bb.n AS nb,
+         aa.r2 AS r2a, tie.tied
+  FROM aa CROSS JOIN bb CROSS JOIN tie),
+s AS (
+  SELECT ga, gb, na, nb,
+    CAST(na AS DOUBLE) AS n1, CAST(nb AS DOUBLE) AS n2,
+    (CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE)
+       * (CAST(na AS DOUBLE) + 1.0)) / 2.0 AS ua,
+    CAST(tied AS DOUBLE) AS td
+  FROM m)
+SELECT ga AS group_a, gb AS group_b,
+  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  ROUND(ua, 6) AS u_a,
+  ROUND((ua - n1 * n2 / 2.0)
+        / sqrt((n1 * n2 / 12.0)
+               * ((n1 + n2 + 1.0) - td / ((n1 + n2) * (n1 + n2 - 1.0)))),
+        6) AS z
+FROM s
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -10184,6 +10247,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "retrieval_rank_overlap": QuerySpec(q_retrieval_rank_overlap, RANK_OVERLAP_SQL, "rank-biased overlap between BM25 and embedding arms (Webber 2010, fixed 10-term fold), data-level"),
     "streaming_heavy_hitters": QuerySpec(q_streaming_heavy_hitters, STREAMING_HH_SQL, "streaming Misra-Gries heavy hitters (O(capacity) state per key) == batch GROUP BY in the exact regime, data-level"),
     "events_welch_ttest": QuerySpec(q_events_welch_ttest, WELCH_SQL, "Welch unequal-variance t-test on event value by cohort (exact decimal accumulators, one double expression), data-level"),
+    "events_mann_whitney": QuerySpec(q_events_mann_whitney, MANN_WHITNEY_SQL, "Mann-Whitney U rank-sum test by cohort (two-phase rank, exact doubled midranks, tie-corrected z), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -10368,7 +10432,7 @@ _DEBUT_ORDER = [
     "events_seasonal_decomp", "cosine_docs_lossless",
     "doc_quality_calibration", "events_holt_forecast",
     "retrieval_rank_overlap", "streaming_heavy_hitters",
-    "events_welch_ttest",
+    "events_welch_ttest", "events_mann_whitney",
 ]
 
 

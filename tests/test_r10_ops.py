@@ -320,3 +320,45 @@ def test_welch_ttest_rejects_wrong_group_count(spark):
     )
     with pytest.raises(Exception, match="two groups"):
         welch_ttest(df, "grp", "v").collect()
+
+
+def test_mann_whitney_u_matches_scipy_formula(spark):
+    from hawk_pack_spark.operators.analytics import mann_whitney_u
+
+    a = [1.2, 3.4, 3.4, 5.0, 7.75]
+    b = [2.2, 3.4, 6.1, 8.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = mann_whitney_u(df, "grp", "v").collect()[0]
+
+    # local reference with midranks + tie correction
+    import itertools
+
+    allv = sorted(a + b)
+    ranks = {}
+    i = 0
+    for v, grp_ in itertools.groupby(allv):
+        t = len(list(grp_))
+        ranks[v] = (2 * i + t + 1) / 2  # midrank of the tie block
+        i += t
+    r1 = sum(ranks[v] for v in a)
+    n1, n2 = len(a), len(b)
+    n = n1 + n2
+    u1 = r1 - n1 * (n1 + 1) / 2
+    tie = sum(
+        t ** 3 - t
+        for _, t in ((v, len(list(g))) for v, g in itertools.groupby(allv))
+    )
+    sigma2 = n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(sigma2)
+    assert got.u_a == pytest.approx(u1, abs=1e-6)
+    assert got.z == pytest.approx(z, abs=1e-6)
+    assert (got.n_a, got.n_b) == (5, 4)
+
+
+def test_mann_whitney_u_rejects_wrong_group_count(spark):
+    from hawk_pack_spark.operators.analytics import mann_whitney_u
+
+    df = spark.createDataFrame([("A", 1.0)], "grp string, v double")
+    with pytest.raises(Exception, match="two groups"):
+        mann_whitney_u(df, "grp", "v").collect()
