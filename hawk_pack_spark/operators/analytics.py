@@ -2563,3 +2563,101 @@ def mann_whitney_u(
         F.round(u_a, 6).alias("u_a"),
         F.round(z, 6).alias("z"),
     )
+
+
+def ks_test_2samp(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic D = max|F̂₁(v) − F̂₂(v)| —
+    the whole-distribution complement of welch_ttest (means) and
+    mann_whitney_u (ranks): detects shape/scale shifts equal means
+    hide. No p-value by design (the chi_square precedent): D plus the
+    standard threshold scale √((n₁+n₂)/(n₁n₂)) are returned and the
+    caller applies c(α).
+
+    EXACT: values quantize to integer units; per-distinct-value group
+    counts reduce once; cumulative counts run range-partitioned (local
+    window + broadcast prefix offsets — the two-phase-rank pattern,
+    never a one-partition window over the value stream); the max of
+    |cum₁·n₂ − cum₂·n₁| is an exact decimal(38,0) integer maximum, so
+    D = max/(n₁·n₂) is bit-deterministic with ONE final division.
+    Groups order by key; raises on ≠ 2 groups.
+    """
+    unit = 10 ** decimals
+    c = F.round(F.col(value_col) * unit).cast("bigint")
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), c.alias("_v"))
+    )
+    groups = base.select("grp").distinct()
+    n_groups = groups.count()
+    if n_groups != 2:
+        raise ValueError(
+            f"ks_test_2samp: expected exactly two groups, got {n_groups}"
+        )
+    ga, gb = [r.grp for r in groups.orderBy("grp").collect()]
+    vstats = base.groupBy("_v").agg(
+        F.sum((F.col("grp") == F.lit(ga)).cast("long"))
+        .cast("bigint")
+        .alias("_c1"),
+        F.sum((F.col("grp") == F.lit(gb)).cast("long"))
+        .cast("bigint")
+        .alias("_c2"),
+    )
+    ranged = vstats.repartitionByRange("_v").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_l1", F.sum("_c1").over(wl)).withColumn(
+        "_l2", F.sum("_c2").over(wl)
+    )
+    ptot = local.groupBy("_pid").agg(
+        F.sum("_c1").alias("_p1"), F.sum("_c2").alias("_p2")
+    )
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = ptot.select(
+        "_pid",
+        F.coalesce(F.sum("_p1").over(woff), F.lit(0)).alias("_o1"),
+        F.coalesce(F.sum("_p2").over(woff), F.lit(0)).alias("_o2"),
+    )
+    cum = local.join(F.broadcast(offsets), "_pid").select(
+        (F.col("_l1") + F.col("_o1")).cast("decimal(38,0)").alias("_f1"),
+        (F.col("_l2") + F.col("_o2")).cast("decimal(38,0)").alias("_f2"),
+    )
+    totals = base.groupBy().agg(
+        F.sum((F.col("grp") == F.lit(ga)).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("_n1"),
+        F.sum((F.col("grp") == F.lit(gb)).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("_n2"),
+    )
+    agg = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max(
+            F.abs(F.col("_f1") * F.col("_n2") - F.col("_f2") * F.col("_n1"))
+        ).alias("_m"),
+        F.first("_n1").alias("_n1"),
+        F.first("_n2").alias("_n2"),
+    )
+    n1d, n2d = F.col("_n1").cast("double"), F.col("_n2").cast("double")
+    return agg.select(
+        F.lit(ga).alias("group_a"),
+        F.lit(gb).alias("group_b"),
+        F.col("_n1").cast("bigint").alias("n_a"),
+        F.col("_n2").cast("bigint").alias("n_b"),
+        F.round(
+            F.col("_m").cast("double") / (n1d * n2d), 6
+        ).alias("d_stat"),
+        F.round(F.sqrt((n1d + n2d) / (n1d * n2d)), 6).alias(
+            "threshold_scale"
+        ),
+    )

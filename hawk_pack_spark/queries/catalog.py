@@ -10032,6 +10032,54 @@ FROM s
 """
 
 
+def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (analytics.ks_test_2samp)
+    on event value between the user-parity cohorts — the
+    whole-distribution member of the test battery (z: proportions,
+    t: means, U: ranks, KS: shapes). Exact: the max ECDF gap is an
+    integer maximum (|cum1·n2 − cum2·n1|) with ONE final division;
+    cumulative counts run range-partitioned. Data-level, one row."""
+    from hawk_pack_spark.operators.analytics import ks_test_2samp
+
+    ev = load_table(spark, "events", sf_dir).select(
+        (F.col("user_id") % 2).cast("string").alias("cohort"), "value"
+    )
+    return ks_test_2samp(ev, "cohort", "value", decimals=6)
+
+
+KS_TEST_SQL = """
+WITH b AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS grp,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL),
+vs AS (
+  SELECT c,
+         CAST(SUM(CASE WHEN grp = '0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = '1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM b GROUP BY 1),
+cum AS (
+  SELECT CAST(SUM(c1) OVER w AS HUGEINT) AS f1,
+         CAST(SUM(c2) OVER w AS HUGEINT) AS f2
+  FROM vs
+  WINDOW w AS (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)),
+t AS (SELECT CAST(SUM(c1) AS HUGEINT) AS n1,
+             CAST(SUM(c2) AS HUGEINT) AS n2 FROM vs),
+m AS (
+  SELECT CAST(MAX(ABS(f1 * t.n2 - f2 * t.n1)) AS HUGEINT) AS mx,
+         t.n1, t.n2
+  FROM cum CROSS JOIN t GROUP BY t.n1, t.n2)
+SELECT '0' AS group_a, '1' AS group_b,
+  CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+  ROUND(CAST(mx AS DOUBLE)
+        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat,
+  ROUND(sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6)
+    AS threshold_scale
+FROM m
+"""
+
+
 _STABLE_SPECS: dict[str, QuerySpec] = {
     # -- round-5 driver-gate block first: components that were
     # pytest-only through r4 earn their driver rows this round.
@@ -10248,6 +10296,7 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "streaming_heavy_hitters": QuerySpec(q_streaming_heavy_hitters, STREAMING_HH_SQL, "streaming Misra-Gries heavy hitters (O(capacity) state per key) == batch GROUP BY in the exact regime, data-level"),
     "events_welch_ttest": QuerySpec(q_events_welch_ttest, WELCH_SQL, "Welch unequal-variance t-test on event value by cohort (exact decimal accumulators, one double expression), data-level"),
     "events_mann_whitney": QuerySpec(q_events_mann_whitney, MANN_WHITNEY_SQL, "Mann-Whitney U rank-sum test by cohort (two-phase rank, exact doubled midranks, tie-corrected z), data-level"),
+    "events_ks_test": QuerySpec(q_events_ks_test, KS_TEST_SQL, "two-sample Kolmogorov-Smirnov D by cohort (exact integer ECDF gap maximum, range-partitioned cumulatives), data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -10432,7 +10481,7 @@ _DEBUT_ORDER = [
     "events_seasonal_decomp", "cosine_docs_lossless",
     "doc_quality_calibration", "events_holt_forecast",
     "retrieval_rank_overlap", "streaming_heavy_hitters",
-    "events_welch_ttest", "events_mann_whitney",
+    "events_welch_ttest", "events_mann_whitney", "events_ks_test",
 ]
 
 

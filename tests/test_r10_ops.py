@@ -362,3 +362,46 @@ def test_mann_whitney_u_rejects_wrong_group_count(spark):
     df = spark.createDataFrame([("A", 1.0)], "grp string, v double")
     with pytest.raises(Exception, match="two groups"):
         mann_whitney_u(df, "grp", "v").collect()
+
+
+def test_ks_test_matches_scipy_style_reference(spark):
+    from hawk_pack_spark.operators.analytics import ks_test_2samp
+
+    a = [1.0, 2.0, 2.0, 3.5, 7.0, 9.25]
+    b = [2.0, 4.0, 5.5, 8.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = ks_test_2samp(df, "grp", "v").collect()[0]
+
+    vals = sorted(set(a + b))
+    d = max(
+        abs(
+            sum(1 for x in a if x <= v) / len(a)
+            - sum(1 for x in b if x <= v) / len(b)
+        )
+        for v in vals
+    )
+    assert got.d_stat == pytest.approx(d, abs=1e-6)
+    assert (got.n_a, got.n_b) == (6, 4)
+    assert got.threshold_scale == pytest.approx(
+        math.sqrt((6 + 4) / (6 * 4)), abs=1e-6
+    )
+
+
+def test_ks_test_identical_distributions_zero(spark):
+    from hawk_pack_spark.operators.analytics import ks_test_2samp
+
+    rows = [("A", float(i % 5)) for i in range(50)] + [
+        ("B", float(i % 5)) for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = ks_test_2samp(df, "grp", "v").collect()[0]
+    assert got.d_stat == 0.0
+
+
+def test_ks_test_rejects_wrong_group_count(spark):
+    from hawk_pack_spark.operators.analytics import ks_test_2samp
+
+    df = spark.createDataFrame([("A", 1.0)], "grp string, v double")
+    with pytest.raises(ValueError, match="two groups"):
+        ks_test_2samp(df, "grp", "v")
