@@ -689,6 +689,7 @@ def cosine_prefix_join(
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gram_n: int | None = None,
 ) -> DataFrame:
     """LOSSLESS all-pairs WEIGHTED cosine similarity self-join (Bayardo
     et al., "Scaling Up All Pairs Similarity Search", WWW'07): every
@@ -724,11 +725,18 @@ def cosine_prefix_join(
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
     from hawk_pack_spark.functions.text import tokens as _tok
+    from hawk_pack_spark.functions.text import word_ngrams as _wng
 
+    # terms: whitespace tokens, or word n-grams when gram_n is given —
+    # the jaccard_prefix_join lesson holds for weighted cosine too: on
+    # a small shared vocabulary single-token dfs are huge, prefixes
+    # stop pruning, and the candidate join saturates (measured: the
+    # 10x fixture ran >600s on tokens, seconds on 3-grams)
+    elems = _wng(F.col(text_col), gram_n) if gram_n else _tok(F.col(text_col))
     tf = (
         df.select(
             F.col(id_col).alias("_id"),
-            F.explode(_tok(F.col(text_col))).alias("_tok"),
+            F.explode(elems).alias("_tok"),
         )
         .groupBy("_id", "_tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_tf"))
@@ -763,9 +771,14 @@ def cosine_prefix_join(
             ).alias("_norm"),
         )
     )
+    # materialize the unit postings ONCE: three downstream branches
+    # (prefix side + both verify sides) would otherwise each recompute
+    # the tokenize + two groupBys — measured as the dominant cost at
+    # the 10x gate. localCheckpoint keeps the corpus-postings-sized
+    # table, the same loop-invariant discipline as pagerank.
     unit = w.join(norms, "_id").select(
         "_id", "_tok", "_df", (F.col("_w") / F.col("_norm")).alias("_u")
-    )
+    ).localCheckpoint()
     # canonical-desc running suffix norm²: a term is PREFIX iff the
     # suffix norm² including it is >= tau (strict-tail rule above)
     wdesc = Window.partitionBy("_id").orderBy(

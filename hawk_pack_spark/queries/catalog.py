@@ -9494,42 +9494,47 @@ def q_events_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centered 7-row MA, NULL at edges) + seasonal (per-phase mean of
     the detrended series, phase = epoch-day mod 7) + residual. The
     trend/seasonality split upstream of the ACF/CUSUM battery.
-    Data-level, one row per (type, day)."""
+    Daily totals capture in exact integer MILLI-units: at micro
+    magnitude a 10x fixture's daily sums reach ~2e9, where round(6)
+    sits below one double ulp and the engines' rounding may legally
+    disagree (the sf1 gate caught exactly that); milli keeps the
+    integer-exact MA with ulp ~1e-10 at any gated SF. Data-level,
+    one row per (type, day)."""
     from hawk_pack_spark.operators.analytics import seasonal_decompose
 
     ev = load_table(spark, "events", sf_dir)
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
-        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("micros")
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("millis")
     )
-    return seasonal_decompose(daily, ["event_type"], "day", "micros", period=7)
+    return seasonal_decompose(daily, ["event_type"], "day", "millis", period=7)
 
 
 SEASONAL_DECOMP_SQL = """
 WITH daily AS MATERIALIZED (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
-           AS micros
+         CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+           AS millis
   FROM events GROUP BY 1, 2),
 t AS MATERIALIZED (
-  SELECT event_type, day, micros,
+  SELECT event_type, day, millis,
     CASE WHEN COUNT(*) OVER w = 7
-         THEN CAST(SUM(micros) OVER w AS BIGINT) END AS tsum,
+         THEN CAST(SUM(millis) OVER w AS BIGINT) END AS tsum,
     CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS INT) AS phase
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
 s AS (
   SELECT event_type, phase,
-         CAST(SUM(7 * micros - tsum) AS BIGINT) AS snum,
+         CAST(SUM(7 * millis - tsum) AS BIGINT) AS snum,
          CAST(COUNT(*) AS BIGINT) AS scnt
   FROM t WHERE tsum IS NOT NULL GROUP BY 1, 2)
-SELECT t.event_type, t.day, t.micros,
+SELECT t.event_type, t.day, t.millis,
   ROUND(CAST(t.tsum AS DOUBLE) / 7.0, 6) AS trend,
   ROUND(CAST(s.snum AS DOUBLE) / (7.0 * CAST(s.scnt AS DOUBLE)), 6)
     AS seasonal,
-  ROUND(CAST(t.micros AS DOUBLE) - CAST(t.tsum AS DOUBLE) / 7.0
+  ROUND(CAST(t.millis AS DOUBLE) - CAST(t.tsum AS DOUBLE) / 7.0
         - CAST(s.snum AS DOUBLE) / (7.0 * CAST(s.scnt AS DOUBLE)), 6)
     AS residual
 FROM t LEFT JOIN s ON t.event_type = s.event_type AND t.phase = s.phase
@@ -9542,23 +9547,32 @@ def q_cosine_docs_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair with tf-idf unit-vector cosine ≥ 0.8, via the canonical-order
     prefix filter (suffix-norm² < τ tail rule, Cauchy-Schwarz
     losslessness). The frequency-aware exact complement of
-    jaccard_docs_lossless. The oracle is the TRUE brute-force over
+    jaccard_docs_lossless. Terms are word 3-grams (the jaccard lesson
+    holds for weighted cosine: single tokens saturate on the fixture
+    vocabulary, prefixes stop pruning — measured >600s at 10x on
+    tokens, seconds on grams). The oracle is the TRUE brute-force over
     term-sharing pairs — quadratic by nature, so this row (like the
     jaccard precedent) is expected spark-only at the 10× gate.
     Data-level (id_a, id_b, cosine)."""
     from hawk_pack_spark.operators.dedup import cosine_prefix_join
 
     d = load_table(spark, "documents", sf_dir)
-    return cosine_prefix_join(d, threshold=0.8)
+    return cosine_prefix_join(d, threshold=0.8, gram_n=3)
 
 
 COSINE_LOSSLESS_SQL = """
-WITH tf AS MATERIALIZED (
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ts
+  FROM documents),
+tf AS MATERIALIZED (
   SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
     SELECT doc_id,
-           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              x -> x != '')) AS t
-    FROM documents) GROUP BY 1, 2),
+      unnest(CASE WHEN len(ts) >= 3
+        THEN list_transform(range(1, len(ts) - 1),
+             i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+        ELSE [] END) AS t
+    FROM toks) GROUP BY 1, 2),
 nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
 dfq AS MATERIALIZED (
   SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
