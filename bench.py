@@ -115,6 +115,14 @@ HEADLINE = [
     "copurchase_link_pred",
     "events_decile_bins",
     "funnel_stage_latency",
+    # round-10: one representative per new family (skew profiling,
+    # domain divergence, seasonal decomposition, lossless cosine join,
+    # rank-sum testing)
+    "orders_key_skew",
+    "source_js_divergence",
+    "events_seasonal_decomp",
+    "cosine_docs_lossless",
+    "events_mann_whitney",
 ]
 
 # catalog rows too expensive for REPEATS× count + collected sweeps (the
