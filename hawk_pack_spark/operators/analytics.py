@@ -837,6 +837,7 @@ def skyline_2d(
     x_col: str,
     y_col: str,
     extra_cols: Sequence[str] = (),
+    max_window_pairs: int | None = None,
 ) -> DataFrame:
     """2-D skyline (Pareto frontier), minimizing both dimensions: the
     distinct (x, y) pairs not dominated by any other pair (a dominates
@@ -852,8 +853,17 @@ def skyline_2d(
     pair set (≤ |distinct x|), not the corpus; at 100 TB the corpus
     never leaves its partitions except the (x, min y) reduction.
     ``extra_cols`` are carried via a semi-join of the frontier back
-    onto the distinct input projection.
+    onto the distinct input projection. Cardinality-dispatched
+    (VERDICT r10 #5): when the pair frame exceeds ``max_window_pairs``
+    the running prefix min routes through the two-phase
+    range-partitioned form (`_prefix_min_two_phase`) — min is
+    order-insensitive, so the paths are exactly equivalent.
     """
+    threshold = (
+        _GLOBAL_WINDOW_THRESHOLD
+        if max_window_pairs is None
+        else max_window_pairs
+    )
     pairs = (
         df.select(
             F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
@@ -861,12 +871,16 @@ def skyline_2d(
         .groupBy("_x")
         .agg(F.min("_y").alias("_y"))
     )
-    w = (
-        Window.orderBy("_x")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    if _exceeds_rows(pairs, threshold):
+        marked = _prefix_min_two_phase(pairs)
+    else:
+        w = (
+            Window.orderBy("_x")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        marked = pairs.withColumn("_prev_min_y", F.min("_y").over(w))
     frontier = (
-        pairs.withColumn("_prev_min_y", F.min("_y").over(w))
+        marked
         .where(
             F.col("_prev_min_y").isNull()
             | (F.col("_y") < F.col("_prev_min_y"))
@@ -1253,10 +1267,99 @@ def theil_sen(
     )
 
 
+def _km_table_two_phase(weekly: DataFrame) -> DataFrame:
+    """Kaplan-Meier table for a distinct-time frame too large for the
+    single bounded window + broadcast-list fold: range partition on
+    time, then (a) n_at_risk = local suffix sum + the broadcast
+    carry-in from LATER partitions (exact integers — bit-identical to
+    the single-window form), and (b) survival = the per-partition
+    time-ordered prefix product (numpy cumprod inside one grouped map
+    — a global ordered product has no built-in window form) times the
+    carry-in product of all EARLIER partitions' totals (a
+    #partitions-sized sorted fold). The multiplication order is
+    time-ordered within each partition and partition-ordered across —
+    deterministic for a given partitioning; vs the single global fold
+    it may differ by float re-association below the round(6) output.
+    """
+    import pandas as pd
+
+    ranged = weekly.repartitionByRange(F.col("time").asc())
+    pid = ranged.withColumn("_pid", F.spark_partition_id())
+    ptot = pid.groupBy("_pid").agg(
+        F.sum(F.col("d") + F.col("c")).cast("bigint").alias("_pt")
+    )
+    wafter = Window.orderBy("_pid").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    carries = ptot.select(
+        "_pid",
+        F.coalesce(F.sum("_pt").over(wafter), F.lit(0))
+        .cast("bigint")
+        .alias("_crisk"),
+    )
+    staged = pid.join(F.broadcast(carries), "_pid")
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("time").reset_index(drop=True)
+        dc = (pdf["d"] + pdf["c"]).to_numpy("int64")
+        n = dc[::-1].cumsum()[::-1] + int(pdf["_crisk"].iloc[0])
+        factor = 1.0 - pdf["d"].to_numpy("float64") / n
+        return pd.DataFrame(
+            {
+                "_pid": pdf["_pid"],
+                "time": pdf["time"],
+                "d": pdf["d"],
+                "c": pdf["c"],
+                "n_at_risk": n,
+                "_lp": np.cumprod(factor),
+            }
+        )
+
+    folded = staged.groupBy("_pid").applyInPandas(
+        _fold,
+        schema=(
+            "_pid int, time long, d long, c long, n_at_risk long, "
+            "_lp double"
+        ),
+    )
+    # carry-in product per partition: fold the (pid, partition total
+    # product) list — #partitions rows — in pid order.
+    ptotp = folded.groupBy("_pid").agg(
+        F.max_by("_lp", "time").alias("_tp")
+    )
+    allp = ptotp.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_pid"), F.col("_tp")))
+        ).alias("_pl")
+    )
+    carryp = ptotp.crossJoin(F.broadcast(allp)).select(
+        "_pid",
+        F.aggregate(
+            F.filter(F.col("_pl"), lambda x: x["_pid"] < F.col("_pid")),
+            F.lit(1.0),
+            lambda acc, x: acc * x["_tp"],
+        ).alias("_cp"),
+    )
+    return folded.join(F.broadcast(carryp), "_pid").select(
+        "time",
+        "d",
+        "c",
+        "n_at_risk",
+        F.round(
+            F.col("d").cast("double") / F.col("n_at_risk").cast("double"),
+            6,
+        ).alias("hazard"),
+        F.round(F.col("_cp") * F.col("_lp"), 6).alias("survival"),
+    )
+
+
 def kaplan_meier(
     subjects: DataFrame,
     time_col: str = "time",
     event_col: str = "observed",
+    max_window_times: int | None = None,
 ) -> DataFrame:
     """Kaplan-Meier product-limit survival table from per-subject
     (time, observed) rows — time is an exact integer duration (days /
@@ -1275,12 +1378,24 @@ def kaplan_meier(
     size, so the O(T²) per-row prefix fold is constant-bounded, and
     the sorted fold keeps the float product order deterministic in
     both engines (never exp/ln, which dies on a zero-survival tail).
-    Hazard and survival rounded to 6 dp.
+    Hazard and survival rounded to 6 dp. Cardinality-dispatched
+    (VERDICT r10 #5): when the distinct-time frame exceeds
+    ``max_window_times`` the table routes through
+    `_km_table_two_phase` — exact two-phase n_at_risk, per-range-
+    partition cumprod for survival — instead of the single window +
+    broadcast list.
     """
+    threshold = (
+        _GLOBAL_WINDOW_THRESHOLD
+        if max_window_times is None
+        else max_window_times
+    )
     weekly = subjects.groupBy(F.col(time_col).cast("bigint").alias("time")).agg(
         F.sum(F.when(F.col(event_col), 1).otherwise(0)).cast("bigint").alias("d"),
         F.sum(F.when(F.col(event_col), 0).otherwise(1)).cast("bigint").alias("c"),
     )
+    if _exceeds_rows(weekly, threshold):
+        return _km_table_two_phase(weekly)
     wrisk = (
         Window.orderBy("time")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -1361,6 +1476,102 @@ def _two_phase_rank(
             (F.col("_off") + F.col("_lr")).cast("bigint").alias("_rank"),
             "_n",
         )
+    )
+
+
+# Cardinality-dispatch threshold for the bounded-contract global
+# windows (abc_classes, skyline_2d, kaplan_meier): pre-reduced frames
+# at or under this row count run the single ordered window (the frame
+# is entity/pair/time-bucket sized by contract — millions, not the
+# corpus); above it the operator routes itself through the two-phase
+# range-partitioned form instead of relying on the docstring
+# (VERDICT r10 #5 — the ann_search dispatch pattern).
+_GLOBAL_WINDOW_THRESHOLD = 2_000_000
+
+
+def _exceeds_rows(df: DataFrame, threshold: int) -> bool:
+    """Cardinality probe for the global-window dispatch: counts at most
+    threshold+1 rows (LocalLimit early-exit), never the full frame."""
+    return df.limit(threshold + 1).count() > threshold
+
+
+def _pareto_two_phase(agg: DataFrame) -> DataFrame:
+    """Distributed global (value DESC, key ASC) rank + running value
+    sum over an entity frame too large for one ordered window: range
+    partition on the sort key, rank/cumsum locally per partition, add
+    the partition's prefix offsets (row count AND value sum, cumsum
+    over the #partitions-row totals table, broadcast back). Exact and
+    bit-identical to the single-window form — all integer arithmetic.
+    Input (key, value bigint); output (key, value, rank, cum_value).
+    """
+    ranged = agg.repartitionByRange(
+        F.col("value").desc(), F.col("key").asc()
+    )
+    pid = ranged.withColumn("_pid", F.spark_partition_id())
+    order = [F.col("value").desc(), F.col("key").asc()]
+    wl = Window.partitionBy("_pid").orderBy(*order)
+    local = pid.select(
+        "key",
+        "value",
+        "_pid",
+        F.row_number().over(wl).alias("_lr"),
+        F.sum("value")
+        .over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("_lcum"),
+    )
+    totals = local.groupBy("_pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+        F.sum("value").cast("bigint").alias("_s"),
+    )
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_offr"),
+        F.coalesce(F.sum("_s").over(woff), F.lit(0))
+        .cast("bigint")
+        .alias("_offv"),
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        "key",
+        "value",
+        (F.col("_offr") + F.col("_lr")).cast("bigint").alias("rank"),
+        (F.col("_offv") + F.col("_lcum")).cast("bigint").alias("cum_value"),
+    )
+
+
+def _prefix_min_two_phase(pairs: DataFrame) -> DataFrame:
+    """Distributed running strict-prefix MIN of ``_y`` over ``_x``
+    ascending (exclusive of the current row) for a (x, y) frame too
+    large for one ordered window: range partition on _x, local
+    exclusive prefix min per partition, then broadcast each
+    partition's carry-in (the min of all EARLIER partitions' y).
+    Exact — min is order-insensitive. Adds ``_prev_min_y``.
+    """
+    ranged = pairs.repartitionByRange(F.col("_x").asc())
+    pid = ranged.withColumn("_pid", F.spark_partition_id())
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = pid.withColumn("_lmin", F.min("_y").over(wl))
+    mins = pid.groupBy("_pid").agg(F.min("_y").alias("_pm"))
+    wcarry = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carries = mins.select(
+        "_pid", F.min("_pm").over(wcarry).alias("_carry")
+    )
+    return (
+        local.join(F.broadcast(carries), "_pid")
+        # least() skips NULLs (returns NULL only when both are) — the
+        # first partition's carry and each partition's first row's
+        # local min are NULL exactly like the single window's frame.
+        .withColumn("_prev_min_y", F.least("_carry", "_lmin"))
+        .drop("_pid", "_lmin", "_carry")
     )
 
 
@@ -1823,6 +2034,7 @@ def abc_classes(
     value_col: str,
     a_permille: int = 800,
     b_permille: int = 950,
+    max_window_entities: int | None = None,
 ) -> DataFrame:
     """ABC / Pareto classification: entities sorted by exact integer
     value (descending, id tiebreak) are labeled A while the RUNNING
@@ -1832,24 +2044,38 @@ def abc_classes(
     compare by integer cross-multiplication (1000·cum vs p·total) so
     class boundaries are bit-deterministic; the top entity is always
     A. One (key) reduction + one global-order window over the ENTITY
-    table (entities ≪ rows; for billion-entity tables swap in the
-    _two_phase_rank helper), one broadcast total.
+    table, one broadcast total. Cardinality-dispatched (VERDICT r10
+    #5): when the entity frame exceeds ``max_window_entities``
+    (probed with a limit-count, never a full count) the global
+    rank+cumsum runs through the two-phase range-partitioned form
+    (`_pareto_two_phase`) instead of one ordered window — exact
+    integer arithmetic, bit-identical results on either path.
     """
+    threshold = (
+        _GLOBAL_WINDOW_THRESHOLD
+        if max_window_entities is None
+        else max_window_entities
+    )
     agg = df.groupBy(F.col(key_col).alias("key")).agg(
         F.sum(F.col(value_col)).cast("bigint").alias("value")
     )
     total = agg.agg(F.sum("value").cast("bigint").alias("_total"))
-    w = Window.orderBy(F.col("value").desc(), F.col("key").asc())
-    ranked = agg.crossJoin(F.broadcast(total)).select(
-        "key",
-        "value",
-        "_total",
-        F.sum("value")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint")
-        .alias("cum_value"),
-        F.row_number().over(w).alias("rank"),
-    )
+    if _exceeds_rows(agg, threshold):
+        ranked = _pareto_two_phase(agg).crossJoin(F.broadcast(total))
+    else:
+        w = Window.orderBy(F.col("value").desc(), F.col("key").asc())
+        ranked = agg.crossJoin(F.broadcast(total)).select(
+            "key",
+            "value",
+            "_total",
+            F.sum("value")
+            .over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("bigint")
+            .alias("cum_value"),
+            F.row_number().over(w).alias("rank"),
+        )
     cls = (
         F.when(
             (F.col("rank") == 1)
@@ -2200,7 +2426,22 @@ def seasonal_decompose(
     Shape: one (key, day) window sort shared by the trend frame, one
     (key, phase) groupBy, one broadcast-back join. Linear, no driver
     action.
+
+    ``period`` must be ODD: the centered rowsBetween(-(p//2), p//2)
+    frame spans p rows only for odd p; for even p it spans p+1 rows,
+    so the count==period full-window guard would match only truncated
+    edge windows (garbage trend at the edges, NULL in the interior).
+    Even periods need the classical 2x-period double moving average,
+    which this operator does not implement — it raises instead of
+    silently decomposing wrong (ADVICE r10).
     """
+    if period % 2 == 0 or period < 3:
+        raise ValueError(
+            "seasonal_decompose requires an odd period >= 3 (got "
+            f"{period}): the centered ROWS frame spans period rows "
+            "only for odd periods; even periods need a 2x-period "
+            "double moving average, not implemented"
+        )
     kcols = [F.col(k) for k in keys]
     w = (
         Window.partitionBy(*kcols)

@@ -444,7 +444,8 @@ def key_skew_profile(
 
     - ``n_rows``  — exact count;
     - ``share_ppm`` — the key's share of all non-null rows in exact
-      integer parts-per-million (cross-multiplied, no float division);
+      integer parts-per-million (bigint cross-multiply + integer
+      ``div`` — exact while n_rows·1e6 < 2^63, i.e. any real table);
     - ``skew_ratio`` — n_rows over the mean rows-per-key (n·distinct /
       total as one fixed-order double division, rounded): 1.0 means
       perfectly uniform, the two-sided-salting literature's trigger
@@ -474,7 +475,7 @@ def key_skew_profile(
     return top.select(
         F.col("key").cast("string").alias("key"),
         "n_rows",
-        (F.col("n_rows") * F.lit(1_000_000) / F.col("_total"))
+        F.expr("(n_rows * CAST(1000000 AS BIGINT)) div _total")
         .cast("bigint")
         .alias("share_ppm"),
         F.round(
@@ -506,13 +507,16 @@ def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
     cents (round(v·100)) and the digit is the first character of the
     INTEGER's decimal string — integer-to-string is exact on every
     engine, where double→string formatting and floor(log10(v)) both
-    have cross-engine edge cases. Non-positive and null values are
-    excluded. ONE groupBy over 9 groups; nothing wide.
+    have cross-engine edge cases. The filter is on CENTS > 0, not
+    value > 0: values in (0, 0.005) round to 0 cents and would emit a
+    spurious digit-0 row (ADVICE r10); sub-cent values are below the
+    report's documented cent quantization and are excluded with nulls
+    and non-positives. ONE groupBy over 9 groups; nothing wide.
     """
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     counts = (
-        df.where(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        df.where(F.col(value_col).isNotNull() & (cents > 0))
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_values"))
@@ -526,7 +530,7 @@ def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
         .select(
             "digit",
             "n_values",
-            (F.col("n_values") * F.lit(1_000_000) / F.col("_total"))
+            F.expr("(n_values * CAST(1000000 AS BIGINT)) div _total")
             .cast("bigint")
             .alias("share_ppm"),
             bppm[F.col("digit")].cast("bigint").alias("benford_ppm"),

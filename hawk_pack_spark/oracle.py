@@ -71,10 +71,14 @@ def lint_oracle_types(
     serialize nested types (``array_to_string`` / ``to_json``).
     """
     rel = con.sql(sql)
+    # DuckDB renders list types as 'INTEGER[]' / 'VARCHAR[]' — the
+    # string contains neither 'LIST' nor 'ARRAY', so the suffix check
+    # is what actually catches the r9 root-cause class (ADVICE r10).
     return [
         f"{name}:{t}"
         for name, t in zip(rel.columns, rel.types)
         if any(b in str(t).upper() for b in _BANNED_ORACLE_TYPES)
+        or str(t).upper().rstrip().endswith("]")
     ]
 
 

@@ -9334,7 +9334,7 @@ top AS (
   SELECT k, n_rows, total, nd FROM c CROSS JOIN t
   ORDER BY n_rows DESC, k ASC LIMIT 20)
 SELECT CAST(k AS VARCHAR) AS key, n_rows,
-  CAST(FLOOR((n_rows * 1000000) / total) AS BIGINT) AS share_ppm,
+  CAST((n_rows * 1000000) // total AS BIGINT) AS share_ppm,
   ROUND(CAST(n_rows * nd AS DOUBLE) / CAST(total AS DOUBLE), 6)
     AS skew_ratio
 FROM top
@@ -9360,12 +9360,13 @@ WITH c AS (
   SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
                              AS VARCHAR), 1, 1) AS INT) AS digit,
          CAST(COUNT(*) AS BIGINT) AS n_values
-  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+  FROM orders WHERE o_totalprice IS NOT NULL
+    AND CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0
   GROUP BY 1),
 t AS (SELECT CAST(SUM(n_values) AS BIGINT) AS total FROM c),
 e AS (
   SELECT digit, n_values,
-    CAST(FLOOR((n_values * 1000000) / total) AS BIGINT) AS share_ppm,
+    CAST((n_values * 1000000) // total AS BIGINT) AS share_ppm,
     CAST(CASE digit
       WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
       WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
@@ -9918,7 +9919,7 @@ STREAMING_HH_SQL = """
 WITH c AS (
   SELECT event_type, CAST(user_id % 200 AS VARCHAR) AS item,
          CAST(COUNT(*) AS BIGINT) AS est_count
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
 t AS (
   SELECT event_type, CAST(SUM(est_count) AS BIGINT) AS n_seen FROM c
   GROUP BY 1)

@@ -151,7 +151,12 @@ def _heavy_hitters_fn_factory(item_col: str, capacity: int, key_names):
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            vc = pdf[item_col].astype("string").value_counts()
+            # NULL items are excluded by contract (documented in
+            # streaming_heavy_hitters): value_counts(dropna=True) would
+            # drop them from counters but a naive n_seen += len(pdf)
+            # would still count them — keep both sides NULL-free so the
+            # batch GROUP BY oracle (WHERE item IS NOT NULL) matches.
+            vc = pdf[item_col].dropna().astype("string").value_counts()
             # deterministic per-batch fold order (MG is order-sensitive)
             for it in sorted(vc.index):
                 w = int(vc[it])
@@ -191,6 +196,10 @@ def streaming_heavy_hitters(
     the group's distinct-item count the summary is EXACT (zero
     decrements) — the property the catalog row checks against the
     batch GROUP BY; the approximation bounds are pinned in pytest.
+
+    NULL items are EXCLUDED from both the counters and ``n_seen``
+    (documented contract; the paired batch oracle filters
+    ``item IS NOT NULL`` to match — ADVICE r10 latent-NULL class).
 
     State per key is O(capacity) regardless of stream length — the
     100 TB-safe shape for "top items per key, forever". Each
