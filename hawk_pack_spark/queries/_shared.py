@@ -1,0 +1,61 @@
+"""Shared header for the split spec catalog: the QuerySpec
+contract, the exact-decimal helper expressions, and the common imports
+every chunk star-imports. Split from catalog.py in round 11.
+"""
+
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawk_pack_spark.config import HawkParams
+from hawk_pack_spark.functions import distance as D
+from hawk_pack_spark.functions import text as T
+from hawk_pack_spark.operators import hnsw
+from hawk_pack_spark.operators.knn_exact import knn_exact
+from hawk_pack_spark.operators.topk import topk_rows
+from hawk_pack_spark.sources import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+def _dec_sum(col, alias: str, scale: int = 2):
+    """Exact decimal sum cast back to DOUBLE (engine-parity aggregation).
+
+    ONLY safe on base columns whose doubles are clean k-decimal values
+    (prices, quantities): the nearest-decimal rounding is then unambiguous
+    in both engines. Computed double products must NOT be cast — Spark
+    rounds the shortest repr while DuckDB scales in binary, and they
+    disagree on boundary values; use `_disc_price`/`_charge` decimals.
+    """
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def _disc_price():
+    """l_extendedprice * (1 - l_discount) in exact decimal arithmetic."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(12,6)")
+    return (price * (F.lit(1).cast("decimal(12,6)") - disc)).cast("decimal(24,8)")
+
+
+def _charge():
+    """disc_price * (1 + l_tax), decimal-exact, renormalized to scale 8
+    with half-up tie-handling (identical in Spark and DuckDB decimals)."""
+    tax = F.col("l_tax").cast("decimal(12,6)")
+    return (_disc_price() * (F.lit(1).cast("decimal(12,6)") + tax)).cast("decimal(24,8)")
+
+
+def _avg_exact(col, cnt, alias: str, scale: int = 6):
+    """sum(decimal)/count as one double division, rounded."""
+    return F.round(
+        F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / cnt, 6
+    ).alias(alias)

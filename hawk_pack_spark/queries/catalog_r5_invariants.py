@@ -1,0 +1,905 @@
+"""round-5 driver-gate invariant rows
+
+Auto-split from the former single-file queries/catalog.py (round 11,
+VERDICT r10 #7) — specs are re-exported through
+hawk_pack_spark.queries.catalog; see that module's header for the
+cross-engine float-discipline rules every spec follows.
+"""
+
+from __future__ import annotations
+
+from hawk_pack_spark.queries._shared import *  # noqa: F401,F403
+from hawk_pack_spark.queries._shared import _avg_exact, _charge, _dec_sum, _disc_price
+from hawk_pack_spark.queries.catalog_hnsw import _HNSW_PARAMS, _hnsw_index, _hnsw_num_shards  # noqa: F401
+from hawk_pack_spark.queries.catalog_vector import _embeddings_vectors  # noqa: F401
+
+
+
+# ---------------------------------------------------------------------------
+# round-5 driver-gate block: invariant rows for the components that were
+# pytest-only through r4 (VERDICT r4 item 3) — BPE training, the
+# coroutine op-stream protocol, streaming ingest, JDBC persistence.
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training as one invariant row (VERDICT r4 #1): the
+    driver-loop trainer (incremental heap, collected word table) and the
+    distributed trainer (word table NEVER collects — per-merge
+    distributed pair count + 1-row argmax + Catalyst fold rewrite) must
+    learn byte-identical merge sequences on the documents corpus, and
+    every final segmentation must concatenate back to its word. Word
+    and token counts are table-derived in the oracle via the identical
+    tokenizer. Reference analog: store-mediated batching is the
+    engine's premise (src/traits.rs:56-95)."""
+    from hawk_pack_spark.operators.bpe import (
+        END,
+        train_bpe,
+        train_bpe_distributed,
+        word_freq,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges_driver, seg = train_bpe(docs, n_merges=12, max_driver_words=None)
+    merges_dist, _ = train_bpe_distributed(docs, n_merges=12, checkpoint_every=4)
+    bad_seg = seg.where(
+        F.concat_ws("", F.col("syms")) != F.concat(F.col("w"), F.lit(END))
+    ).agg(F.count(F.lit(1)).alias("_bad"))
+    return (
+        word_freq(docs)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("total_tokens"),
+        )
+        .crossJoin(bad_seg)
+        .select(
+            "n_words",
+            "total_tokens",
+            F.lit(len(merges_driver) == 12).alias("learned_all"),
+            F.lit(merges_driver == merges_dist).alias("paths_agree"),
+            (F.col("_bad") == 0).alias("segmentation_exact"),
+        )
+    )
+
+
+BPE_VOCAB_SQL = r"""
+SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       TRUE AS learned_all, TRUE AS paths_agree, TRUE AS segmentation_exact
+FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x != '')) AS w
+      FROM documents)
+"""
+
+
+def q_op_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coroutine op-stream protocol (reference src/coroutine.rs:
+    218-304) as one invariant row: the design-(b) driver loop over
+    simhash codes of fixture embeddings must issue GetEntryPoint first,
+    then per-layer triads GetLinks → EvalDistanceBatch → LessThanBatch
+    with monotonically descending layers, ending SearchResult — and
+    every query must find its own staged code at distance 0."""
+    from hawk_pack_spark.operators.hnsw_driver import search_driver_loop
+
+    emb = _embeddings_vectors(spark, sf_dir).where(F.col("vec_id") < 60)
+    codes = emb.select(
+        "vec_id", D.simhash_code(F.col("embedding")).alias("code")
+    ).localCheckpoint()
+    params = HawkParams.new(32, 16, 8)
+    index = hnsw.build_index(
+        codes, metric="hamming", params=params, num_shards=2, vec_col="code"
+    ).localCheckpoint()
+    queries = codes.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec")
+    )
+    ops: list = []
+    res = search_driver_loop(
+        index, queries, k=1, metric="hamming", params=params, op_log=ops
+    ).collect()
+    names = [o[0] for o in ops]
+    body = names[1:-1]
+    triads_ok = (
+        bool(body)
+        and len(body) % 3 == 0
+        and all(
+            body[i : i + 3] == ["GetLinks", "EvalDistanceBatch", "LessThanBatch"]
+            for i in range(0, len(body), 3)
+        )
+    )
+    layers = [kw["layer"] for op, kw in ops if op == "GetLinks"]
+    protocol_ok = bool(
+        names
+        and names[0] == "GetEntryPoint"
+        and names[-1] == "SearchResult"
+        and triads_ok
+        and layers == sorted(layers, reverse=True)
+    )
+    dist0 = sum(1 for r in res if r.dist == 0.0)
+    return codes.agg(F.count(F.lit(1)).cast("long").alias("n_index")).select(
+        "n_index",
+        F.lit(len({r.query_id for r in res})).cast("long").alias("n_queries"),
+        F.lit(protocol_ok).alias("protocol_ok"),
+        F.lit(dist0 == 3).alias("all_found_dist0"),
+    )
+
+
+OP_STREAM_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_index, CAST(3 AS BIGINT) AS n_queries,
+       TRUE AS protocol_ok, TRUE AS all_found_dist0
+FROM embeddings WHERE vec_id < 60
+"""
+
+
+def q_streaming_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming ingest (§2.12; the reference's op-stream
+    consumed as micro-batches) as one invariant row: two parquet
+    micro-batches stream through the foreachBatch two-phase-insert sink
+    (batch 1 bootstraps 40 codes; batch 2 carries 20 exact duplicates +
+    10 new codes). The is_match(0) gate must reject exactly the
+    duplicates, leaving the index holding exactly the distinct codes —
+    counts table-derived from the embeddings ids that seeded them."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.streaming.ingest import StreamingIndex, start_parquet_ingest
+
+    emb = _embeddings_vectors(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="hps_q_stream_")
+    try:
+        base = emb.where(F.col("vec_id") < 40).select(
+            "vec_id", F.col("vec_id").cast("long").alias("code")
+        )
+        dups = emb.where(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.col("vec_id").cast("long").alias("code"),
+        )
+        news = emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 50)).select(
+            "vec_id", F.col("vec_id").cast("long").alias("code")
+        )
+        base.coalesce(1).write.parquet(f"{tmp}/src/b1")
+        dups.unionByName(news).coalesce(1).write.parquet(f"{tmp}/src/b2")
+        sink = StreamingIndex(
+            metric="hamming",
+            params=HawkParams.new(32, 16, 8),
+            match_threshold=0.0,
+            num_shards=2,
+        )
+        q = start_parquet_ingest(
+            spark, f"{tmp}/src/*", "vec_id long, code long", sink,
+            checkpoint_dir=f"{tmp}/ckpt",
+        )
+        q.awaitTermination(300)
+        n_final = sink.count()
+        idx_codes = sink.index_df.select("code")
+        expected = emb.where(F.col("vec_id") < 50).select(
+            F.col("vec_id").cast("long").alias("code")
+        )
+        diff = (
+            idx_codes.exceptAll(expected)
+            .unionByName(expected.exceptAll(idx_codes))
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        return (
+            emb.where(F.col("vec_id") < 50)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_codes"))
+            .crossJoin(diff)
+            .select(
+                "n_distinct_codes",
+                F.lit(n_final).cast("long").alias("n_accepted"),
+                (F.col("_d") == 0).alias("codes_exact"),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_INGEST_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_codes,
+       CAST(COUNT(*) AS BIGINT) AS n_accepted,
+       TRUE AS codes_exact
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+def q_streaming_durable_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DURABLE streaming near-dup store (StreamingNearDup with
+    store_path: append-only parquet band buckets + accepted-id log) and
+    its restart ≡ continuation contract, as one invariant row. Batch 1
+    streams 30 documents through the MinHash band gate into the durable
+    store; the process then 'dies' — a FRESH gate object on the same
+    path ingests batch 2 (30 more docs, plus 10 re-sent batch-1 texts
+    under new ids). Every re-sent text must be rejected by the
+    REHYDRATED store (proof the bands persisted and reloaded), and the
+    run's accepted-id set must equal a single-process continuous run's,
+    exactly — both equalities computed live; a violation flips a
+    boolean and fails the hash."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.streaming.ingest import StreamingNearDup
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") < 30)
+    resent = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    b2 = docs.where(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 60)
+    ).unionByName(resent)
+
+    tmp = tempfile.mkdtemp(prefix="hps_q_durable_")
+    try:
+        cont = StreamingNearDup(store_path=f"{tmp}/cont")
+        cont.ingest_batch(b1)
+        cont.ingest_batch(b2)
+
+        first = StreamingNearDup(store_path=f"{tmp}/restart")
+        first.ingest_batch(b1)
+        resumed = StreamingNearDup(store_path=f"{tmp}/restart")
+        resumed.ingest_batch(b2)
+
+        a, b = cont.accepted_ids, resumed.accepted_ids
+        restart_diff = a.exceptAll(b).unionByName(b.exceptAll(a)).count()
+        n_resent_accepted = b.where(F.col("doc_id") >= 100000).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        docs.where(F.col("doc_id") < 60)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "n_docs",
+            F.lit(restart_diff == 0).alias("restart_matches_continuous"),
+            F.lit(n_resent_accepted == 0).alias("resent_dups_rejected"),
+        )
+    )
+
+
+STREAMING_DURABLE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS restart_matches_continuous,
+       TRUE AS resent_dups_rejected
+FROM documents WHERE doc_id < 60
+"""
+
+
+def q_streaming_delta_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming delta persistence (StreamingIndex(jdbc_url=...)): every
+    micro-batch row-level-upserts the TOUCHED shards' graph rows into
+    the reference's two-table layout (graph_pg.rs:111-115 ON CONFLICT
+    semantics) — write amplification tracks the batch, yet after the
+    stream drains the DATABASE must hold exactly the in-memory index's
+    links and entry points. Checked by re-importing through the real
+    JDBC source and requiring multiset equality of parsed queues."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.sources.graph_io import import_graph_jdbc
+    from hawk_pack_spark.streaming.ingest import StreamingIndex
+
+    emb = _embeddings_vectors(spark, sf_dir)
+    b1 = emb.where(F.col("vec_id") < 40).select(
+        "vec_id", F.col("vec_id").cast("long").alias("code")
+    )
+    # batch 2: 10 new codes + 10 exact duplicates (gate must reject the
+    # dups, and the delta upsert must still leave the DB == memory)
+    b2 = emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 50)).select(
+        "vec_id", F.col("vec_id").cast("long").alias("code")
+    ).unionByName(
+        emb.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 5000).alias("vec_id"),
+            F.col("vec_id").cast("long").alias("code"),
+        )
+    )
+
+    def flat(l: DataFrame) -> DataFrame:
+        return l.select(
+            "layer", "src", F.posexplode_outer("nbrs").alias("pos", "nb")
+        ).select(
+            "layer", "src", "pos",
+            F.col("nb.dist").alias("dist"), F.col("nb.dst").alias("dst"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="hps_q_sdelta_")
+    try:
+        url = f"jdbc:derby:{tmp}/hawk_derby;create=true"
+        drv = "org.apache.derby.jdbc.EmbeddedDriver"
+        sink = StreamingIndex(
+            metric="hamming",
+            params=HawkParams.new(32, 16, 8),
+            match_threshold=0.0,
+            num_shards=2,
+            jdbc_url=url,
+            jdbc_driver=drv,
+        )
+        sink.ingest_batch(b1)
+        sink.ingest_batch(b2)
+        links_db, entries_db = import_graph_jdbc(spark, url=url, driver=drv)
+        links_mem = hnsw.to_links(sink.index_df)
+        entries_mem = hnsw.entry_points(sink.index_df)
+        l1, l2 = flat(links_mem), flat(links_db)
+        ldiff = l1.exceptAll(l2).unionByName(l2.exceptAll(l1)).count()
+        e1 = entries_mem.select("shard", "point", "layer")
+        e2 = entries_db.select("shard", "point", "layer")
+        ediff = e1.exceptAll(e2).unionByName(e2.exceptAll(e1)).count()
+        n_index = sink.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        emb.where(F.col("vec_id") < 50)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_index_expected"))
+        .select(
+            "n_index_expected",
+            F.lit(n_index).cast("long").alias("n_index"),
+            F.lit(ldiff == 0).alias("db_links_match_memory"),
+            F.lit(ediff == 0).alias("db_entries_match_memory"),
+        )
+    )
+
+
+STREAMING_DELTA_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_index_expected,
+       CAST(COUNT(*) AS BIGINT) AS n_index,
+       TRUE AS db_links_match_memory,
+       TRUE AS db_entries_match_memory
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+def q_streaming_query_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The online READ half of the reference's serving loop
+    (coroutine.rs query ops) as one invariant row: a manifest bundle is
+    saved and reloaded (the restartable serving unit), then TWO query
+    micro-batches stream through `start_query_stream` — readStream →
+    `ann_search` front door per batch → append sink. Each epoch's sunk
+    rows must equal a direct `ann_search` of that batch, and every
+    query (a corpus member) must find itself at rank 1, distance 0.
+    Counts table-derived; equalities computed live — a violation flips
+    a boolean and fails the hash."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.sources.graph_io import (
+        load_serving_index,
+        save_serving_index,
+    )
+    from hawk_pack_spark.streaming.serve import start_query_stream
+
+    emb, index = _hnsw_index(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="hps_q_qserve_")
+    try:
+        save_serving_index(index, f"{tmp}/bundle", params=_HNSW_PARAMS)
+        bundle = load_serving_index(spark, f"{tmp}/bundle")
+        batches = [
+            emb.where(F.col("vec_id") < 15),
+            emb.where((F.col("vec_id") >= 15) & (F.col("vec_id") < 30)),
+        ]
+        for i, b in enumerate(batches):
+            b.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ).coalesce(1).write.parquet(f"{tmp}/qsrc/b{i}")
+        q = start_query_stream(
+            spark, f"{tmp}/qsrc/*", "query_id long, query_vec array<double>",
+            bundle, f"{tmp}/results", f"{tmp}/ckpt", k=5,
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(f"{tmp}/results")
+        epochs = sorted(
+            r[0] for r in got.select("epoch").distinct().collect()
+        )
+        n_sunk = got.count()
+        by_epoch = {
+            e: sorted(
+                (r.query_id, r.rank, r.vec_id, round(r.dist, 9))
+                for r in got.where(F.col("epoch") == e).collect()
+            )
+            for e in epochs
+        }
+        direct = {
+            e: sorted(
+                (r.query_id, r.rank, r.vec_id, round(r.dist, 9))
+                for r in hnsw.ann_search(
+                    bundle,
+                    b.select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("query_vec"),
+                    ),
+                    k=5,
+                ).collect()
+            )
+            for e, b in zip(epochs, batches)
+        }
+        self_hits = got.where(
+            (F.col("rank") == 1)
+            & (F.col("query_id") == F.col("vec_id"))
+            & (F.col("dist") == 0)
+        ).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    base = emb.where(F.col("vec_id") < 30).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    return base.select(
+        "n_queries",
+        F.lit(n_sunk).cast("long").alias("n_results"),
+        F.lit(len(epochs) == 2).alias("epochs_ok"),
+        F.lit(by_epoch == direct).alias("rows_equal_direct"),
+        (F.lit(self_hits).cast("long") == F.col("n_queries")).alias("self_exact"),
+    )
+
+
+STREAMING_SERVE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(5 * COUNT(*) AS BIGINT) AS n_results,
+       TRUE AS epochs_ok, TRUE AS rows_equal_direct, TRUE AS self_exact
+FROM embeddings WHERE vec_id < 30
+"""
+
+
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphPg persistence (reference src/graph_store/graph_pg.rs:
+    130-326, two-table layout) as one invariant row: export the links +
+    entry views of a fixture-derived index through the REAL Spark JDBC
+    source to embedded Derby, re-import, and require exact multiset
+    equality of parsed neighbor queues (order-preserving via position)
+    and entry points. Against Postgres only the URL changes."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.sources.graph_io import (
+        export_graph_jdbc,
+        import_graph_jdbc,
+    )
+
+    emb = _embeddings_vectors(spark, sf_dir).where(F.col("vec_id") < 60)
+    codes = emb.select("vec_id", D.simhash_code(F.col("embedding")).alias("code"))
+    params = HawkParams.new(32, 16, 8)
+    index = hnsw.build_index(
+        codes, metric="hamming", params=params, num_shards=2, vec_col="code"
+    ).localCheckpoint()
+    links, entries = hnsw.to_links(index), hnsw.entry_points(index)
+
+    def flat(l: DataFrame) -> DataFrame:
+        return l.select(
+            "layer", "src", F.posexplode_outer("nbrs").alias("pos", "nb")
+        ).select(
+            "layer", "src", "pos",
+            F.col("nb.dist").alias("dist"), F.col("nb.dst").alias("dst"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="hps_q_jdbc_")
+    try:
+        url = f"jdbc:derby:{tmp}/hawk_derby;create=true"
+        drv = "org.apache.derby.jdbc.EmbeddedDriver"
+        ok = export_graph_jdbc(links, entries, url=url, driver=drv)
+        links2, entries2 = import_graph_jdbc(spark, url=url, driver=drv)
+        l1, l2 = flat(links), flat(links2)
+        ldiff = (
+            l1.exceptAll(l2).unionByName(l2.exceptAll(l1)).count()
+        )
+        e1 = entries.select("shard", "point", "layer")
+        e2 = entries2.select("shard", "point", "layer")
+        ediff = (
+            e1.exceptAll(e2).unionByName(e2.exceptAll(e1)).count()
+        )
+    finally:
+        # counts above are materialized; the Derby files can go
+        shutil.rmtree(tmp, ignore_errors=True)
+    return emb.agg(F.count(F.lit(1)).cast("long").alias("n_index")).select(
+        "n_index",
+        F.lit(bool(ok)).alias("exported"),
+        F.lit(ldiff == 0).alias("links_roundtrip_exact"),
+        F.lit(ediff == 0).alias("entries_roundtrip_exact"),
+    )
+
+
+JDBC_ROUNDTRIP_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_index, TRUE AS exported,
+       TRUE AS links_roundtrip_exact, TRUE AS entries_roundtrip_exact
+FROM embeddings WHERE vec_id < 60
+"""
+
+
+def q_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level JDBC upsert (graph_pg.rs:111-115 ON CONFLICT DO UPDATE;
+    standard-SQL MERGE on Derby, the in-container database) as one
+    invariant row: snapshot-upsert a fixture-derived graph into freshly
+    created PK'd tables, mutate it (delete+repair), upsert ONLY the
+    changed-row delta, re-import — changed rows must carry the NEW
+    queues, unchanged and deleted-vector rows must retain their prior
+    values (upsert never deletes), and entry rows update in place."""
+    import shutil
+    import tempfile
+
+    from hawk_pack_spark.sources.graph_io import (
+        ensure_graph_schema_jdbc,
+        import_graph_jdbc,
+        upsert_graph_jdbc,
+    )
+
+    emb = _embeddings_vectors(spark, sf_dir).where(F.col("vec_id") < 60)
+    codes = emb.select("vec_id", D.simhash_code(F.col("embedding")).alias("code"))
+    params = HawkParams.new(32, 16, 8)
+    index = hnsw.build_index(
+        codes, metric="hamming", params=params, num_shards=2, vec_col="code"
+    ).localCheckpoint()
+    links, entries = hnsw.to_links(index), hnsw.entry_points(index)
+
+    tmp = tempfile.mkdtemp(prefix="hps_q_upsert_")
+    try:
+        url = f"jdbc:derby:{tmp}/hawk_derby;create=true"
+        drv = "org.apache.derby.jdbc.EmbeddedDriver"
+        ensure_graph_schema_jdbc(spark, url=url, driver=drv)
+        ok1 = upsert_graph_jdbc(links, entries, url=url, driver=drv)
+
+        dels = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+        repaired = hnsw.delete_from_index(
+            index, dels, metric="hamming", params=params
+        ).localCheckpoint()
+        new_links = hnsw.to_links(repaired)
+        old_map = {(r.layer, r.src): [(n.dist, n.dst) for n in r.nbrs]
+                   for r in links.collect()}
+        new_map = {(r.layer, r.src): [(n.dist, n.dst) for n in r.nbrs]
+                   for r in new_links.collect()}
+        changed = [k for k in new_map if old_map.get(k) != new_map[k]]
+        delta = new_links.join(
+            spark.createDataFrame(changed or [(-1, -1)], "layer int, src long"),
+            ["layer", "src"], "left_semi",
+        )
+        ok2 = upsert_graph_jdbc(
+            delta, hnsw.entry_points(repaired), url=url, driver=drv
+        )
+        links_db, entries_db = import_graph_jdbc(spark, url=url, driver=drv)
+        got = {(r.layer, r.src): [(n.dist, n.dst) for n in r.nbrs]
+               for r in links_db.collect()}
+        updated_ok = all(got.get(k) == new_map[k] for k in changed)
+        retained_ok = all(
+            got.get(k) == old_map[k] for k in old_map if k not in set(changed)
+        )
+        keys_ok = set(got) == set(old_map)
+        entries_ok = {tuple(r) for r in entries_db.collect()} == {
+            (r.shard, r.point, r.layer)
+            for r in hnsw.entry_points(repaired).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return emb.agg(F.count(F.lit(1)).cast("long").alias("n_index")).select(
+        "n_index",
+        F.lit(bool(ok1) and bool(ok2)).alias("upserted"),
+        F.lit(len(changed) > 0 and updated_ok).alias("changed_rows_updated"),
+        F.lit(retained_ok and keys_ok).alias("untouched_rows_retained"),
+        F.lit(entries_ok).alias("entries_updated_in_place"),
+    )
+
+
+JDBC_UPSERT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_index, TRUE AS upserted,
+       TRUE AS changed_rows_updated, TRUE AS untouched_rows_retained,
+       TRUE AS entries_updated_in_place
+FROM embeddings WHERE vec_id < 60
+"""
+
+
+def q_graph_bulk_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphMem::from_precomputed (graph_mem.rs:25-37 — construct the
+    operational index from externally built layers) as one invariant
+    row: export the links view, bulk-import it with `from_links`, and
+    require (a) row-for-row snapshot equality with the original index
+    (layers, adjacency arrays, payloads) and (b) identical search
+    results through both. Counts table-derived."""
+    emb = _embeddings_vectors(spark, sf_dir).where(F.col("vec_id") < 120)
+    codes = emb.select("vec_id", D.simhash_code(F.col("embedding")).alias("code"))
+    params = HawkParams.new(32, 16, 8)
+    index = hnsw.build_index(
+        codes, metric="hamming", params=params, num_shards=2, vec_col="code"
+    ).localCheckpoint()
+    links = hnsw.to_links(index)
+    imported = hnsw.from_links(links, codes, metric="hamming", vec_col="code")
+    # adjacency is a SET per node: the kernel emits insertion order,
+    # from_links emits (layer, dist, dst)-sorted — canonicalize by
+    # sorting the zipped triples before comparing
+    canon = lambda df: df.select(  # noqa: E731
+        "shard", "vec_id", "layer",
+        F.to_json(
+            F.array_sort(
+                F.transform(
+                    F.arrays_zip("e_layer", "e_dst", "e_dist"),
+                    lambda e: F.struct(
+                        e["e_layer"].alias("l"),
+                        F.round(e["e_dist"], 6).alias("w"),
+                        e["e_dst"].alias("t"),
+                    ),
+                )
+            )
+        ).alias("adj"),
+    )
+    diff = canon(index).exceptAll(canon(imported)).unionByName(
+        canon(imported).exceptAll(canon(index))
+    )
+    q = codes.select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec")
+    )
+    a = hnsw.search(index, q, k=3, metric="hamming", params=params)
+    b = hnsw.search(imported, q, k=3, metric="hamming", params=params)
+    sd = a.exceptAll(b).unionByName(b.exceptAll(a))
+    return (
+        emb.agg(F.count(F.lit(1)).cast("long").alias("n_index"))
+        .crossJoin(diff.agg(F.count(F.lit(1)).alias("_g")))
+        .crossJoin(sd.agg(F.count(F.lit(1)).alias("_s")))
+        .select(
+            "n_index",
+            (F.col("_g") == 0).alias("import_snapshot_exact"),
+            (F.col("_s") == 0).alias("search_results_identical"),
+        )
+    )
+
+
+GRAPH_BULK_IMPORT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_index,
+       TRUE AS import_snapshot_exact, TRUE AS search_results_identical
+FROM embeddings WHERE vec_id < 120
+"""
+
+
+def q_nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization with a DATA-LEVEL oracle (DuckDB ships
+    nfc_normalize): plant a decomposed suffix (e + COMBINING ACUTE,
+    U+0301) on every document, normalize, and hash-compare the full
+    normalized text — composed vs decomposed codepoints are exactly the
+    byte-identity hazard that breaks exact dedup across sources
+    (functions/curation.py::nfc_normalize). char length drops by one
+    per row as the combining pair composes."""
+    from hawk_pack_spark.functions.curation import nfc_normalize
+
+    docs = load_table(spark, "documents", sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" Cafe\u0301")).alias("text"),
+    )
+    normed = nfc_normalize(planted, "text")
+    return (
+        planted.select("doc_id", F.length("text").alias("len_before"))
+        .join(
+            normed.select(
+                "doc_id", F.col("text").alias("norm_text"),
+                F.length("text").alias("len_after"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "norm_text", "len_before", "len_after")
+        .orderBy("doc_id")
+    )
+
+
+NFC_NORMALIZE_SQL = """
+SELECT doc_id,
+       nfc_normalize(text || ' Cafe' || chr(769)) AS norm_text,
+       length(text || ' Cafe' || chr(769)) AS len_before,
+       length(nfc_normalize(text || ' Cafe' || chr(769))) AS len_after
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_alg4_clustered_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algorithm 4 neighbor selection on clustered data (the NOTES r4
+    multimodal lesson + the r5 1M ladder): plant 5 tight perturbed
+    copies of each base embedding (pairwise-near clusters, the shape
+    where the reference's plain M-nearest trim lets clusters capture
+    every edge slot and strand the graph), build with
+    ``neighbor_heuristic=True`` through the real Spark path, and
+    require degree bounds AND complete self-recall — every vector finds
+    itself at rank 1 / dist 0, i.e. no unreachable islands. Counts
+    table-derived (5 copies per base vector)."""
+    emb = _embeddings_vectors(spark, sf_dir).where(F.col("vec_id") < 150)
+    copies = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("_c"),
+        "embedding",
+    ).select(
+        (F.col("vec_id") * 8 + F.col("_c")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            # direction-varied perturbation: an equal shift on every dim
+            # is a degenerate (collinear) cluster direction
+            lambda x, i: x
+            + F.sin(i.cast("double") * 1.7 + F.col("_c")) * F.lit(1e-4),
+        ).alias("embedding"),
+    )
+    params = HawkParams.new(32, 8, 8)  # small M: the capture-prone regime
+    index = hnsw.build_index(
+        copies, metric="l2_sq", params=params, num_shards=2,
+        neighbor_heuristic=True,
+    ).localCheckpoint()
+    m_max0, m_max = params.get_M_max(0), params.get_M_max(1)
+    deg = (
+        index.select(
+            "vec_id", F.explode(F.arrays_zip("e_layer", "e_dst")).alias("e")
+        )
+        .groupBy("vec_id", F.col("e.e_layer").alias("layer"))
+        .count()
+        .where(
+            F.col("count")
+            > F.when(F.col("layer") == 0, F.lit(m_max0)).otherwise(F.lit(m_max))
+        )
+    )
+    q = copies.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    found = hnsw.search(
+        index, q, k=1, metric="l2_sq", params=params, ef_search=48
+    ).where((F.col("query_id") == F.col("vec_id")) & (F.col("dist") == 0))
+    return (
+        emb.agg((F.count(F.lit(1)) * 5).cast("long").alias("n_vectors"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("_over")))
+        .crossJoin(found.agg(F.count(F.lit(1)).cast("long").alias("n_self_found")))
+        .select(
+            "n_vectors",
+            (F.col("_over") == 0).alias("degree_bounds_ok"),
+            "n_self_found",
+            (F.col("n_self_found") == F.col("n_vectors")).alias("no_islands"),
+        )
+    )
+
+
+ALG4_CLUSTERED_SQL = """
+SELECT CAST(COUNT(*) * 5 AS BIGINT) AS n_vectors,
+       TRUE AS degree_bounds_ok,
+       CAST(COUNT(*) * 5 AS BIGINT) AS n_self_found,
+       TRUE AS no_islands
+FROM embeddings WHERE vec_id < 150
+"""
+
+
+def q_hnsw_rebuild_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn maintenance (r5): delete every 7th vector WITH bridge
+    repair, detect the churned shards via the degree band (bridge
+    re-trims saturate survivors toward M_max — measured signature, see
+    hnsw.fragmented_shards), then rebuild_shards must restore EXACTLY
+    the graph a fresh build over the survivor set produces (layer rule
+    is splitmix64(vec_id), so rebuild ≡ fresh build is bit-exact, not
+    just equivalent) with full self-recall. Counts table-derived."""
+    emb, index = _hnsw_index(spark, sf_dir)
+    dels = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    churned = hnsw.delete_from_index(
+        index, dels, metric="l2_sq", params=_HNSW_PARAMS
+    ).localCheckpoint()
+    n_shards = _hnsw_num_shards(spark, sf_dir)
+    frag = hnsw.fragmented_shards(churned, _HNSW_PARAMS)
+    # neighbor_heuristic=True on BOTH builds, matching _hnsw_index: the
+    # r8 sf1 gate caught this spec rebuilding WITHOUT Algorithm 4 while
+    # the shared index uses it — plain M-nearest trim loses self-recall
+    # on the scaled fixture's near-dup clusters (15996/17142 at sf1),
+    # the exact pathology the r6 heuristic fix measured. rebuild ≡
+    # fresh stays bit-exact either way; recall only holds with the
+    # heuristic the serving build actually uses.
+    rebuilt = hnsw.rebuild_shards(
+        churned, list(range(n_shards)), metric="l2_sq", params=_HNSW_PARAMS,
+        neighbor_heuristic=True,
+    ).localCheckpoint()
+    survivors = emb.join(dels, "vec_id", "left_anti")
+    fresh = hnsw.build_index(
+        survivors, metric="l2_sq", params=_HNSW_PARAMS, num_shards=n_shards,
+        neighbor_heuristic=True,
+    )
+    canon = lambda df: df.select(  # noqa: E731
+        "shard", "vec_id", "layer",
+        F.to_json(
+            F.struct(
+                F.col("e_layer").alias("l"), F.col("e_dst").alias("d"),
+                F.transform("e_dist", lambda x: F.round(x, 6)).alias("w"),
+            )
+        ).alias("adj"),
+    )
+    diff = canon(rebuilt).exceptAll(canon(fresh)).unionByName(
+        canon(fresh).exceptAll(canon(rebuilt))
+    )
+    q = survivors.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    self_found = hnsw.search(
+        rebuilt, q, k=1, metric="l2_sq", params=_HNSW_PARAMS
+    ).where((F.col("query_id") == F.col("vec_id")) & (F.col("dist") == 0))
+    return (
+        emb.agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+        .crossJoin(rebuilt.agg(F.count(F.lit(1)).cast("long").alias("n_survivors")))
+        .crossJoin(diff.agg(F.count(F.lit(1)).alias("_d")))
+        .crossJoin(self_found.agg(F.count(F.lit(1)).cast("long").alias("n_self_found")))
+        .select(
+            "n_before",
+            "n_survivors",
+            F.lit(len(frag) > 0).alias("churn_detected"),
+            (F.col("_d") == 0).alias("rebuild_matches_fresh"),
+            "n_self_found",
+        )
+    )
+
+
+HNSW_REBUILD_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       TRUE AS churn_detected,
+       TRUE AS rebuild_matches_fresh,
+       CAST(SUM(CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_self_found
+FROM embeddings
+"""
+
+
+def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch layer collapsed to one checkable row (functions/sketches.py
+    — the sub-linear aggregates a 100 TB deployment runs instead of exact
+    shuffles). Estimates themselves are engine-specific, so the row emits
+    exact table-derived counts plus error-bound booleans the oracle can
+    assert: HLL++ and the mergeable Datasketches pre-sketch→union path
+    within rsd bounds of the exact distinct count, merged-KLL median
+    within ±2% rank error, and the frequent-items top-k exactly equal to
+    the true frequency table (key cardinality ≪ max_tracked ⇒ the sketch
+    guarantees exactness). A bound violation flips a boolean and fails
+    the hash — same gate design as the ANN invariant rows."""
+    from hawk_pack_spark.functions import sketches as S
+
+    ev = load_table(spark, "events", sf_dir)
+    exact_users = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct_users")
+    )
+    hll = ev.agg(S.hll_count(F.col("user_id"), rsd=0.02).alias("_hll"))
+    per_day = S.hll_presketch(
+        ev.withColumn("day", F.to_date("ts")), "user_id", ["day", "event_type"]
+    )
+    merged = S.hll_merge_count(per_day).withColumnRenamed(
+        "distinct_estimate", "_merged"
+    )
+    med = S.kll_merge_quantile(S.kll_presketch(
+        ev.withColumn("day", F.to_date("ts")), "value", ["day"]
+    ), 0.5).withColumnRenamed("quantile", "_med")
+    # rank of the sketch median in the true value distribution
+    rank = (
+        ev.crossJoin(F.broadcast(med))
+        .agg(
+            (F.sum((F.col("value") <= F.col("_med")).cast("long"))
+             / F.count(F.lit(1))).alias("_rank")
+        )
+    )
+    hh = S.heavy_hitters(ev, "event_type", k=8)
+    exact_freq = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    hh_diff = (
+        hh.join(exact_freq, "event_type", "full_outer")
+        .where(
+            F.col("est_count").isNull()
+            | F.col("exact_count").isNull()
+            | (F.col("est_count") != F.col("exact_count"))
+        )
+    )
+    bound = F.greatest(F.lit(3.0), F.lit(0.06) * F.col("exact_distinct_users"))
+    return (
+        ev.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .crossJoin(exact_users)
+        .crossJoin(hll)
+        .crossJoin(merged)
+        .crossJoin(rank)
+        .crossJoin(hh_diff.agg(F.count(F.lit(1)).alias("_hhbad")))
+        .select(
+            "n_events",
+            "exact_distinct_users",
+            (F.abs(F.col("_hll") - F.col("exact_distinct_users")) <= bound
+             ).alias("hll_within_bound"),
+            (F.abs(F.col("_merged") - F.col("exact_distinct_users")) <= bound
+             ).alias("presketch_merge_within_bound"),
+            (F.abs(F.col("_rank") - 0.5) <= 0.02).alias("kll_median_rank_ok"),
+            (F.col("_hhbad") == 0).alias("heavy_hitters_exact"),
+        )
+    )
+
+
+SKETCH_SUMMARY_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+       TRUE AS hll_within_bound,
+       TRUE AS presketch_merge_within_bound,
+       TRUE AS kll_median_rank_ok,
+       TRUE AS heavy_hitters_exact
+FROM events
+"""
