@@ -526,6 +526,10 @@ from hawk_pack_spark.queries.catalog_r10 import (  # noqa: F401
     q_source_js_divergence,
     q_streaming_heavy_hitters,
 )
+from hawk_pack_spark.queries.catalog_r11 import (  # noqa: F401
+    STREAMING_PIPELINE_SQL,
+    q_streaming_curation_pipeline,
+)
 
 
 
@@ -746,6 +750,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "events_welch_ttest": QuerySpec(q_events_welch_ttest, WELCH_SQL, "Welch unequal-variance t-test on event value by cohort (exact decimal accumulators, one double expression), data-level"),
     "events_mann_whitney": QuerySpec(q_events_mann_whitney, MANN_WHITNEY_SQL, "Mann-Whitney U rank-sum test by cohort (two-phase rank, exact doubled midranks, tie-corrected z), data-level"),
     "events_ks_test": QuerySpec(q_events_ks_test, KS_TEST_SQL, "two-sample Kolmogorov-Smirnov D by cohort (exact integer ECDF gap maximum, range-partitioned cumulatives), data-level"),
+    # -- round-11 additions
+    "streaming_curation_pipeline": QuerySpec(q_streaming_curation_pipeline, STREAMING_PIPELINE_SQL, "COMPOSED checkpointed stream: exact record dedup -> durable canonical near-dup gate -> idempotent windowed agg -> serving readout == batch composition, data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -931,6 +937,8 @@ _DEBUT_ORDER = [
     "doc_quality_calibration", "events_holt_forecast",
     "retrieval_rank_overlap", "streaming_heavy_hitters",
     "events_welch_ttest", "events_mann_whitney", "events_ks_test",
+    # r11 debuts
+    "streaming_curation_pipeline",
 ]
 
 

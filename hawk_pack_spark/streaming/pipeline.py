@@ -1,0 +1,195 @@
+"""Composed streaming curation pipeline (VERDICT r10 #6): the chain a
+user actually deploys, as ONE checkpointed stream —
+
+    parquet micro-batches
+      → stream-level exact dedup   (withWatermark +
+                                    dropDuplicatesWithinWatermark on
+                                    doc_id — replay/redelivery
+                                    suppression; survivor identity is
+                                    deterministic because rows sharing
+                                    a doc_id are the same record)
+      → near-dup gate              (canonical-text first-wins against a
+                                    DURABLE seen-key store — subsumes
+                                    exact-text dedup, deterministically
+                                    keeping the smallest doc_id)
+      → windowed aggregation       (per (day, source) counts/chars,
+                                    idempotent per-epoch partials)
+      → serving readout            (the maintained agg + top-doc query)
+
+Every piece is individually green elsewhere (dedup_exact_stream,
+StreamingNearDup, windowed_event_counts, serve_query_batch); this module
+pins the COMPOSITION: one readStream → foreachBatch chain whose final
+state equals the batch composition (the DuckDB oracle), survives a
+checkpoint restart mid-stream, and whose sinks are replay-idempotent
+(every per-epoch write is an overwrite keyed by epoch id, so an
+at-least-once redelivery cannot double-count).
+
+Scale shape: the only stateful stream operator is the exact-dedup state
+(O(distinct keys in horizon)); the near-dup store and agg state are
+parquet tables sized by accepted keys and (day, source) cells — never
+the raw stream. No driver collection, no Python row loop; the gate is
+equi-joins and the canonicalization is JVM regex.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hawk_pack_spark.streaming.joins import dedup_exact_stream
+
+# 2024-01-01T00:00:00Z — the synthetic event-time origin shared with
+# the oracle (documents carry no timestamp; ts := origin + doc_id
+# minutes keeps windowing pure integer math in both engines).
+_TS_ORIGIN = 1704067200
+_MINUTES_PER_DAY = 1440
+
+
+def synthetic_ts(doc_id: Column) -> Column:
+    """Deterministic per-doc event time: origin + doc_id minutes."""
+    return F.timestamp_seconds(
+        F.lit(_TS_ORIGIN) + doc_id.cast("bigint") * F.lit(60)
+    )
+
+
+def canonical_text(col: Column) -> Column:
+    """Near-dup canonical key: lowercase, strip non-alphanumerics,
+    collapse runs of spaces, trim. Two docs are near-dups when their
+    canonical keys match — the deterministic (SQL-mirrorable) gate the
+    COMPOSED row uses; the probabilistic MinHash gate has its own rows
+    (streaming_durable_resume, minhash_near_dup)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, r" +", " ")
+    return F.trim(c)
+
+
+class StreamingCurationPipeline:
+    """foreachBatch sink for the composed chain. All state lives under
+    ``store_dir`` as epoch-keyed parquet (``seen/epoch=N``,
+    ``accepted/epoch=N``, ``agg/epoch=N``) — each batch OVERWRITES its
+    own epoch directory, so a replayed epoch is a no-op and a fresh
+    pipeline object on the same ``store_dir`` resumes exactly
+    (restart ≡ continuation, pinned in tests/test_streaming_pipeline).
+    """
+
+    def __init__(self, spark: SparkSession, store_dir: str) -> None:
+        self.spark = spark
+        self.store_dir = store_dir
+
+    def _seen_keys(self, exclude_epoch: int) -> DataFrame | None:
+        """Seen canonical keys from every epoch EXCEPT the current one:
+        an at-least-once replay of epoch N must not anti-join against
+        its own first delivery's keys (it would wipe the epoch)."""
+        path = os.path.join(self.store_dir, "seen")
+        try:
+            return (
+                self.spark.read.parquet(path)
+                .where(F.col("epoch") != exclude_epoch)
+                .select("canon")
+                .distinct()
+            )
+        except Exception:
+            return None
+
+    def ingest_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        """One micro-batch through the near-dup gate + agg maintenance.
+        ``batch`` has already passed the stream-level exact dedup."""
+        canon = batch.withColumn("canon", canonical_text(F.col("text")))
+        # batch-local first-wins: smallest doc_id per canonical key
+        best = canon.groupBy("canon").agg(F.min("doc_id").alias("doc_id"))
+        local = canon.join(best, ["canon", "doc_id"], "inner")
+        seen = self._seen_keys(exclude_epoch=epoch_id)
+        accepted = (
+            local.join(seen, "canon", "left_anti") if seen is not None
+            else local
+        )
+        accepted = accepted.localCheckpoint()
+        base = self.store_dir
+        accepted.select("canon").write.mode("overwrite").parquet(
+            f"{base}/seen/epoch={epoch_id}"
+        )
+        accepted.drop("canon").write.mode("overwrite").parquet(
+            f"{base}/accepted/epoch={epoch_id}"
+        )
+        # windowed partial agg: per (day, source) over this epoch only
+        (
+            accepted.groupBy(
+                (F.col("doc_id") / _MINUTES_PER_DAY)
+                .cast("bigint")
+                .alias("day_id"),
+                "source",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{base}/agg/epoch={epoch_id}")
+        )
+
+    def accepted(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.store_dir, "accepted")
+        ).drop("epoch")
+
+    def serve(self) -> DataFrame:
+        """Serving readout over the maintained state: the merged
+        windowed agg plus the per-(day, source) top document by
+        n_chars (doc_id ascending tiebreak) from the accepted log."""
+        agg = (
+            self.spark.read.parquet(os.path.join(self.store_dir, "agg"))
+            .groupBy("day_id", "source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("sum_chars").cast("bigint").alias("sum_chars"),
+            )
+        )
+        acc = self.accepted().select(
+            (F.col("doc_id") / _MINUTES_PER_DAY).cast("bigint").alias("day_id"),
+            "source",
+            "doc_id",
+            "n_chars",
+        )
+        top = acc.groupBy("day_id", "source").agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), -F.col("doc_id"))
+            ).alias("top_doc_id")
+        )
+        return agg.join(top, ["day_id", "source"])
+
+
+def start_curation_pipeline(
+    spark: SparkSession,
+    source_glob: str,
+    schema: str,
+    *,
+    store_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "3650 days",
+    files_per_trigger: int = 1,
+):
+    """Wire the full chain and start it (availableNow). The default
+    watermark is effectively unbounded so the composed row's exact
+    dedup equals the global batch GROUP BY — production deployments
+    size it to their replay window (the dedup_exact_stream contract).
+    Returns (StreamingQuery, StreamingCurationPipeline)."""
+    pipe = StreamingCurationPipeline(spark, store_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(source_glob)
+    )
+    with_ts = stream.withColumn("ts", synthetic_ts(F.col("doc_id")))
+    deduped = dedup_exact_stream(
+        with_ts, ("doc_id",), time_col="ts", watermark=watermark
+    )
+    q = (
+        deduped.writeStream.foreachBatch(pipe.ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, pipe
