@@ -667,6 +667,16 @@ def choose_ann_path(
       1M → 3.0, 3.3s vs 0.97s (lose). Threshold 8 splits the measured
       win/lose sets with margin on both sides.
 
+      Regime note (r11, resolving the NOTES r10 #6 discrepancy): the
+      10M BLAS figure depends on whether the alg4 index coexists in
+      the session — measured in ONE process at 10M, the same 500q scan
+      reads 16.8s fresh vs 42.3s with the index localCheckpointed
+      (~2.5x, pure memory pressure; 50q is unaffected). A dispatching
+      caller by definition HOLDS an index, so the resident number is
+      the honest input — and the classification is unchanged either
+      way (serving 44.6-51.5s loses to BLAS at 22.3s fresh AND 42.3s
+      resident), so the threshold stands un-refit.
+
     ``queries_per_probed_shard=None`` (unrouted callers) falls back to
     the batch-size rule fit at 1M: full-fan batches ≥ ``crossover_batch``
     amortize per-shard costs across every shard (n_queries IS the
