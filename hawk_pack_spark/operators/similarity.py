@@ -549,41 +549,57 @@ def _assign_top_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Each vector's ``m`` nearest coarse cells, partition-locally:
-    one (batch × n_clusters) BLAS matmul per Arrow batch against the
+    tiled (rows × n_clusters) BLAS matmuls per Arrow batch against the
     broadcast centroid matrix, stable argsort (ties → lower cell id).
     Returns exploded (id, vec, cluster, crank) with crank 1..m — zero
     shuffles, n·m output rows. The multi-cell generalization of
-    ivf_assign's argmin."""
+    ivf_assign's argmin.
+
+    The distance tile is BOUNDED regardless of n_clusters: knn_join
+    auto-sizes n_clusters ∝ n, so at n=10M a full 10k-row Arrow batch
+    against 40k cells would be a 3.2 GB float64 tile PER WORKER — 32
+    local workers ate ~100 GB and the kernel OOM-killed the session
+    (measured, r11); a cluster executor dies identically. Rows are
+    sub-chunked so each tile stays ≤ ~24M doubles (~190 MB)."""
     import pandas as pd
 
     C = np.asarray(centers, dtype=np.float64)
     m = min(m, len(C))
     sc = vectors.sparkSession.sparkContext
     bc = sc.broadcast((C, (C * C).sum(axis=1)))
+    rows_per_tile = max(64, 24_000_000 // max(1, len(C)))
 
     def part(it):
         C_, cn = bc.value
         for pdf in it:
             if not len(pdf):
                 continue
-            mat = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            d2 = (mat * mat).sum(1, keepdims=True) - 2.0 * mat @ C_.T + cn[None, :]
-            order = np.argsort(d2, axis=1, kind="stable")[:, :m]
-            b = len(pdf)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(dtype=np.int64), m),
-                    vec_col: pdf[vec_col].iloc[
-                        np.repeat(np.arange(b), m)
-                    ].to_numpy(),
-                    "cluster": order.ravel().astype(np.int32),
-                    "crank": np.tile(
-                        np.arange(1, m + 1, dtype=np.int32), b
-                    ),
-                }
-            )
+            for lo in range(0, len(pdf), rows_per_tile):
+                chunk = pdf.iloc[lo : lo + rows_per_tile]
+                mat = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in chunk[vec_col]]
+                )
+                d2 = (
+                    (mat * mat).sum(1, keepdims=True)
+                    - 2.0 * mat @ C_.T
+                    + cn[None, :]
+                )
+                order = np.argsort(d2, axis=1, kind="stable")[:, :m]
+                b = len(chunk)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(
+                            chunk[id_col].to_numpy(dtype=np.int64), m
+                        ),
+                        vec_col: chunk[vec_col].iloc[
+                            np.repeat(np.arange(b), m)
+                        ].to_numpy(),
+                        "cluster": order.ravel().astype(np.int32),
+                        "crank": np.tile(
+                            np.arange(1, m + 1, dtype=np.int32), b
+                        ),
+                    }
+                )
 
     return vectors.select(id_col, vec_col).mapInPandas(
         part,
