@@ -871,6 +871,7 @@ def skyline_2d(
         .groupBy("_x")
         .agg(F.min("_y").alias("_y"))
     )
+    pairs = _materialize(pairs)
     if _exceeds_rows(pairs, threshold):
         marked = _prefix_min_two_phase(pairs)
     else:
@@ -1276,15 +1277,30 @@ def _km_table_two_phase(weekly: DataFrame) -> DataFrame:
     time-ordered prefix product (numpy cumprod inside one grouped map
     — a global ordered product has no built-in window form) times the
     carry-in product of all EARLIER partitions' totals (a
-    #partitions-sized sorted fold). The multiplication order is
-    time-ordered within each partition and partition-ordered across —
-    deterministic for a given partitioning; vs the single global fold
-    it may differ by float re-association below the round(6) output.
+    #partitions-sized sorted fold). Buckets are FIXED-WIDTH time
+    ranges derived from (min, max, shuffle-partitions) — not sampled
+    repartitionByRange boundaries — so the float-product association
+    is a pure function of the data and the survival output is
+    run-deterministic (ADVICE r11); vs the single global fold it may
+    still differ by float re-association below the round(6) output.
     """
     import pandas as pd
 
-    ranged = weekly.repartitionByRange(F.col("time").asc())
-    pid = ranged.withColumn("_pid", F.spark_partition_id())
+    lo, hi = weekly.agg(F.min("time"), F.max("time")).collect()[0]
+    if lo is None:
+        return weekly.sparkSession.createDataFrame(
+            [],
+            "time long, d long, c long, n_at_risk long, "
+            "hazard double, survival double",
+        )
+    nparts = int(
+        weekly.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    width = max(1, -(-(int(hi) - int(lo) + 1) // nparts))
+    pid = weekly.withColumn(
+        "_pid",
+        F.expr(f"CAST((time - {int(lo)}) DIV {width} AS INT)"),
+    )
     ptot = pid.groupBy("_pid").agg(
         F.sum(F.col("d") + F.col("c")).cast("bigint").alias("_pt")
     )
@@ -1394,6 +1410,7 @@ def kaplan_meier(
         F.sum(F.when(F.col(event_col), 1).otherwise(0)).cast("bigint").alias("d"),
         F.sum(F.when(F.col(event_col), 0).otherwise(1)).cast("bigint").alias("c"),
     )
+    weekly = _materialize(weekly)
     if _exceeds_rows(weekly, threshold):
         return _km_table_two_phase(weekly)
     wrisk = (
@@ -1493,6 +1510,15 @@ def _exceeds_rows(df: DataFrame, threshold: int) -> bool:
     """Cardinality probe for the global-window dispatch: counts at most
     threshold+1 rows (LocalLimit early-exit), never the full frame."""
     return df.limit(threshold + 1).count() > threshold
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """localCheckpoint the pre-reduced frame before the dispatch probe
+    so the probe and the chosen path share ONE computation of the
+    upstream reduction instead of running the corpus-wide groupBy
+    twice (ADVICE r11). The frame is already reduced (entity/pair/
+    time-bucket sized), so truncating lineage costs no pushdown."""
+    return df.localCheckpoint(eager=True)
 
 
 def _pareto_two_phase(agg: DataFrame) -> DataFrame:
@@ -2056,8 +2082,10 @@ def abc_classes(
         if max_window_entities is None
         else max_window_entities
     )
-    agg = df.groupBy(F.col(key_col).alias("key")).agg(
-        F.sum(F.col(value_col)).cast("bigint").alias("value")
+    agg = _materialize(
+        df.groupBy(F.col(key_col).alias("key")).agg(
+            F.sum(F.col(value_col)).cast("bigint").alias("value")
+        )
     )
     total = agg.agg(F.sum("value").cast("bigint").alias("_total"))
     if _exceeds_rows(agg, threshold):

@@ -541,6 +541,13 @@ def _derate_to_budget(
     return chosen
 
 
+# Per-worker distance-tile budget in float64 elements (~190 MB); both
+# the row axis AND (for extreme cluster counts) the centroid axis of
+# the matmul are tiled to stay under it. Module-level so tests can
+# shrink it to exercise the tiled merge on small data.
+_TILE_DOUBLES = 24_000_000
+
+
 def _assign_top_cells(
     vectors: DataFrame,
     centers: list[list[float]],
@@ -560,14 +567,20 @@ def _assign_top_cells(
     against 40k cells would be a 3.2 GB float64 tile PER WORKER — 32
     local workers ate ~100 GB and the kernel OOM-killed the session
     (measured, r11); a cluster executor dies identically. Rows are
-    sub-chunked so each tile stays ≤ ~24M doubles (~190 MB)."""
+    sub-chunked so each tile stays ≤ ~24M doubles (~190 MB); past the
+    point where even an 8-row tile would exceed that (n_clusters > 3M,
+    beyond knn_join's own sizing but reachable by direct callers), the
+    CENTROID axis is tiled too and the per-chunk top-m are merged by
+    (distance, cell id) — the same global order as the one-tile stable
+    argsort, so the output is bit-identical either way."""
     import pandas as pd
 
     C = np.asarray(centers, dtype=np.float64)
     m = min(m, len(C))
     sc = vectors.sparkSession.sparkContext
     bc = sc.broadcast((C, (C * C).sum(axis=1)))
-    rows_per_tile = max(64, 24_000_000 // max(1, len(C)))
+    rows_per_tile = max(8, _TILE_DOUBLES // max(1, len(C)))
+    cells_per_tile = min(len(C), max(m, _TILE_DOUBLES // rows_per_tile))
 
     def part(it):
         C_, cn = bc.value
@@ -579,12 +592,30 @@ def _assign_top_cells(
                 mat = np.array(
                     [np.asarray(v, dtype=np.float64) for v in chunk[vec_col]]
                 )
-                d2 = (
-                    (mat * mat).sum(1, keepdims=True)
-                    - 2.0 * mat @ C_.T
-                    + cn[None, :]
-                )
-                order = np.argsort(d2, axis=1, kind="stable")[:, :m]
+                rn = (mat * mat).sum(1, keepdims=True)
+                if cells_per_tile >= len(C_):
+                    d2 = rn - 2.0 * mat @ C_.T + cn[None, :]
+                    order = np.argsort(d2, axis=1, kind="stable")[:, :m]
+                else:
+                    # tile the centroid axis: per-chunk stable top-m
+                    # (ties → lower id, ids contiguous per chunk), then
+                    # a global (distance, id) merge — exactly the
+                    # one-tile order.
+                    cand_i, cand_d = [], []
+                    for clo in range(0, len(C_), cells_per_tile):
+                        Cc = C_[clo : clo + cells_per_tile]
+                        d2c = (
+                            rn
+                            - 2.0 * mat @ Cc.T
+                            + cn[None, clo : clo + cells_per_tile]
+                        )
+                        oc = np.argsort(d2c, axis=1, kind="stable")[:, :m]
+                        cand_i.append(oc + clo)
+                        cand_d.append(np.take_along_axis(d2c, oc, axis=1))
+                    ci = np.concatenate(cand_i, axis=1)
+                    cd = np.concatenate(cand_d, axis=1)
+                    merged = np.lexsort((ci, cd), axis=1)[:, :m]
+                    order = np.take_along_axis(ci, merged, axis=1)
                 b = len(chunk)
                 yield pd.DataFrame(
                     {

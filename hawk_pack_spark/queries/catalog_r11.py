@@ -27,6 +27,7 @@ def q_streaming_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     and the top accepted doc (max n_chars, min doc_id tiebreak).
     Checkpoint-restart ≡ continuation and epoch-replay idempotence are
     pinned in tests/test_streaming_pipeline.py. Data-level."""
+    import os
     import shutil
     import tempfile
 
@@ -60,6 +61,16 @@ def q_streaming_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     try:
         for i, b in enumerate([b0, b1, b2]):
             b.coalesce(1).write.parquet(f"{tmp}/src/b{i}")
+            # FileStreamSource orders by modification time; pin each
+            # batch a minute apart so epoch order == id order by
+            # CONSTRUCTION, not by write-timing luck (ADVICE r11 —
+            # the near-dup gate is first-arrival-wins, and the oracle's
+            # global MIN(doc_id) matches only under this arrival order)
+            for root, _dirs, files in os.walk(f"{tmp}/src/b{i}"):
+                for f_ in files:
+                    os.utime(
+                        os.path.join(root, f_), (1704067200 + 60 * i,) * 2
+                    )
         q, pipe = start_curation_pipeline(
             spark,
             f"{tmp}/src/*",

@@ -8,10 +8,19 @@ user actually deploys, as ONE checkpointed stream —
                                     suppression; survivor identity is
                                     deterministic because rows sharing
                                     a doc_id are the same record)
-      → near-dup gate              (canonical-text first-wins against a
-                                    DURABLE seen-key store — subsumes
-                                    exact-text dedup, deterministically
-                                    keeping the smallest doc_id)
+      → near-dup gate              (canonical-text first-ARRIVAL-wins
+                                    against a DURABLE seen-key store —
+                                    subsumes exact-text dedup; within a
+                                    micro-batch the smallest doc_id is
+                                    kept deterministically, but ACROSS
+                                    epochs the earlier arrival wins,
+                                    whatever its doc_id. This equals the
+                                    batch oracle's global MIN(doc_id)
+                                    only when smaller doc_ids arrive in
+                                    earlier epochs — which the paired
+                                    catalog row guarantees by writing
+                                    its batch files in doc_id order and
+                                    its test asserts explicitly)
       → windowed aggregation       (per (day, source) counts/chars,
                                     idempotent per-epoch partials)
       → serving readout            (the maintained agg + top-doc query)
@@ -83,6 +92,8 @@ class StreamingCurationPipeline:
         """Seen canonical keys from every epoch EXCEPT the current one:
         an at-least-once replay of epoch N must not anti-join against
         its own first delivery's keys (it would wipe the epoch)."""
+        from pyspark.errors import AnalysisException
+
         path = os.path.join(self.store_dir, "seen")
         try:
             return (
@@ -91,8 +102,14 @@ class StreamingCurationPipeline:
                 .select("canon")
                 .distinct()
             )
-        except Exception:
-            return None
+        except AnalysisException as e:
+            # only the first-epoch "store not created yet" case may
+            # bypass the gate; any other failure must fail the stream
+            # loudly rather than silently accepting duplicates
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
 
     def ingest_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """One micro-batch through the near-dup gate + agg maintenance.

@@ -53,10 +53,20 @@ def _batch_expected(spark, all_rows):
 
 
 def _write_files(spark, tmp_path, batches, start=0):
+    import os
+
     for i, b in enumerate(batches, start=start):
         spark.createDataFrame(b, _SCHEMA).coalesce(1).write.parquet(
             str(tmp_path / f"src/b{i}")
         )
+        # pin mtimes a minute apart: FileStreamSource orders epochs by
+        # modification time, and the first-arrival-wins near-dup gate
+        # matches the batch oracle's MIN(doc_id) only when smaller ids
+        # arrive in earlier epochs (ADVICE r11 — order by construction,
+        # not write-timing)
+        for root, _dirs, files in os.walk(str(tmp_path / f"src/b{i}")):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (1704067200 + 60 * i,) * 2)
 
 
 def test_pipeline_equals_batch_composition(spark, tmp_path):
@@ -133,3 +143,25 @@ def test_pipeline_epoch_replay_is_idempotent(spark, tmp_path):
     pipe.ingest_batch(df, 0)  # replay of epoch 0
     assert sorted(map(tuple, pipe.accepted().collect())) == once
     assert sorted(map(tuple, pipe.serve().collect())) == agg_once
+
+
+def test_seen_store_read_failure_is_loud(spark, tmp_path):
+    """A transient/corrupt seen-store read must FAIL the batch, not
+    silently bypass the near-dup gate (ADVICE r11: only the
+    first-epoch path-missing case may return None)."""
+    import pytest
+
+    from hawk_pack_spark.streaming.pipeline import StreamingCurationPipeline
+
+    pipe = StreamingCurationPipeline(spark, str(tmp_path / "store"))
+    # missing store: first epoch passes the gate open
+    assert pipe._seen_keys(exclude_epoch=0) is None
+    # corrupt store (unreadable garbage where parquet should be):
+    # the read must raise, not return None
+    seen = tmp_path / "store" / "seen" / "epoch=0"
+    seen.mkdir(parents=True)
+    (seen / "part-00000.parquet").write_bytes(b"not parquet at all")
+    with pytest.raises(Exception):
+        df = pipe._seen_keys(exclude_epoch=1)
+        assert df is not None
+        df.collect()

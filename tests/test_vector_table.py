@@ -32,3 +32,46 @@ def test_prepare_accept_flow(spark):
     vectors = V.accept(vectors, staged1)
     vectors = V.accept(vectors, staged1)
     assert V.persistent(vectors).count() == 2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_prepare_queries_two_phase_dispatch(spark):
+    """Above the threshold, ID assignment routes through the two-phase
+    range-partitioned rank: same IDs as the single-window path for
+    distinct payloads, and no single-partition Window over the data
+    stream in the plan (VERDICT r11 #3)."""
+    vectors = V.empty_vectors(spark)
+    raw = (
+        spark.range(500)
+        .select(
+            F.array(
+                (F.col("id") * 37 % 101).cast("double"),
+                (F.col("id") * 53 % 97).cast("double"),
+            ).alias("embedding")
+        )
+        .repartition(8)
+    )
+    _, small = V.prepare_queries(vectors, raw)
+    _, big = V.prepare_queries(vectors, raw, threshold=0)
+    a = sorted((r.vec_id, tuple(r.embedding)) for r in small.collect())
+    b = sorted((r.vec_id, tuple(r.embedding)) for r in big.collect())
+    assert a == b
+    plan = _plan(big)
+    assert "rangepartitioning" in plan, plan[:1500]
+    for chunk in plan.split("Window [")[1:]:
+        head = chunk[:500]
+        part = head.split("]", 2)[1]
+        if "_pid" not in part:
+            # unpartitioned window only over the tiny offsets cumsum
+            assert "_pid" in head, head
+    # the small path still takes the one-window form
+    assert "rangepartitioning" not in _plan(small)
+
+    # staged batch composes with the table: IDs continue the space
+    table, staged = V.prepare_queries(vectors, raw, threshold=0)
+    assert table.count() == 500
+    ids = [r.vec_id for r in staged.collect()]
+    assert sorted(ids) == list(range(500))
