@@ -3,12 +3,14 @@
 The Spark-side plumbing is real — schema, partition-preserving
 mapInPandas with Arrow batches, feature vectors that feed straight into
 the ANN/dedup operators. The codec story: P6 PPM, uncompressed 24-bit
-BMP, AND 8-bit non-interlaced PNG (stdlib zlib inflate + numpy
-unfiltering of all five row filters) are REALLY decoded — no codec
-library needed — and embedded via a real grid+histogram feature;
-JPEG and audio/video codecs are absent from this container, so those
-payloads take a clearly-marked deterministic fake path. Swapping the
-fake for PIL/ffmpeg changes one function, not the pipeline.
+BMP, 8-bit non-interlaced PNG (stdlib zlib inflate + numpy
+unfiltering of all five row filters), AND baseline JPEG (pure-numpy
+ITU-T T.81 — Huffman entropy decode, dequant, IDCT, 4:4:4/4:2:0
+chroma, restart intervals; multimodal/jpeg.py) are REALLY decoded —
+no codec library needed — and embedded via a real grid+histogram
+feature. Video codecs remain absent from this container, so video
+payloads take a clearly-marked deterministic fake path; swapping the
+fake for ffmpeg changes one function, not the pipeline.
 
 Media schema:
     media(media_id LONG, kind STRING, payload BINARY,
@@ -34,12 +36,18 @@ FEATURE_DIM = 64
 
 def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a deterministic media table from the documents fixture.
-    IMAGE rows carry a REAL binary-PPM payload (16x12 RGB, pixels tiled
-    from the doc's utf-8 bytes) and AUDIO rows a REAL 16-bit PCM WAV
-    (samples tiled from the same bytes) — both decodable with no codec
-    library; video rows carry the raw text bytes (video containers
-    genuinely aren't parseable here). kind round-robins
-    image/audio/video; metadata is derived the same for every kind."""
+    IMAGE rows carry a REAL payload — binary PPM for even media ids,
+    baseline JPEG (pure-numpy T.81 encoder, quality 95) for odd ones —
+    16x12 RGB with pixels tiled from the doc's utf-8 bytes; AUDIO rows
+    a REAL 16-bit PCM WAV (samples tiled from the same bytes); video
+    rows carry the raw text bytes (video containers genuinely aren't
+    parseable here). JPEG rows additionally overlay the media id as a
+    24-pixel 0/255 bit field so payload uniqueness SURVIVES the lossy
+    round-trip (quality-95 error is single-digit; 0-vs-255 never
+    collapses), preserving the distinct-feature property the ANN
+    self-recall check depends on at replicated-text SFs. kind
+    round-robins image/audio/video; metadata is derived the same for
+    every kind."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -70,11 +78,19 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = pdf.copy()
             payloads = []
-            for k, p in zip(out["kind"], out["payload"]):
+            for mid, k, p in zip(out["media_id"], out["kind"], out["payload"]):
                 raw = np.frombuffer(bytes(p), dtype=np.uint8)
                 if k == "image":
                     px = np.resize(raw, 12 * 16 * 3).reshape(12, 16, 3)
-                    payloads.append(encode_ppm(px))
+                    if mid % 2:
+                        from hawk_pack_spark.multimodal.jpeg import encode_jpeg
+
+                        px = px.copy()
+                        bits = [(int(mid) >> i) & 1 for i in range(24)]
+                        px.reshape(-1, 3)[:24, 0] = [255 * b for b in bits]
+                        payloads.append(encode_jpeg(px, quality=95))
+                    else:
+                        payloads.append(encode_ppm(px))
                 elif k == "audio":
                     s = (np.resize(raw, 800).astype(np.int16) - 128) * 256
                     payloads.append(encode_wav(s, 16000))
@@ -279,16 +295,21 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Real image decode with no codec library: P6 PPM, uncompressed
-    24-bit BMP, and 8-bit non-interlaced PNG (stdlib zlib inflate +
-    numpy unfiltering). JPEG falls back to PIL when available; in this
-    container it raises NotImplementedError — the pipeline then uses
-    the deterministic fake feature path."""
+    24-bit BMP, 8-bit non-interlaced PNG (stdlib zlib inflate + numpy
+    unfiltering), and baseline JPEG (pure-numpy T.81 —
+    multimodal/jpeg.py). Unknown formats fall back to PIL when
+    available; in this container they raise NotImplementedError — the
+    pipeline then uses the deterministic fake feature path."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from hawk_pack_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     try:
         import io
 
@@ -297,8 +318,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as e:
         raise NotImplementedError(
-            "JPEG/video codecs not installed in this environment; "
-            "PPM/BMP/PNG decode natively, others use the fake feature path"
+            "unknown image format and PIL not installed; PPM/BMP/PNG/"
+            "baseline-JPEG decode natively, others use the fake path"
         ) from e
 
 
@@ -420,6 +441,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                     b.startswith(b"P6")
                     or b.startswith(b"BM")
                     or b.startswith(_PNG_SIG)
+                    or b.startswith(b"\xff\xd8")
                 ):
                     feats.append(image_feature(decode_image(b)).tolist())
                 elif b.startswith(b"RIFF") and b[8:12] == b"WAVE":
@@ -463,7 +485,8 @@ def resize_pixels(px: np.ndarray, tw: int, th: int) -> np.ndarray:
 
 def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
     """The REAL pixel transform completing `resize_meta`'s plan: decode
-    natively-decodable images (PPM/BMP/PNG), resize aspect-preserving to
+    natively-decodable images (PPM/BMP/PNG/baseline-JPEG), resize
+    aspect-preserving to
     max_side with the vectorized nearest-neighbor gather, re-encode as
     P6 PPM, and rewrite meta. Non-image (or codec-absent) rows pass
     through untouched — at 100 TB this runs as the same Arrow-batched
@@ -478,6 +501,7 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
                     b.startswith(b"P6")
                     or b.startswith(b"BM")
                     or b.startswith(_PNG_SIG)
+                    or b.startswith(b"\xff\xd8")
                 )
                 if kind != "image" or not decodable:
                     payloads.append(b)

@@ -530,6 +530,10 @@ from hawk_pack_spark.queries.catalog_r11 import (  # noqa: F401
     STREAMING_PIPELINE_SQL,
     q_streaming_curation_pipeline,
 )
+from hawk_pack_spark.queries.catalog_r12 import (  # noqa: F401
+    OPAQUE_DISTANCE_SQL,
+    q_opaque_distance_topk,
+)
 
 
 
@@ -752,6 +756,8 @@ _STABLE_SPECS: dict[str, QuerySpec] = {
     "events_ks_test": QuerySpec(q_events_ks_test, KS_TEST_SQL, "two-sample Kolmogorov-Smirnov D by cohort (exact integer ECDF gap maximum, range-partitioned cumulatives), data-level"),
     # -- round-11 additions
     "streaming_curation_pipeline": QuerySpec(q_streaming_curation_pipeline, STREAMING_PIPELINE_SQL, "COMPOSED checkpointed stream: exact record dedup -> durable canonical near-dup gate -> idempotent windowed agg -> serving readout == batch composition, data-level"),
+    # -- round-12 additions
+    "opaque_distance_topk": QuerySpec(q_opaque_distance_topk, OPAQUE_DISTANCE_SQL, "comparison-only opaque DistanceRef (traits.rs:29-32): top-k ranked solely through a less_than relation over codebook tokens, never token bytes, data-level"),
 }
 
 # Queries rotated out of the 50-entry driver window (it records at most
@@ -939,6 +945,8 @@ _DEBUT_ORDER = [
     "events_welch_ttest", "events_mann_whitney", "events_ks_test",
     # r11 debuts
     "streaming_curation_pipeline",
+    # r12 debuts
+    "opaque_distance_topk",
 ]
 
 

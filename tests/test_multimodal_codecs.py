@@ -298,3 +298,108 @@ def test_resize_media_real_pixels(spark, sf_dir):
         np.testing.assert_array_equal(px, M.resize_pixels(src_px, tw, th))
         n_img += 1
     assert n_img > 0
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (pure-numpy ITU-T T.81, multimodal/jpeg.py)
+
+
+def _smooth(h=40, w=56):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 / w,
+            yy * 255 / h,
+            127 + 80 * np.sin(xx / 7.0) * np.cos(yy / 5.0),
+        ],
+        axis=2,
+    ).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_within_lossy_tolerance():
+    from hawk_pack_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth()
+    for q, tol in [(100, 4), (95, 12), (75, 24)]:
+        out = decode_jpeg(encode_jpeg(img, quality=q))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= tol, (q, err.max())
+
+
+def test_jpeg_chroma_subsampling_and_odd_dims():
+    from hawk_pack_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth(41, 53)  # neither 8- nor 16-multiple
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    # 4:2:0 averages chroma 2x2 — luma stays tight, chroma softer
+    assert err.max() <= 40 and err.mean() <= 6
+
+
+def test_jpeg_restart_intervals():
+    from hawk_pack_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth(41, 53)
+    base = decode_jpeg(encode_jpeg(img, quality=95))
+    for ri in (1, 2, 3):
+        out = decode_jpeg(encode_jpeg(img, quality=95, restart_interval=ri))
+        # restarts change the bitstream framing, not the pixels
+        assert np.array_equal(out, base)
+
+
+def test_jpeg_gray_and_noise():
+    from hawk_pack_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    g = (np.add.outer(np.arange(24), np.arange(32)) * 4).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (24, 32, 3)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+    # pure noise at q100: entropy coder must survive max-magnitude ACs
+    noise = _pixels(24, 24, seed=0)
+    out = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert np.abs(out.astype(int) - noise.astype(int)).max() <= 4
+
+
+def test_jpeg_rejects_progressive():
+    import pytest
+
+    from hawk_pack_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(_smooth(16, 16)))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+
+
+def test_extract_features_uses_real_path_for_jpeg(spark):
+    from hawk_pack_spark.multimodal.jpeg import encode_jpeg
+
+    px = _smooth(12, 16)
+    payload = encode_jpeg(px, quality=100)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int, height:int, n_frames:int, sample_rate:int>",
+    )
+    feat = np.array(extract_features(df).collect()[0].feature)
+    # matches the direct decode+feature path (not the fake)
+    want = image_feature(decode_image(payload))
+    assert np.allclose(feat, want)
+    assert abs(np.linalg.norm(feat) - 1) < 1e-9
+
+
+def test_synthetic_media_jpeg_rows_unique_and_decodable(spark, sf_dir):
+    from hawk_pack_spark.multimodal.ops import synthetic_media
+
+    media = synthetic_media(spark, sf_dir)
+    rows = media.where("kind = 'image'").limit(40).collect()
+    jpeg = [r for r in rows if bytes(r.payload).startswith(b"\xff\xd8")]
+    ppm = [r for r in rows if bytes(r.payload).startswith(b"P6")]
+    assert jpeg and ppm  # both formats present
+    # decoded JPEG pixels are unique per media id (the 0/255 bit field)
+    decoded = {r.media_id: decode_image(bytes(r.payload)) for r in jpeg}
+    sigs = {tuple(v.reshape(-1)[:72].tolist()) for v in decoded.values()}
+    assert len(sigs) == len(decoded)
