@@ -3,7 +3,11 @@ window's parity checks at a scaled fixture dir, one query at a time,
 persisting progress so repeated invocations resume where the last run
 (or a wall-clock cap) stopped.
 
-Usage: python tools/sf1_gate.py [sf_dir] [state_file] [budget_sec]
+Usage: python tools/sf1_gate.py [sf_dir] [state_file] [budget_sec] [scope]
+
+``scope`` = "pinned" restricts to the 8 pinned headline-family rows —
+the sf10 (100×) gate shape (VERDICT r11 #4): one row per operator
+family, pass/fail, throttle-immune.
 """
 from __future__ import annotations
 
@@ -59,7 +63,13 @@ def main() -> int:
                 name, _, verdict = line.strip().partition(" ")
                 if name:
                     done[name] = verdict
-    todo = [n for n in CATALOG if n not in done and n not in SKIP]
+    scope = sys.argv[4] if len(sys.argv) > 4 else None
+    pool = CATALOG
+    if scope == "pinned":
+        from hawk_pack_spark.queries.catalog import _PINNED_NAMES
+
+        pool = {n: CATALOG[n] for n in _PINNED_NAMES}
+    todo = [n for n in pool if n not in done and n not in SKIP]
     print(f"{len(done)} done, {len(todo)} to go", flush=True)
     spark = get_spark("sf1-gate")
     spark.sparkContext.setLogLevel("ERROR")
