@@ -307,6 +307,18 @@ def knn_join(
     topm = _assign_top_cells(
         vectors, centers, max(nprobe, replicas), id_col, vec_col
     )
+    # The assignment is the most expensive narrow stage at scale (one
+    # tiled BLAS pass over n×n_clusters with n_clusters ∝ n) and has up
+    # to FIVE downstream consumers in one run — the derate volume
+    # aggregate, the probe and member sides of the candidate join, and
+    # both salt-factor count reductions. Un-materialized, Spark
+    # re-executes it for each (measured at 10M/40k cells: ~95 min PER
+    # PASS on a throttled box — the whole run's cost was the recompute,
+    # r12). Materialize it ONCE past the point where a re-run costs
+    # more than the ~(8+dim·8)·n·m bytes of storage; small corpora keep
+    # the lazy plan (checkpoint overhead ≈ recompute there).
+    if _n_known is None or _n_known > 500_000:
+        topm = topm.localCheckpoint(eager=True)
     if auto_derate and candidate_budget is not None:
         # Analytic fast path: under uniform cells the pair volume is
         # n·nprobe·replicas·(n/n_clusters); skew concentrates mass and
@@ -548,6 +560,37 @@ def _derate_to_budget(
 _TILE_DOUBLES = 24_000_000
 
 
+def _exact_topm(d2: "np.ndarray", m: int) -> "np.ndarray":
+    """Row-wise indices of the m smallest entries ordered by
+    (value, index) — BIT-IDENTICAL to
+    ``argsort(kind='stable')[:, :m]`` but O(n_cols) per row instead of
+    O(n_cols log n_cols): argpartition selects m candidates, a lexsort
+    over just those m orders them, and rows whose selection boundary
+    carries VALUE TIES (counts > m — duplicate centroids, planted-tie
+    tests) are refined individually over the tied set so the lower
+    index always wins. Measured: the full stable argsort over a
+    (rows × 40k-cell) tile was the dominant cost of the 10M assignment
+    stage (r12); this cuts the stage several-fold at identical output.
+    """
+    n_cols = d2.shape[1]
+    if m >= n_cols:
+        return np.argsort(d2, axis=1, kind="stable")
+    part = np.argpartition(d2, m - 1, axis=1)[:, :m]
+    vals = np.take_along_axis(d2, part, axis=1)
+    order = np.lexsort((part, vals), axis=1)
+    idx = np.take_along_axis(part, order, axis=1)
+    # boundary-tie refinement: a row is exact iff nothing OUTSIDE the
+    # selection ties the selection's max value
+    bound = np.take_along_axis(d2, idx[:, -1:], axis=1)
+    tied_rows = np.nonzero((d2 <= bound).sum(axis=1) > m)[0]
+    for r in tied_rows:
+        cand = np.nonzero(d2[r] <= bound[r, 0])[0]  # index-ascending
+        cv = d2[r, cand]
+        sel = cand[np.lexsort((cand, cv))[:m]]
+        idx[r] = sel
+    return idx
+
+
 def _assign_top_cells(
     vectors: DataFrame,
     centers: list[list[float]],
@@ -595,9 +638,9 @@ def _assign_top_cells(
                 rn = (mat * mat).sum(1, keepdims=True)
                 if cells_per_tile >= len(C_):
                     d2 = rn - 2.0 * mat @ C_.T + cn[None, :]
-                    order = np.argsort(d2, axis=1, kind="stable")[:, :m]
+                    order = _exact_topm(d2, m)[:, :m]
                 else:
-                    # tile the centroid axis: per-chunk stable top-m
+                    # tile the centroid axis: per-chunk exact top-m
                     # (ties → lower id, ids contiguous per chunk), then
                     # a global (distance, id) merge — exactly the
                     # one-tile order.
@@ -609,7 +652,7 @@ def _assign_top_cells(
                             - 2.0 * mat @ Cc.T
                             + cn[None, clo : clo + cells_per_tile]
                         )
-                        oc = np.argsort(d2c, axis=1, kind="stable")[:, :m]
+                        oc = _exact_topm(d2c, m)[:, :m]
                         cand_i.append(oc + clo)
                         cand_d.append(np.take_along_axis(d2c, oc, axis=1))
                     ci = np.concatenate(cand_i, axis=1)

@@ -55,3 +55,27 @@ def test_assign_top_cells_ties_prefer_lower_cell(spark, monkeypatch):
         }
         assert out[(0, 1)] == 1 and out[(0, 2)] == 2
         assert out[(1, 1)] == 1 and out[(1, 2)] == 2
+
+
+def test_exact_topm_bit_identical_to_stable_argsort():
+    """_exact_topm (argpartition + tie-complete refine — the r12
+    assignment-stage kernel) must match stable argsort exactly,
+    including heavy planted value ties at the selection boundary."""
+    import numpy as np
+
+    from hawk_pack_spark.operators.similarity import _exact_topm
+
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        rows = int(rng.integers(1, 40))
+        cols = int(rng.integers(2, 300))
+        m = int(rng.integers(1, 9))
+        # small integer grid => frequent exact float ties
+        d = rng.integers(0, 12, size=(rows, cols)).astype(np.float64)
+        want = np.argsort(d, axis=1, kind="stable")[:, :m]
+        assert np.array_equal(_exact_topm(d, m)[:, :m], want)
+    # degenerate: ALL values tied -> indices 0..m-1
+    d = np.full((3, 50), 2.5)
+    assert np.array_equal(
+        _exact_topm(d, 4)[:, :4], np.tile(np.arange(4), (3, 1))
+    )
