@@ -53,6 +53,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # Worker-side BLAS must be SINGLE-threaded: Spark's task
+        # parallelism already saturates the cores, and un-pinned
+        # OpenBLAS spawns a full thread pool PER python worker — with
+        # 32 workers that is 32x32 spin-yielding threads (measured on
+        # one 600x40k assignment chunk: 86s sys vs 13s user; the 10M
+        # knn_join assignment stage ran ~7x slow purely on sched_yield
+        # churn, r12). Same rule on a real cluster: cores-per-executor
+        # is Spark's knob, not the BLAS pool's.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # bucketed tables (write_bucketed) need a catalog warehouse;
         # keep it out of the repo tree
         .config(
