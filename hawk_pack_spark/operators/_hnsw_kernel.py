@@ -364,9 +364,63 @@ def build_local(
     index = LocalHNSW(metric, params, neighbor_heuristic=neighbor_heuristic)
     if layers is None:
         layers = assign_layer(uniform_from_ids(ids, seed), params.m_L)
+    if _try_native_build(
+        index, data, metric_name, layers, order, params, neighbor_heuristic
+    ):
+        return index
     for pos in order.tolist():
         index.insert(int(pos), int(layers[pos]))
     return index
+
+
+def _try_native_build(
+    index: LocalHNSW,
+    data: np.ndarray,
+    metric_name: str,
+    layers: np.ndarray,
+    order: np.ndarray,
+    params: HawkParams,
+    neighbor_heuristic: bool,
+) -> bool:
+    """Populate ``index`` from the gcc-compiled build kernel (same
+    algorithm, same tie-breaking — see operators/_native.py). Returns
+    False when the native path is unavailable, leaving the caller on
+    the pure-Python insert loop above. The reconstructed ``adj``
+    replicates the Python kernel's dict layout exactly: layer keys in
+    creation order (descending runs as the top layer rises), node keys
+    in insertion order, every (node, lc <= node_layer) entry present
+    even when its queue is empty (to_links emits those rows), neighbor
+    lists (dist, local) ascending — so adjacency_arrays() output is
+    byte-for-byte the order the Python insert loop would produce."""
+    from hawk_pack_spark.operators import _native as NAT
+
+    if len(layers) == 0 or not NAT.usable(metric_name, params):
+        return False
+    res = NAT.build(data, metric_name, layers, order, params, neighbor_heuristic)
+    if res is None:
+        return False
+    e_node, e_layer, e_dst, e_dist, entry, entry_layer = res
+    order_l = order.tolist()
+    adj = index.adj
+    top = -1
+    for pos in order_l:
+        node_l = int(layers[pos])
+        if node_l > top:
+            for lc in range(node_l, top, -1):
+                adj[lc] = {}
+            top = node_l
+    for pos in order_l:
+        for lc in range(int(layers[pos]), -1, -1):
+            adj[lc][pos] = []
+    en = e_node.tolist()
+    el = e_layer.tolist()
+    ed = e_dst.tolist()
+    edist = e_dist.tolist()
+    for i in range(len(en)):
+        adj[el[i]][en[i]].append((edist[i], ed[i]))
+    if entry >= 0:
+        index.entry, index.entry_layer = int(entry), int(entry_layer)
+    return True
 
 
 def adjacency_arrays(index: LocalHNSW, ids: np.ndarray):
