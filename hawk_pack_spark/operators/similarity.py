@@ -1010,35 +1010,88 @@ def l2_topk_numpy(
     bc = sc.broadcast((q_ids, q_mat))
 
     def part(it):
+        # mapInArrow form (guide §4.2): the list<double> column is one
+        # contiguous values buffer — reshape it instead of converting
+        # row by row (the measured cost of this scan was the per-row
+        # np.asarray conversion + per-(query, hit) python tuple loop,
+        # not the BLAS matmul). Distance math is expression-for-
+        # expression the old form, so every emitted dist is
+        # bit-identical; per-batch candidates are folded into one
+        # per-partition running top-k with the SAME (dist, vec_id)
+        # order the downstream merge window uses, so trimming early
+        # changes nothing the window would keep.
+        import pyarrow as pa
+
         q_ids_, q_mat_ = bc.value
         q_sq = (q_mat_ * q_mat_).sum(1)[:, None]
-        for pdf in it:
-            if pdf.empty:
+        run_d = run_i = None
+        for batch in it:
+            if batch.num_rows == 0:
                 continue
-            ids = pdf[vec_id].to_numpy(dtype=np.int64)
-            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            mat = _list_col_matrix(batch.column(1))
             d = q_sq - 2.0 * (q_mat_ @ mat.T) + (mat * mat).sum(1)[None, :]
             kk = min(k, d.shape[1])
             top = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-            rows = []
-            for qi in range(d.shape[0]):
-                # the expanded form selects candidates fast but rounds
-                # differently than sum((q-v)^2): identical vectors can
-                # come back ~1e-16 POSITIVE, which breaks exact dup
-                # gates (dist <= 0). Recompute the kk selected
-                # distances with the difference form — exact zeros for
-                # exact dups, and the same associativity as the SQL
-                # expression path, at O(k·dim) per query.
-                diff = q_mat_[qi][None, :] - mat[top[qi]]
-                exact = (diff * diff).sum(1)
-                for j, vi in enumerate(top[qi]):
-                    rows.append((int(q_ids_[qi]), int(ids[vi]), float(exact[j])))
-            yield pd.DataFrame(rows, columns=["query_id", "vec_id", "dist"])
+            # the expanded form selects candidates fast but rounds
+            # differently than sum((q-v)^2): identical vectors can
+            # come back ~1e-16 POSITIVE, which breaks exact dup
+            # gates (dist <= 0). Recompute the kk selected
+            # distances with the difference form — exact zeros for
+            # exact dups, and the same associativity as the SQL
+            # expression path, at O(k·dim) per query.
+            diff = q_mat_[:, None, :] - mat[top]
+            exact = (diff * diff).sum(2)
+            cid = ids[top]
+            if run_d is None:
+                run_d, run_i = exact, cid
+            else:
+                cd = np.concatenate([run_d, exact], axis=1)
+                ci = np.concatenate([run_i, cid], axis=1)
+                o1 = np.argsort(ci, axis=1, kind="stable")
+                cd = np.take_along_axis(cd, o1, 1)
+                ci = np.take_along_axis(ci, o1, 1)
+                o2 = np.argsort(cd, axis=1, kind="stable")[:, :k]
+                run_d = np.take_along_axis(cd, o2, 1)
+                run_i = np.take_along_axis(ci, o2, 1)
+        if run_d is not None and run_d.size:
+            nq, kk = run_d.shape
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(q_ids_, kk), type=pa.int64()),
+                    pa.array(run_i.ravel(), type=pa.int64()),
+                    pa.array(run_d.ravel(), type=pa.float64()),
+                ],
+                names=["query_id", "vec_id", "dist"],
+            )
 
-    local = vectors.select(vec_id, vec_col).mapInPandas(
+    local = vectors.select(vec_id, vec_col).mapInArrow(
         part, "query_id long, vec_id long, dist double"
     )
     return topk_rows(local, ["query_id"], "dist", k, ascending=True, tie_cols=["vec_id"])
+
+
+def _list_col_matrix(col) -> "np.ndarray":
+    """(n, dim) float64 matrix from an Arrow list<floatish> column —
+    zero-copy reshape of the child values buffer when the lists are
+    uniform-width and null-free, else a row-by-row fallback. Values are
+    identical to the per-row np.asarray conversion either way."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    try:
+        if arr.null_count == 0:
+            off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            widths = np.diff(off)
+            if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+                vals = arr.values.to_numpy(zero_copy_only=False)
+                mat = vals[off[0]:off[-1]].reshape(len(widths), int(widths[0]))
+                return np.ascontiguousarray(mat, dtype=np.float64)
+    except Exception:
+        pass
+    return np.array(
+        [np.asarray(v, dtype=np.float64) for v in arr.to_pylist()]
+    )
 
 
 def hamming_topk_numpy(
