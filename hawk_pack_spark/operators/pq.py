@@ -183,7 +183,12 @@ def ivfpq_build(
             F.col(vec_col).cast("array<double>"), "_center",
             lambda v, c: v - c,
         ).alias("_resid"),
-    )
+        # materialize once: pq_train reads this twice (count + sample
+        # collect), pq_encode a third time and the cell re-join a
+        # fourth — each pass otherwise re-runs the k-means assignment
+        # UDF over the corpus (guide §5: reuse beats recompute; an
+        # index build materializes its input exactly once)
+    ).localCheckpoint()
     codebooks = pq_train(
         resid, m=m, k=k, vec_col="_resid", sample_size=sample_size,
         seed=seed, iters=pq_iters,
@@ -517,7 +522,10 @@ def ivfsq8_build(
             F.col(vec_col).cast("array<double>"), "_center",
             lambda v, c: v - c,
         ).alias("_resid"),
-    )
+        # same materialize-once rationale as ivfpq_build: sq8_train,
+        # sq8_encode and the cell re-join each re-derive the k-means
+        # assignment otherwise
+    ).localCheckpoint()
     lo, scale = sq8_train(resid, vec_col="_resid")
     enc = sq8_encode(resid, lo, scale, vec_id="vec_id", vec_col="_resid")
     encoded = enc.join(resid.select("vec_id", "cell"), "vec_id").select(

@@ -32,6 +32,13 @@ def _ann_summary(ann: DataFrame, exact: DataFrame, k: int, min_recall: float) ->
     - recall_ok: recall@k against the EXACT kNN (computed in the same
       Spark job) is >= min_recall.
     """
+    # the summary reads `ann` through four branches (cardinality agg,
+    # recall semi-join, rank-window audit, monotonicity audit); without a
+    # checkpoint each branch re-runs the whole build+search lineage —
+    # k-means fit included — so the row paid ~4x its own pipeline
+    # (measured 9.5s -> build 6s + 4x1.4s ann passes at sf0.1, r12).
+    # The result is bounded (n_queries x k rows), values unchanged.
+    ann = ann.localCheckpoint()
     hits = ann.join(
         exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "leftsemi"
     )

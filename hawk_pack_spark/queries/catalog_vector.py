@@ -128,6 +128,9 @@ def q_range_search_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     assigned, centers = ivf_build(emb, n_clusters=8)
+    # two consumers (radius stats aggregate + the pruned search) would
+    # each re-run the k-means assignment UDF otherwise
+    assigned = assigned.localCheckpoint()
     radii = ivf_cell_stats(assigned, centers)
     out = range_search_ivf(assigned, centers, radii, queries, radius=1.3)
     return out.select(
