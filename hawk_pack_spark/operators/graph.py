@@ -115,18 +115,40 @@ def bfs_distances(
         .select("node", F.lit(0).alias("dist"))
         .localCheckpoint(eager=True)
     )
+    # Frontier-broadcast dispatch (guide §3.1 — the standard distributed
+    # BFS shape): the frontier/visited sets sit on checkpointed-RDD
+    # lineage with no size estimate, so the per-hop expansion join
+    # sort-merged and SHUFFLED THE EDGE LIST EVERY HOP — an O(edges)
+    # exchange per hop to expand a frontier of kilobytes. Each hop
+    # already pays a job on `nxt` (the isEmpty probe, now a count), so
+    # the sizes are known for free: while frontier and visited stay
+    # under ``broadcast_below`` rows they broadcast (edge list never
+    # moves; one exchange per hop for the distinct); a frontier that
+    # outgrows the cap falls back to the co-partitioned join unchanged.
+    # Integer-only dataflow — results are bit-identical either way.
+    broadcast_below = 2_000_000
+    n_visited = visited.count()
+    n_frontier = n_visited
     frontier = visited
     for hop in range(1, max_hops + 1):
+        fr = F.broadcast(frontier) if n_frontier <= broadcast_below else frontier
+        vi = (
+            F.broadcast(visited.select("node"))
+            if n_visited <= broadcast_below
+            else visited.select("node")
+        )
         nxt = (
-            frontier.join(e, frontier["node"] == e["_s"])
+            fr.join(e, fr["node"] == e["_s"])
             .select(F.col("_d").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(vi, "node", "left_anti")
             .select("node", F.lit(hop).alias("dist"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        n_frontier = nxt.count()
+        if not n_frontier:
             break
+        n_visited += n_frontier
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
@@ -139,6 +161,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     checkpoint_every: int = 0,
+    broadcast_below: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank in the unnormalized per-node-base form:
     r(v) ← (1−d) + d·Σ_{u→v} r(u)/outdeg(u), all nodes starting at 1.
@@ -177,16 +200,33 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ed = e.join(deg, "_s").localCheckpoint(eager=True)
+    # Cardinality dispatch (guide §3.1/§2.4): the rank and contribution
+    # tables are node-sized, but they sit on checkpointed-RDD lineage
+    # whose size Catalyst cannot estimate, so every iteration's two
+    # joins fell back to sort-merge — FOUR exchanges per round (both
+    # join inputs, the groupBy, the nodes side), ~40 shuffle stages for
+    # a 10-round run whose tables are kilobytes. One count over the
+    # checkpointed node set decides once: below ``broadcast_below``
+    # nodes (~50 MB built) the rank/contribution side broadcasts and a
+    # round costs ONE exchange (the contribution groupBy); above it the
+    # co-partitioned shuffle plan is unchanged — broadcasting a
+    # corpus-sized rank table would OOM the driver. Values: identical
+    # recurrence; only the float-sum association inside the groupBy can
+    # move by ~1e-14, absorbed by the output-side round(6) exactly as
+    # the engine-vs-oracle summation-order difference already is.
+    small = nodes.count() <= broadcast_below
     r = nodes.select("node", F.lit(1.0).alias("rank"))
     base = 1.0 - damping
     for _ in range(iters):  # noqa: B007 — index used for checkpoint cadence
+        rr = F.broadcast(r) if small else r
         contrib = (
-            ed.join(r, ed["_s"] == r["node"])
+            ed.join(rr, ed["_s"] == rr["node"])
             .groupBy("_d")
             .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
         )
+        cc = F.broadcast(contrib) if small else contrib
         r = nodes.join(
-            contrib, nodes["node"] == contrib["_d"], "left"
+            cc, nodes["node"] == cc["_d"], "left"
         ).select(
             "node",
             (

@@ -28,6 +28,8 @@ layer, insertion order = vec_id ascending).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -166,6 +168,15 @@ def balance_assignments(
     are computed per (sub-)shard from members, so a split cell simply
     contributes several nearby centroids — queries probing the region
     probe its sub-shards."""
+    # materialize the narrow (id, shard) projection ONCE: this function
+    # reads its input through three separate passes (the max-shard
+    # collect below, the sizes groupBy, and the salting join), and the
+    # typical caller feeds it a k-means assignment whose lineage is a
+    # full ML-transform scoring pass over the corpus — un-checkpointed,
+    # that pass ran 3x (guide §5: reuse beats recompute; ~16 bytes/row)
+    assignments = assignments.select(
+        F.col(id_col), F.col(shard_col)
+    ).localCheckpoint()
     sizes = assignments.groupBy(shard_col).agg(F.count(F.lit(1)).alias("_sz"))
     base = 1 + (assignments.agg(F.max(shard_col)).collect()[0][0] or 0)
     splits = (
@@ -234,12 +245,27 @@ def build_index(
     unit, an HNSW graph accelerates search inside each cell) — the
     standard composition for >100M-vector deployments."""
     if assignments is not None:
+        # Attach the (id, shard) plan WITHOUT shuffling the payload
+        # (guide §8.4): the assignment rows are ~12 bytes each while the
+        # vector side carries the full payload — a sort-merge join here
+        # shuffles the corpus by vec_id only to tag it with an int, and
+        # the repartition below then shuffles it AGAIN by shard
+        # (measured at 1M x 64d: two 550 MB exchanges for a 12 MB plan).
+        # Below the broadcast cap the plan side broadcasts and the
+        # payload moves exactly once (the shard repartition); above it
+        # the shuffle join is the only correct choice. The count is
+        # cheap for the checkpointed assignments every caller passes.
+        asg = assignments.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col("shard").cast("int").alias("shard"),
+        )
+        # ~50 built bytes/row in the hash relation -> ~400 MB at the cap,
+        # safe for ordinary executor memory; tune via env on big boxes
+        cap = int(os.environ.get("HAWK_PACK_ASSIGN_BCAST_ROWS", 8_000_000))
+        if asg.count() <= cap:
+            asg = F.broadcast(asg)
         prepped = _normalize_vectors(vectors, id_col, vec_col, metric).join(
-            assignments.select(
-                F.col(id_col).cast("long").alias("vec_id"),
-                F.col("shard").cast("int").alias("shard"),
-            ),
-            "vec_id",
+            asg, "vec_id"
         )
     else:
         prepped = _normalize_vectors(vectors, id_col, vec_col, metric).withColumn(

@@ -194,7 +194,13 @@ def q_knn_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 10
     # dim=64 is the fixture's embedding width (TESTDATA.md): the hint
     # skips the dim-sniff first() probe (VERDICT r8 #3)
-    g = knn_join(emb, k=k, nprobe=10, replicas=3, descent_rounds=1, dim=64)
+    # the invariant row reads `g` through three branches (degree agg,
+    # self-count, recall semi-join); without a checkpoint each branch
+    # re-runs the whole blocked-join + NN-descent pipeline. The result
+    # is bounded (n x k rows), values unchanged.
+    g = knn_join(
+        emb, k=k, nprobe=10, replicas=3, descent_rounds=1, dim=64
+    ).localCheckpoint()
     deg = g.groupBy("query_id").agg(F.count(F.lit(1)).alias("deg"))
     anchors = (
         emb.orderBy(F.xxhash64("vec_id"), "vec_id")
