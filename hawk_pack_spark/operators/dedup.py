@@ -457,10 +457,13 @@ def jaccard_prefix_join(
         if gram_n
         else tokens(F.col(text_col))
     )
+    # materialize the per-doc token arrays ONCE: four consumers below
+    # (postings explode, sizes, and both verify sides) otherwise each
+    # re-run the tokenize + sort + distinct over corpus bytes (guide §5)
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.array_sort(F.array_distinct(elems)).alias("_ts"),
-    ).where(F.size("_ts") > 0)
+    ).where(F.size("_ts") > 0).localCheckpoint()
     posting = toks.select("_id", F.explode("_ts").alias("_tok"))
     dfreq = posting.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     # rare-first rank per doc: sort tokens by (df, token) inside each doc
@@ -475,10 +478,11 @@ def jaccard_prefix_join(
     )
     sizes = toks.select("_id", F.size("_ts").alias("_sz"))
     # prefix length |s| - ceil(tau*|s|) + 1, integer-exact ceil
+    # (materialized once: it feeds BOTH sides of the candidate join)
     pre = ranked.join(sizes, "_id").where(
         F.col("_rnk")
         <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(p_num) / F.lit(q_den)) + 1
-    )
+    ).localCheckpoint()
     a = pre.select(F.col("_id").alias("_ia"), "_tok")
     b = pre.select(F.col("_id").alias("_ib"), "_tok")
     cand = (
@@ -640,11 +644,16 @@ def containment_prefix_join(
         if gram_n
         else tokens(F.col(text_col))
     )
+    # same materialize-once discipline as jaccard_prefix_join: toks has
+    # four consumers (postings, sizes, both verify sides), posting three
+    # (dfreq, the ranked prefix cut, the full index side of the join)
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.array_sort(F.array_distinct(elems)).alias("_ts"),
-    ).where(F.size("_ts") > 0)
-    posting = toks.select("_id", F.explode("_ts").alias("_tok"))
+    ).where(F.size("_ts") > 0).localCheckpoint()
+    posting = toks.select(
+        "_id", F.explode("_ts").alias("_tok")
+    ).localCheckpoint()
     dfreq = posting.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     ranked = posting.join(dfreq, "_tok").withColumn(
         "_rnk",
@@ -733,6 +742,10 @@ def cosine_prefix_join(
     # stop pruning, and the candidate join saturates (measured: the
     # 10x fixture ran >600s on tokens, seconds on 3-grams)
     elems = _wng(F.col(text_col), gram_n) if gram_n else _tok(F.col(text_col))
+    # materialize the tf postings ONCE: dfreq and the idf join below are
+    # two separate consumers, so the tokenize + explode + groupBy
+    # pipeline otherwise runs per consumer (guide §5; postings-sized,
+    # same discipline as `unit` further down)
     tf = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -740,13 +753,16 @@ def cosine_prefix_join(
         )
         .groupBy("_id", "_tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_tf"))
-    )
+    ).localCheckpoint()
     n_docs = df.select(F.col(id_col)).distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("_nd")
     )
     dfreq = tf.groupBy("_tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("_df")
     )
+    # w feeds both the norm aggregation and the unit projection — one
+    # more materialize-once point (values unchanged; the _w expression
+    # and its operand order are identical)
     w = (
         tf.join(dfreq, "_tok")
         .crossJoin(F.broadcast(n_docs))
@@ -756,7 +772,7 @@ def cosine_prefix_join(
             * F.log(F.col("_nd").cast("double") / F.col("_df").cast("double")),
         )
         .where(F.col("_w") > 0)  # corpus-universal terms carry no signal
-    )
+    ).localCheckpoint()
     norms = (
         w.groupBy("_id")
         .agg(

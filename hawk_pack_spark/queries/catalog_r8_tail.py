@@ -198,8 +198,15 @@ def q_knn_join_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-count, recall semi-join); without a checkpoint each branch
     # re-runs the whole blocked-join + NN-descent pipeline. The result
     # is bounded (n x k rows), values unchanged.
+    # n_rows: knn_join runs this same count itself when the hint is
+    # absent (auto-sizing); passing it from here costs nothing extra and
+    # lets the operator drop its sort-merge pin below 200k rows (its own
+    # measured 2x win: AQE broadcast-joins the salted candidate stage
+    # instead of full-sorting both corpus-sized sides). Same n_clusters
+    # / fit_fraction at any fixture SF — results identical.
     g = knn_join(
-        emb, k=k, nprobe=10, replicas=3, descent_rounds=1, dim=64
+        emb, k=k, nprobe=10, replicas=3, descent_rounds=1, dim=64,
+        n_rows=emb.count(),
     ).localCheckpoint()
     deg = g.groupBy("query_id").agg(F.count(F.lit(1)).alias("deg"))
     anchors = (

@@ -854,8 +854,12 @@ def q_semdedup_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     aug = emb.unionByName(twins)
-    pruned = semdedup_pairs(aug, threshold=0.9, n_clusters=8)
-    exact = all_pairs_cosine_numpy(aug, threshold=0.9)
+    # both pair sets feed TWO consumers each (the subset anti-join and
+    # their count aggregates) — materialize once so the k-means-backed
+    # pruned pipeline and the blocked exact verifier each run a single
+    # time (bounded: pair-count rows; values unchanged)
+    pruned = semdedup_pairs(aug, threshold=0.9, n_clusters=8).localCheckpoint()
+    exact = all_pairs_cosine_numpy(aug, threshold=0.9).localCheckpoint()
     viol = pruned.join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
