@@ -250,11 +250,19 @@ def bigram_lm_scores(
     gram key; both the training counts and the scoring join are
     map-side-combined shuffles on the gram."""
     ids = [F.col(c) for c in id_cols]
-    g = docs.select(*ids, F.explode(T.word_ngrams(text_col, 2)).alias("gram"))
+    # materialize the gram stream once: it feeds BOTH the training
+    # count and the scoring join below, so the tokenize + 2-gram
+    # explode over corpus bytes otherwise runs twice (guide §5)
+    g = docs.select(
+        *ids, F.explode(T.word_ngrams(text_col, 2)).alias("gram")
+    ).localCheckpoint()
     c_ab = g.groupBy("gram").agg(F.count(F.lit(1)).alias("c_ab"))
     uni = docs.select(F.explode(T.tokens(text_col)).alias("tok"))
-    c_a = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c_a"))
-    v = uni.select(F.count_distinct("tok").alias("v"))
+    # vocabulary-sized; feeds the model join AND the vocab count — and
+    # V = COUNT(DISTINCT tok) is exactly this table's row count, so the
+    # second corpus-wide unigram pass collapses to a metadata count
+    c_a = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c_a")).localCheckpoint()
+    v = c_a.select(F.count(F.lit(1)).alias("v"))
     model = (
         c_ab.withColumn("tok", F.split(F.col("gram"), " ")[0])
         .join(c_a, "tok")
