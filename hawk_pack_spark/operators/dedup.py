@@ -94,14 +94,20 @@ def minhash_candidates(
     dropped buckets are exactly the ones whose members near-match almost
     everything (handle them with exact-dedup instead)."""
     if max_bucket is not None:
-        sizes = bands_df.groupBy("band", "band_key").agg(
-            F.count(F.lit(1)).alias("_bsize")
-        )
+        # bucket-size cap as a count window over the bucket key — one
+        # shuffle on the SAME key the self-join below needs, replacing
+        # the former groupBy-sizes + shuffle-join (two shuffles of the
+        # band table). COUNT and filter are integer-identical.
+        w = Window.partitionBy("band", "band_key")
         bands_df = (
-            bands_df.join(sizes, ["band", "band_key"])
+            bands_df.withColumn("_bsize", F.count(F.lit(1)).over(w))
             .where(F.col("_bsize") <= max_bucket)
             .drop("_bsize")
         )
+    # materialize the narrow banded table ONCE: both self-join sides
+    # (and, uncapped, the size pass) otherwise re-run the whole
+    # tokenize+hash signature pipeline per consumer (guide §5).
+    bands_df = bands_df.localCheckpoint(eager=True)
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )
@@ -125,9 +131,22 @@ def verify_jaccard(
 ) -> DataFrame:
     """Exact token-set Jaccard on candidate pairs only; keeps pairs with
     jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
-    sets_ = df.select(
-        F.col(id_col), F.array_sort(_distinct_tokens(text_col)).alias("ts")
+    # the pair list is read three times (two id projections + the
+    # verify join) — materialize it once; it is candidate-sized
+    candidates = candidates.localCheckpoint(eager=True)
+    # tokenize ONLY docs that appear in some candidate pair: the
+    # semi-join prunes the corpus before the (expensive) tokenize+sort
+    # projection, and the checkpointed candidate-sized token table is
+    # then read by both join sides without re-scanning the corpus
+    # (guide §2: project/filter early, shuffle fewer bytes).
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    sets_ = df.join(ids, id_col, "leftsemi").select(
+        F.col(id_col), F.array_sort(_distinct_tokens(text_col)).alias("ts")
+    ).localCheckpoint(eager=True)
     a = sets_.select(F.col(id_col).alias("id_a"), F.col("ts").alias("ts_a"))
     b = sets_.select(F.col(id_col).alias("id_b"), F.col("ts").alias("ts_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")

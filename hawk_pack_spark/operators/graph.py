@@ -493,12 +493,18 @@ def link_prediction(
     group_entropy sorted-fold rule — never a shuffle-order float sum),
     rounded to 6 dp.
     """
+    # Materialize the deduped edge list and the node-count-sized degree
+    # table ONCE: `e` is consumed by the degree reduction, the wedge
+    # adjacency, and the existing-edge anti-join, and `deg` by three
+    # joins — without the barrier each consumer re-runs the (possibly
+    # expensive) upstream edge derivation (guide §5: reuse beats
+    # recompute; values unchanged, materialization only).
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     deg = e.groupBy(F.col("_s").alias("_n")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_deg")
-    )
+    ).localCheckpoint(eager=True)
     # adjacency annotated with the NEIGHBOR-side degree (wedge center z)
     adj = e.join(
         deg.select(F.col("_n").alias("_d"), F.col("_deg").alias("_zdeg")),

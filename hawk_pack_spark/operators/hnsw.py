@@ -916,7 +916,13 @@ def insert_batch(
     id-hashed indexes (placing by id into a content-sharded index
     would strand new vectors in cells that don't match their content,
     and routed searches would miss them)."""
-    num_shards = 1 + (index_df.agg(F.max("shard")).collect()[0][0] or 0)
+    # shard count comes for free from the build metadata when provided
+    # (one row per shard) — the full-index max(shard) aggregation pass
+    # is only paid on the id-hash placement path that needs it
+    if centroids is not None:
+        num_shards = len(centroids)
+    else:
+        num_shards = 1 + (index_df.agg(F.max("shard")).collect()[0][0] or 0)
     if match_threshold is not None:
         as_queries = batch.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
@@ -1145,15 +1151,21 @@ def delete_from_index(index_df: DataFrame, delete_ids: DataFrame,
     untouched = index_df.where(~F.col("shard").isin(touched))
     tdf = index_df.where(F.col("shard").isin(touched))
     del_dst = dels.select(F.col("vec_id").alias("dst"))
+    # materialize the discovery pass ONCE: aff_ids is read by both the
+    # work semi-join and the calm anti-join, and work by the kept
+    # projection plus three edge consumers — without the barriers the
+    # touched-shard edge explode re-runs per consumer (guide §5). Both
+    # frames are affected-neighborhood-sized, not index-sized.
     aff_ids = (
         tdf.select("vec_id", F.explode("e_dst").alias("dst"))
         .join(F.broadcast(del_dst), "dst", "left_semi")
         .select("vec_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     work = tdf.join(
         aff_ids.unionByName(dels).distinct(), "vec_id", "left_semi"
-    )
+    ).localCheckpoint(eager=True)
     calm = tdf.join(dels, "vec_id", "left_anti").join(
         aff_ids, "vec_id", "left_anti"
     )

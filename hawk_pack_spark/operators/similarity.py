@@ -1576,18 +1576,30 @@ def binary_quant_knn(
         hd = hd + F.bit_count(
             F.get(F.col("bq_code"), _w).bitwiseXOR(F.get(F.col("_qcode"), _w))
         )
-    scored = codes.crossJoin(F.broadcast(qcodes)).select(
+    # The Hamming top-k window shuffles one row per (corpus row x query);
+    # carry only (query_id, vec_id, _hd) through that shuffle — the two
+    # full float vectors (~1 KB/row at dim=64) are re-attached to the
+    # k*oversample survivors afterwards: the corpus side by broadcasting
+    # the tiny survivor list into a second corpus scan (broadcast-hash,
+    # no corpus shuffle), the query side from the already-broadcast
+    # query block (guide §2: shuffle metadata, not payloads).
+    scored = codes.select(id_col, "bq_code").crossJoin(
+        F.broadcast(qcodes.select(query_id_col, "_qcode"))
+    ).select(
         query_id_col,
         id_col,
-        vec_col,
-        "_qv",
         hd.alias("_hd"),
     )
     pre = topk_rows(
         scored, [query_id_col], "_hd", k * oversample,
         tie_cols=[id_col], rank_name="_hrank",
     )
-    rer = pre.select(
+    cand = vectors.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(pre.select(query_id_col, id_col)), id_col
+    )
+    rer = cand.join(
+        F.broadcast(qcodes.select(query_id_col, "_qv")), query_id_col
+    ).select(
         query_id_col,
         id_col,
         l2_sq_unrolled(F.col(vec_col), F.col("_qv"), dim).alias("dist"),

@@ -96,19 +96,24 @@ def q_hnsw_serving_search_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    # each search result is read by 2-3 branches below (summary + both
+    # exceptAll directions); materialize the bounded (10 queries x k)
+    # frames once so each search executes once, not per branch
     serv = hnsw.search_serving(
         index, queries, k=10, metric="l2_sq", params=_HNSW_PARAMS
-    )
-    cog = hnsw.search(index, queries, k=10, metric="l2_sq", params=_HNSW_PARAMS)
+    ).localCheckpoint()
+    cog = hnsw.search(
+        index, queries, k=10, metric="l2_sq", params=_HNSW_PARAMS
+    ).localCheckpoint()
     cents = hnsw.shard_centroids(index, "l2_sq").collect()
     serv_r = hnsw.search_serving(
         index, queries, k=10, metric="l2_sq", params=_HNSW_PARAMS,
         nprobe_shards=4, centroids=cents,
-    )
+    ).localCheckpoint()
     cog_r = hnsw.search(
         index, queries, k=10, metric="l2_sq", params=_HNSW_PARAMS,
         num_shards=_hnsw_num_shards(spark, sf_dir), nprobe_shards=4,
-    )
+    ).localCheckpoint()
     exact = knn_exact(emb, queries, k=10, metric="l2_sq")
 
     def n_diff(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
@@ -333,10 +338,12 @@ def q_dup_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, batch, metric="hamming", params=params, vec_col="code",
         match_threshold=0.0, serving_gate=True,
     ).localCheckpoint()
+    # consumed by both exceptAll directions below — materialize once so
+    # the cogroup insert pipeline runs once, not per branch
     gated_cg = hnsw.insert_batch(
         index, batch, metric="hamming", params=params, vec_col="code",
         match_threshold=0.0, serving_gate=False,
-    )
+    ).localCheckpoint()
     expected_ids = (
         base.select("vec_id")
         .unionByName(intra_win.select("vec_id"))

@@ -593,7 +593,11 @@ def q_graph_bulk_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, metric="hamming", params=params, num_shards=2, vec_col="code"
     ).localCheckpoint()
     links = hnsw.to_links(index)
-    imported = hnsw.from_links(links, codes, metric="hamming", vec_col="code")
+    # read three times below (two canon exceptAll directions + search) —
+    # materialize the reconstruction once
+    imported = hnsw.from_links(
+        links, codes, metric="hamming", vec_col="code"
+    ).localCheckpoint()
     # adjacency is a SET per node: the kernel emits insertion order,
     # from_links emits (layer, dist, dst)-sorted — canonicalize by
     # sorting the zipped triples before comparing
@@ -618,8 +622,13 @@ def q_graph_bulk_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = codes.select(
         F.col("vec_id").alias("query_id"), F.col("code").alias("query_vec")
     )
-    a = hnsw.search(index, q, k=3, metric="hamming", params=params)
-    b = hnsw.search(imported, q, k=3, metric="hamming", params=params)
+    # each search is read by both exceptAll directions — run each once
+    a = hnsw.search(
+        index, q, k=3, metric="hamming", params=params
+    ).localCheckpoint()
+    b = hnsw.search(
+        imported, q, k=3, metric="hamming", params=params
+    ).localCheckpoint()
     sd = a.exceptAll(b).unionByName(b.exceptAll(a))
     return (
         emb.agg(F.count(F.lit(1)).cast("long").alias("n_index"))
@@ -777,10 +786,12 @@ def q_hnsw_rebuild_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
         neighbor_heuristic=True,
     ).localCheckpoint()
     survivors = emb.join(dels, "vec_id", "left_anti")
+    # consumed by both exceptAll directions — materialize once so the
+    # full fresh build runs once, not twice
     fresh = hnsw.build_index(
         survivors, metric="l2_sq", params=_HNSW_PARAMS, num_shards=n_shards,
         neighbor_heuristic=True,
-    )
+    ).localCheckpoint()
     canon = lambda df: df.select(  # noqa: E731
         "shard", "vec_id", "layer",
         F.to_json(

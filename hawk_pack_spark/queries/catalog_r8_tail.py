@@ -597,13 +597,16 @@ def q_mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("query_vec"),
         )
     )
+    # cand is read four times (rerank, subset audit, top-rel audit, the
+    # driver-side recompute) and picked five times — materialize both
+    # bounded frames once instead of re-running kNN + rerank per branch
     cand = knn_exact(emb, anchors, k=24, metric="cosine").select(
         "query_id",
         "vec_id",
         (F.lit(1.0) - F.col("dist")).alias("rel"),
         "rank",
-    ).join(emb, "vec_id")
-    picked = mmr_rerank(cand, k=8, lam=0.5)
+    ).join(emb, "vec_id").localCheckpoint()
+    picked = mmr_rerank(cand, k=8, lam=0.5).localCheckpoint()
     k_ok = picked.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
     subset_viol = picked.join(
         cand.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from hawk_pack_spark.queries import CATALOG  # noqa: E402
+from hawk_pack_spark.queries.catalog import ALL_SPECS as CATALOG  # noqa: E402
 from hawk_pack_spark.session import get_spark  # noqa: E402
 
 
