@@ -56,7 +56,13 @@ def triangle_count(
     Degree orientation: each edge is directed from its lower-(degree,
     id) endpoint to the higher, making a DAG with out-degree O(√m);
     triangles are closed wedges a→b→c with a→c present, each counted
-    exactly once at its minimal apex."""
+    exactly once at its minimal apex.
+
+    Deliberately NOT localCheckpoint'ed (r12): every multi-consumer
+    subtree here is exchange-terminated (distinct, groupBy), so AQE's
+    shuffle-stage reuse already shares them within the one action
+    (measured: 20 ReusedExchange in the final plan; adding eager
+    checkpoints made the row ~20% SLOWER at sf0.1)."""
     e = edges.select(
         F.col(a_col).alias("_x"), F.col(b_col).alias("_y")
     ).where(F.col(a_col) != F.col(b_col)).distinct()
@@ -628,6 +634,9 @@ def clustering_coefficient(
     row explodes to its THREE member nodes (×3, bounded) and ONE
     groupBy attributes the counts.
     """
+    # NOT checkpointed — same reasoning as triangle_count: the shared
+    # subtrees are exchange-terminated, AQE stage reuse already shares
+    # them within the single action (measured slower with checkpoints)
     e = edges.select(
         F.col(a_col).alias("_x"), F.col(b_col).alias("_y")
     ).where(F.col(a_col) != F.col(b_col)).distinct()
@@ -717,6 +726,9 @@ def degree_assortativity(
     und = edges.select(
         F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
     )
+    # NOT checkpointed — the shared subtrees are exchange-terminated
+    # and AQE stage reuse shares them within the one action (measured
+    # slower with eager checkpoints; see triangle_count)
     directed = und.unionAll(
         und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
     )

@@ -1140,7 +1140,17 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("high_ppl") == 0)
         & (F.col("contaminated") == 0)
     )
-    keyed = gated.withColumn("h", F.md5(F.lower(F.col("text"))))
+    # compute the dedup key early, drop the text payload, and
+    # materialize ONCE: the gate pipeline above (two repetition passes
+    # + bigram LM + decontamination) is otherwise re-run for the dedup
+    # branch and each funnel aggregate (guide §5; §2.3 — carry
+    # metadata, not payloads). Values unchanged: h is the same md5 and
+    # nothing downstream reads text.
+    keyed = (
+        gated.withColumn("h", F.md5(F.lower(F.col("text"))))
+        .drop("text")
+        .localCheckpoint()
+    )
     keep = keyed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     deduped = keyed.join(keep, "h").where(F.col("doc_id") == F.col("keep_id"))
     rates = {"en": 800, "de": 500, "fr": 500, "es": 250, "zh": 250}
@@ -1156,7 +1166,7 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     funnel = (
         tr.groupBy("lang").agg(F.count(F.lit(1)).alias("n_input"))
-        .join(gated.groupBy("lang").agg(F.count(F.lit(1)).alias("n_gated")), "lang", "left")
+        .join(keyed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_gated")), "lang", "left")
         .join(deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_deduped")), "lang", "left")
         .join(sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")), "lang", "left")
         .join(bins, "lang", "left")
