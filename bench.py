@@ -330,8 +330,12 @@ def bench_ann_crossover(spark) -> None:
 
     t0 = time.perf_counter()
     # coarse quantizer fit on a 20% sample (the 100 TB recipe: never
-    # fit k-means on the full corpus), assignment covers every row
-    assigned, _ = ivf_build(vecs, n_clusters=32, max_iter=5, fit_fraction=0.2)
+    # fit k-means on the full corpus), assignment covers every row;
+    # with_payload=False — only (vec_id, cluster) is consumed below, so
+    # the vectors never cross the Arrow boundary back (r12)
+    assigned, _ = ivf_build(
+        vecs, n_clusters=32, max_iter=5, fit_fraction=0.2, with_payload=False
+    )
     asg = hnsw.balance_assignments(
         assigned.select("vec_id", F.col("cluster").alias("shard")),
         max_cell=max(2000, (3 * n) // 64),
@@ -447,7 +451,8 @@ def bench_ann_1m(spark) -> None:
 
     t0 = time.perf_counter()
     assigned, _ = ivf_build(
-        vecs, n_clusters=cells, max_iter=5, fit_fraction=50_000 / n
+        vecs, n_clusters=cells, max_iter=5, fit_fraction=50_000 / n,
+        with_payload=False,
     )
     asg = hnsw.balance_assignments(
         assigned.select("vec_id", F.col("cluster").alias("shard")),

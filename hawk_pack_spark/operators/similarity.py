@@ -74,6 +74,71 @@ def hash_embeddings(
 # IVF
 
 
+def _kmeans_fit_np(x: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
+    """Driver-side seeded coarse-quantizer fit: k-means++ init + Lloyd's,
+    all BLAS. A ≤262k-row × 64-d sample is a ≤134 MB problem — the
+    pyspark.ml fit it replaces paid ~20 scheduler rounds and a measured
+    2-6 s of fixed overhead per call at EVERY scale (6.0 s on a 2000-row
+    fixture table; guide §1.2: fix the algorithm before the config).
+    Deterministic for a fixed (sample, seed). Same edge contracts as
+    pq.py's `_kmeans_np`: empty cells re-seed from the farthest points,
+    n < k pads by cycling the sample."""
+    n = len(x)
+    if n == 0:
+        raise ValueError("k-means fit sample is empty")
+    rng = np.random.RandomState(seed)
+    k_eff = min(k, n)
+    # k-means++ is k SEQUENTIAL O(pool·d) steps — on a bounded uniform
+    # subsample (32 candidates per center) it costs <0.5 s at any k,
+    # and the full-sample Lloyd's below polishes whatever the init
+    # misses (measured: 3 s → <0.5 s at k=256 on a 50k sample,
+    # fixture-scale inertia unchanged).
+    pool = x
+    if n > 32 * k_eff:
+        pool = x[rng.choice(n, size=32 * k_eff, replace=False)]
+    np_pool = len(pool)
+    centers = np.empty((k_eff, x.shape[1]), dtype=np.float64)
+    xx = (pool * pool).sum(1)
+    centers[0] = pool[rng.randint(np_pool)]
+    d2 = np.maximum(xx - 2.0 * (pool @ centers[0]) + (centers[0] ** 2).sum(), 0.0)
+    for j in range(1, k_eff):
+        tot = d2.sum()
+        if tot <= 0.0:  # every remaining point coincides with a center
+            centers[j:] = pool[rng.choice(np_pool, size=k_eff - j)]
+            break
+        centers[j] = pool[rng.choice(np_pool, p=d2 / tot)]
+        dj = np.maximum(
+            xx - 2.0 * (pool @ centers[j]) + (centers[j] ** 2).sum(), 0.0
+        )
+        np.minimum(d2, dj, out=d2)
+    if k_eff < k:
+        centers = np.vstack([centers] * (k // k_eff + 1))[:k]
+    xx = (x * x).sum(1)
+    # Lloyd's. argmin_c ||x−c||² == argmax_c (x·c − ||c||²/2): one
+    # (n, k) matmul plus an in-place bias row per iteration — no second
+    # n×k temporary (the naive d = xx − 2xCᵀ + cc form is memory-bandwidth
+    # bound on its broadcast temporaries, measured 4x slower at 50k×256).
+    prev = None
+    for _ in range(iters):
+        s = x @ centers.T
+        s -= 0.5 * (centers * centers).sum(1)[None, :]
+        assign = s.argmax(1)
+        if prev is not None and np.array_equal(assign, prev):
+            break  # converged: further iterations are no-ops
+        prev = assign
+        counts = np.bincount(assign, minlength=len(centers)).astype(np.float64)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, assign, x)
+        ne = counts > 0
+        centers[ne] = sums[ne] / counts[ne, None]
+        if not ne.all():
+            # farthest points re-seed empty cells; d²_min = ||x||² − 2·s_max,
+            # so ascending (2·s_max − ||x||²) is descending distance
+            far = np.argsort(2.0 * s.max(1) - xx)
+            centers[~ne] = x[far[: int((~ne).sum())]]
+    return centers
+
+
 def ivf_build(
     vectors: DataFrame,
     n_clusters: int = 16,
@@ -82,38 +147,99 @@ def ivf_build(
     seed: int = 42,
     max_iter: int = 10,
     fit_fraction: float | None = None,
+    fit_cap: int = 262_144,
+    with_payload: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """Fit seeded k-means and assign every vector to a cluster.
+    """Fit a seeded coarse quantizer and assign every vector to a cell.
 
-    Returns (assigned vectors DataFrame with a `cluster` column,
-    centroid list). Centroids are small (n_clusters × dim) and live on
-    the driver for broadcast into query planning.
+    Returns (assigned vectors DataFrame (id, vec, cluster), centroid
+    list). Centroids are small (n_clusters × dim) and live on the
+    driver for broadcast into query planning. ``with_payload=False``
+    drops the vector from the assignment output — (id, cluster) only —
+    so the payload crosses the Arrow boundary INTO the scorer but never
+    back (~12 MB instead of ~550 MB returned at 1M×64d); callers that
+    only route on the cell id (the content-sharded index builds) want
+    this, callers that score inside cells (semdedup, ivf_search,
+    range_search) need the vectors and keep the default.
 
-    ``fit_fraction``: fit the model on a seeded sample instead of the
-    full table (assignment still covers every row) — the standard
-    coarse-quantizer training recipe; at 100 TB you never fit k-means
-    on the full corpus."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    The FIT runs driver-side on a bounded sample (`_kmeans_fit_np`):
+    ``fit_fraction`` samples the corpus (the standard coarse-quantizer
+    recipe — at 100 TB you never fit k-means on the full corpus; every
+    scale-path caller passes it) and ``fit_cap`` bounds the collected
+    sample unconditionally (262k × 64-d ≈ 134 MB driver-side worst
+    case). At fixture scales the cap exceeds the table, so the fit sees
+    every row like the old full-table fit did. The ASSIGNMENT pass
+    stays distributed and linear: one tiled BLAS argmin per Arrow batch
+    over the broadcast centroid matrix (`_assign_top_cells`, m=1).
 
-    ml_df = vectors.select(
+    This replaces the pyspark.ml KMeans fit+transform (r12, guide
+    §1.2/§4.2): the ML fit paid a measured 2-6 s of fixed scheduler/JIT
+    overhead per call at every fixture scale and the transform boxed a
+    DenseVector per row. Centroids differ from the ML fit's (both are
+    seeded-deterministic k-means); every consumer absorbs that by
+    construction — the IVF triangle-inequality prune is lossless
+    (range_search), and the ANN/semdedup/knn_join rows gate invariants
+    (recall/subset/degree) with measured headroom — re-verified against
+    the DuckDB oracle at every SF after the swap."""
+    sel = vectors.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    fit_df = (
-        ml_df.sample(fraction=fit_fraction, seed=seed)
-        if fit_fraction is not None
-        else ml_df
-    )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(fit_df)
-    assigned = model.transform(ml_df).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("prediction").alias("cluster"),
-    )
-    centers = [c.tolist() for c in model.clusterCenters()]
-    return assigned, centers
+    if fit_fraction is not None:
+        # caller-bounded sample (every scale-path caller passes a
+        # fraction sized to tens of k rows); the CollectLimit guard
+        # below costs ~0.4 s of incremental jobs, so it is applied only
+        # where nothing else bounds the collect
+        fit_df = sel.sample(fraction=fit_fraction, seed=seed).select(vec_col)
+    else:
+        fit_df = sel.select(vec_col).limit(int(fit_cap))
+    rows = fit_df.collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    centers = _kmeans_fit_np(x, n_clusters, seed, max_iter)
+    return _ivf_assign_arrow(sel, centers, with_payload=with_payload), [
+        [float(v) for v in c] for c in centers
+    ]
+
+
+def _ivf_assign_arrow(
+    sel: DataFrame, centers: np.ndarray, with_payload: bool = True
+) -> DataFrame:
+    """Nearest-cell id appended to each (id, vec) row — mapInArrow
+    passthrough: the list column's values buffer reshapes zero-copy into
+    the (rows, dim) matrix (`_list_col_matrix`), one BLAS argmin per
+    tile, and the INPUT columns are re-emitted untouched (no per-row
+    conversion in either direction — the mapInPandas form's measured
+    cost was exactly that conversion). argmin_c ||x−c||² ==
+    argmax_c (x·c − ||c||²/2); np.argmax takes the first max, so ties
+    break to the lower cell id like `_assign_top_cells`' stable sort.
+    Row tiles are bounded to `_TILE_DOUBLES` with a 1-row floor, so the
+    score tile stays ≤ ~190 MB for ANY cell count (the r11 OOM lesson)."""
+    import pyarrow as pa
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centers, dtype=np.float64)
+    bc = sel.sparkSession.sparkContext.broadcast((C, 0.5 * (C * C).sum(axis=1)))
+    rows_per_tile = max(1, _TILE_DOUBLES // max(1, len(C)))
+    kept = sel.schema.fields if with_payload else sel.schema.fields[:1]
+    out_schema = StructType(list(kept) + [StructField("cluster", IntegerType())])
+    names = [f.name for f in out_schema.fields]
+    n_keep = len(kept)
+
+    def part(it):
+        C_, half_cc = bc.value
+        for batch in it:
+            for lo in range(0, batch.num_rows, rows_per_tile):
+                chunk = batch.slice(lo, rows_per_tile)
+                mat = _list_col_matrix(chunk.column(1))
+                s = mat @ C_.T
+                s -= half_cc[None, :]
+                yield pa.RecordBatch.from_arrays(
+                    [chunk.column(i) for i in range(n_keep)]
+                    + [pa.array(s.argmax(1).astype(np.int32), type=pa.int32())],
+                    names=names,
+                )
+
+    return sel.mapInArrow(part, out_schema)
 
 
 def ivf_search(

@@ -84,21 +84,56 @@ def test_range_search_ivf_exact_and_prunes(spark, sf_dir):
     ps = {(r.query_id, r.vec_id, round(r.dist, 9)) for r in pruned.collect()}
     assert bs == ps and len(bs) > 0  # lossless: identical to brute force
 
-    # the cell prune actually prunes: candidate pairs < full cross product
-    n_queries = queries.count()
+    # the cell prune actually prunes — asserted on PLANTED clusters, where
+    # pruning is geometrically possible. (On the iid-uniform fixture every
+    # balanced cell's radius ≈ the data diameter, so a well-converged fit
+    # legitimately probes everything; the old pyspark.ml fit only "pruned"
+    # there via an artifact — singleton outlier cells with radius 0. Its
+    # measured inertia was 468.8 vs 463.0 for the current fit, r12.)
+    n_planted = 8
+    planted = spark.range(25 * n_planted).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.lit(10.0) * (F.col("id") % n_planted).cast("double")
+                * F.when(i == F.lit(1), F.lit(1.0)).otherwise(F.lit(0.0))
+                + F.sin(F.col("id") * i * 0.7) * F.lit(0.01)
+            ),
+        ).alias("embedding"),
+    )
+    p_assigned, p_centers = S.ivf_build(planted, n_clusters=n_planted)
+    p_radii = S.ivf_cell_stats(p_assigned, p_centers)
+    p_queries = planted.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    p_radius = 0.5  # covers a planted cluster's jitter, not the 10.0 gaps
+    p_brute = range_search(
+        planted.select("vec_id", "embedding"), p_queries, p_radius
+    )
+    p_pruned = S.range_search_ivf(p_assigned, p_centers, p_radii, p_queries, p_radius)
+    pbs = {(r.query_id, r.vec_id, round(r.dist, 9)) for r in p_brute.collect()}
+    pps = {(r.query_id, r.vec_id, round(r.dist, 9)) for r in p_pruned.collect()}
+    assert pbs == pps and len(pbs) > 0  # still lossless on clustered data
+
+    n_queries = p_queries.count()
     centers_df = spark.createDataFrame(
-        [(i, [float(x) for x in c], float(radii[i])) for i, c in enumerate(centers)],
+        [
+            (i, [float(x) for x in c], float(p_radii[i]))
+            for i, c in enumerate(p_centers)
+        ],
         "cluster int, center array<double>, cell_r double",
     )
     from hawk_pack_spark.functions.distance import distance_expr
 
     cdist = F.sqrt(distance_expr("l2_sq", F.col("query_vec"), F.col("center")))
     n_probes = (
-        queries.crossJoin(F.broadcast(centers_df))
-        .where(cdist - F.col("cell_r") <= F.lit(radius ** 0.5))
+        p_queries.crossJoin(F.broadcast(centers_df))
+        .where(cdist - F.col("cell_r") <= F.lit(p_radius ** 0.5))
         .count()
     )
-    assert n_probes < n_queries * len(centers)
+    # well-separated clusters: each query probes ~its own cell only
+    assert n_probes < n_queries * len(p_centers) // 2
 
 
 def test_range_search_ivf_rejects_unsupported_metric(spark, sf_dir):
