@@ -21,10 +21,16 @@ from pyspark.sql import functions as F
 from hawk_pack_spark.functions.distance import distance_expr, hamming, simhash_code
 from hawk_pack_spark.operators.topk import topk_rows
 
-# knn_join's corpus-sized joins pin to sort-merge only at or above this
-# row count; below it AQE's broadcast choice is safe and measurably
-# faster (see the conditional-pin comment in knn_join)
+# knn_join's corpus-sized joins pin to sort-merge at or above this row
+# count (broadcast of a corpus-sized side is unsafe there — the r9
+# driver-OOM lesson); below it AQE's broadcast choice is safe
 _MERGE_PIN_MIN_ROWS = 200_000
+# ...but broadcast only WINS once the candidate sort is expensive
+# enough to dominate: measured 38.9 s unpinned vs 85.2 s pinned at
+# n=50k, yet 20-21 s unpinned vs 12-13 s pinned at n=2k (the broadcast
+# build's adaptive materialization barriers cost more than the trivial
+# sort there, r12) — so the pin is waived only inside this band
+_BCAST_WAIVE_MIN_ROWS = 25_000
 
 
 def hash_embeddings(
@@ -442,8 +448,15 @@ def knn_join(
     # PASS on a throttled box — the whole run's cost was the recompute,
     # r12). Materialize it ONCE past the point where a re-run costs
     # more than the ~(8+dim·8)·n·m bytes of storage; small corpora keep
-    # the lazy plan (checkpoint overhead ≈ recompute there).
-    if _n_known is None or _n_known > 500_000:
+    # the lazy plan (checkpoint overhead ≈ recompute there) — EXCEPT
+    # when the merge pin below is waived: a broadcast build side has no
+    # exchange, so AQE stage reuse cannot share topm between the probe
+    # and member consumers and the assignment would run twice (r12).
+    _pin_waived = (
+        n_rows is not None
+        and _BCAST_WAIVE_MIN_ROWS <= n_rows <= _MERGE_PIN_MIN_ROWS
+    )
+    if _n_known is None or _n_known > 500_000 or _pin_waived:
         topm = topm.localCheckpoint(eager=True)
     if auto_derate and candidate_budget is not None:
         # Analytic fast path: under uniform cells the pair volume is
@@ -551,13 +564,20 @@ def knn_join(
     # and at n=1M the resulting driver-side broadcast build OOMs
     # (measured: STAGE_MATERIALIZATION failure at 8g driver; with the
     # hint the same point runs — NOTES r9). The pin is CONDITIONAL on
-    # corpus size: below _MERGE_PIN_MIN_ROWS the broadcast AQE picks
-    # is both safe and ~2x faster (measured 85.2s pinned vs 38.9s
-    # unpinned at n=50k), so an unconditional pin taxed every small
-    # run to protect the big ones; with an unknown n_rows the pin
-    # stays on (safety beats speed when size is unknown).
+    # corpus size, waived only in the band where broadcast actually
+    # WINS: at n=50k AQE's broadcast measured ~2x faster (38.9 s vs
+    # 85.2 s pinned — the candidate sort dominates), but at n=2k it
+    # measured ~2x SLOWER (20-21 s vs 12-13 s pinned: the broadcast
+    # build's adaptive materialization barriers cost more than the
+    # trivial sort, and topm must materialize separately per side —
+    # r12, same-process A/B). Above the band a corpus-sized broadcast
+    # is unsafe; with an unknown n_rows the pin stays on (safety beats
+    # speed when size is unknown).
     def _pin(df):
-        if n_rows is not None and n_rows <= _MERGE_PIN_MIN_ROWS:
+        if (
+            n_rows is not None
+            and _BCAST_WAIVE_MIN_ROWS <= n_rows <= _MERGE_PIN_MIN_ROWS
+        ):
             return df
         return df.hint("merge")
 

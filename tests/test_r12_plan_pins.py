@@ -100,3 +100,37 @@ def test_verify_jaccard_candidate_pruned_path_exact(spark):
     # 3/7 share all 6 tokens (both odd); 2/5 differ in the parity token
     # (5 shared of 7 distinct = 0.714286); 4/999 drops (999 not in corpus)
     assert out == [(2, 5, 0.714286), (3, 7, 1.0)]
+
+
+def test_knn_join_merge_pin_band(spark):
+    """r12: the sort-merge pin on knn_join's corpus x corpus joins is
+    waived only inside the [25k, 200k] n_rows band where AQE broadcast
+    measured FASTER (38.9 s vs 85.2 s pinned at n=50k). Below the band
+    broadcast measured ~2x SLOWER (20-21 s vs 12-13 s at the sf0.1
+    fixture's n=2k — adaptive materialization barriers beat the trivial
+    sort), and above it a corpus-sized broadcast is unsafe (r9 driver
+    OOM), so the pin stays on in both regimes."""
+    import numpy as np
+
+    from hawk_pack_spark.operators.similarity import knn_join
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(400, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def hinted(n_rows):
+        g = knn_join(
+            df, k=3, n_clusters=4, nprobe=2, replicas=1,
+            descent_rounds=0, n_rows=n_rows, dim=8, fit_fraction=1.0,
+        )
+        # the physical plan keeps SortMergeJoin until AQE's runtime
+        # rewrite either way, so the contract is pinned on the merge
+        # HINT surviving into the optimized logical join
+        return "merge" in g._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    assert hinted(2_000)        # below the band: pinned
+    assert not hinted(50_000)   # inside the band: waived
+    assert hinted(300_000)      # above the band: pinned
