@@ -139,9 +139,15 @@ def _kmeans_fit_np(x: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
         centers[ne] = sums[ne] / counts[ne, None]
         if not ne.all():
             # farthest points re-seed empty cells; d²_min = ||x||² − 2·s_max,
-            # so ascending (2·s_max − ||x||²) is descending distance
+            # so ascending (2·s_max − ||x||²) is descending distance.
+            # More empty cells than sample rows (k > ~2n after the n<k
+            # padding — reachable via knn_join's auto-sizing on corpora
+            # above ~12.5M rows) cycles the farthest points instead of
+            # crashing on the shape mismatch (ADVICE r12).
             far = np.argsort(2.0 * s.max(1) - xx)
-            centers[~ne] = x[far[: int((~ne).sum())]]
+            need = int((~ne).sum())
+            take = far[:need] if need <= n else np.resize(far, need)
+            centers[~ne] = x[take]
     return centers
 
 
@@ -192,14 +198,35 @@ def ivf_build(
         F.col(vec_col).cast("array<double>").alias(vec_col),
     )
     if fit_fraction is not None:
-        # caller-bounded sample (every scale-path caller passes a
-        # fraction sized to tens of k rows); the CollectLimit guard
-        # below costs ~0.4 s of incremental jobs, so it is applied only
-        # where nothing else bounds the collect
-        fit_df = sel.sample(fraction=fit_fraction, seed=seed).select(vec_col)
+        # caller-bounded seeded sample; fit_cap still bounds the DRIVER
+        # collect (a fraction sized for one corpus is unbounded on a
+        # bigger one — 0.2 of 10M rows is a 1 GB driver pull; at every
+        # fixture/bench scale the sample is under the cap, so the limit
+        # is a no-op there)
+        rows = (
+            sel.sample(fraction=fit_fraction, seed=seed)
+            .select(vec_col).limit(int(fit_cap)).collect()
+        )
+        if not rows:
+            # a tiny table × small fraction can draw an empty sample;
+            # the full table is trivially collectable in exactly that
+            # regime — fall back instead of raising (ADVICE r12)
+            rows = sel.select(vec_col).limit(int(fit_cap)).collect()
     else:
-        fit_df = sel.select(vec_col).limit(int(fit_cap))
-    rows = fit_df.collect()
+        rows = sel.select(vec_col).limit(int(fit_cap) + 1).collect()
+        if len(rows) > int(fit_cap):
+            # above-cap corpus with no caller fraction: limit() is a
+            # partition-order prefix — biased on sorted/clustered
+            # corpora and layout-dependent. Re-draw a seeded bounded
+            # sample instead (one count job, only in this regime);
+            # below the cap the collect above saw the whole table and
+            # the fit is unchanged (ADVICE/VERDICT r12).
+            n_all = sel.count()
+            frac = min(1.0, 1.1 * float(fit_cap) / max(1, n_all))
+            rows = (
+                sel.sample(fraction=frac, seed=seed)
+                .select(vec_col).limit(int(fit_cap)).collect()
+            )
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     centers = _kmeans_fit_np(x, n_clusters, seed, max_iter)
     return _ivf_assign_arrow(sel, centers, with_payload=with_payload), [
@@ -322,9 +349,13 @@ def knn_join(
     ``fit_fraction`` needs the corpus size — when both are defaulted
     AND ``n_rows`` is not given, ONE ``count()`` job runs before any
     work (at 100 TB that is a full scan; it is the documented price of
-    auto-sizing). Pass ``n_rows`` (exact or approximate — it only
-    sizes cells) or explicit ``n_clusters``+``fit_fraction`` to make
-    the default path job-free. Likewise ``dim``: the unrolled-codegen
+    auto-sizing). Pass ``n_rows`` or explicit ``n_clusters``+
+    ``fit_fraction`` to make the default path job-free. ``n_rows``
+    sizes cells (approximate is fine for that) but ALSO gates the
+    sort-merge pin waiver below: near the 200k upper band edge an
+    UNDERcounted hint re-opens the corpus-sized-broadcast driver-OOM
+    the pin exists to prevent (r9) — keep the hint accurate to within
+    ~2x around the [25k, 200k] boundaries. Likewise ``dim``: the unrolled-codegen
     distance fold needs the vector width; without the hint one
     ``first()`` row probe sniffs it (Spark array columns carry no
     length in-schema).
@@ -404,8 +435,12 @@ def knn_join(
             # 2.9× instead of 2× — NOTES r8). Fitting on a bounded
             # sample is the standard coarse-quantizer recipe:
             # assignment stays full-corpus and linear, training cost
-            # stops growing with n.
-            fit_fraction = 25_000 / n
+            # stops growing with n. The sample targets at least
+            # O(n_clusters) rows so the quantizer stays well-posed
+            # when auto-sized cells outgrow the flat 25k floor
+            # (n_clusters = n/250 crosses 25k/4 near n=25M — ADVICE
+            # r12; ivf_build's fit_cap still bounds the collect).
+            fit_fraction = min(1.0, max(25_000, 4 * n_clusters) / n)
     # bulk candidate scoring is the hot path: with a known dim, the
     # unrolled codegen fold is ~12x the higher-order-function fold at
     # IDENTICAL bit-level results (measured, NOTES r8) — fall back to
@@ -453,8 +488,8 @@ def knn_join(
     # exchange, so AQE stage reuse cannot share topm between the probe
     # and member consumers and the assignment would run twice (r12).
     _pin_waived = (
-        n_rows is not None
-        and _BCAST_WAIVE_MIN_ROWS <= n_rows <= _MERGE_PIN_MIN_ROWS
+        _n_known is not None
+        and _BCAST_WAIVE_MIN_ROWS <= _n_known <= _MERGE_PIN_MIN_ROWS
     )
     if _n_known is None or _n_known > 500_000 or _pin_waived:
         topm = topm.localCheckpoint(eager=True)
@@ -574,10 +609,7 @@ def knn_join(
     # is unsafe; with an unknown n_rows the pin stays on (safety beats
     # speed when size is unknown).
     def _pin(df):
-        if (
-            n_rows is not None
-            and _BCAST_WAIVE_MIN_ROWS <= n_rows <= _MERGE_PIN_MIN_ROWS
-        ):
+        if _pin_waived:
             return df
         return df.hint("merge")
 

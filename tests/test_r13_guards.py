@@ -1,0 +1,133 @@
+"""Round-13 guards (ADVICE r12 closures on the driver-side k-means fit
+and the knn_join broadcast-waiver band):
+
+- `_kmeans_fit_np` must not crash when the empty-cell re-seed needs
+  more rows than the sample has (k > ~2n after the n<k padding —
+  reachable via knn_join auto-sizing above ~12.5M rows);
+- `ivf_build` with no caller fraction must fit on a SEEDED sample, not
+  a partition-order `limit()` prefix, once the corpus exceeds fit_cap
+  (and stay byte-identical to the old full-table fit below the cap);
+- an empty drawn sample falls back to the bounded full-table collect
+  instead of raising;
+- the sort-merge pin waiver keys on the COUNTED corpus size too, not
+  only the caller hint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def test_kmeans_fit_reseed_clamps_to_sample():
+    """k=250 on a 100-row sample: most cells are empty every Lloyd's
+    round, the re-seed wants 150 rows from a 100-row sample — the r12
+    ADVICE repro ('shape mismatch (100,8) vs (150,8)'). The clamp must
+    cycle the farthest points instead of crashing, deterministically."""
+    from hawk_pack_spark.operators.similarity import _kmeans_fit_np
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(100, 8))
+    c1 = _kmeans_fit_np(x, 250, seed=42, iters=5)
+    c2 = _kmeans_fit_np(x, 250, seed=42, iters=5)
+    assert c1.shape == (250, 8)
+    assert np.isfinite(c1).all()
+    assert np.array_equal(c1, c2)
+
+
+def test_kmeans_fit_below_crash_threshold_unchanged():
+    """The clamp is a no-op whenever need <= n (every pre-r13 regime):
+    same fixture, k < n — identical path, sanity-pinned deterministic."""
+    from hawk_pack_spark.operators.similarity import _kmeans_fit_np
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(200, 8))
+    c = _kmeans_fit_np(x, 16, seed=42, iters=10)
+    assert c.shape == (16, 8)
+    assert len(np.unique(c.round(9), axis=0)) == 16
+
+
+def test_ivf_build_above_cap_seeded_sample_deterministic(spark):
+    """Above fit_cap with fit_fraction=None the fit re-draws a seeded
+    sample (not the limit() prefix): two runs give identical centroids,
+    and the assignment still covers every row with in-range cells."""
+    from hawk_pack_spark.operators.similarity import ivf_build
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(300, 6))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in mat[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    a1, c1 = ivf_build(df, n_clusters=4, fit_cap=100)
+    a2, c2 = ivf_build(df, n_clusters=4, fit_cap=100)
+    assert c1 == c2
+    rows = a1.groupBy("cluster").count().collect()
+    assert sum(r["count"] for r in rows) == 300
+    assert all(0 <= r["cluster"] < 4 for r in rows)
+
+
+def test_ivf_build_below_cap_fit_sees_whole_table(spark):
+    """Below the cap the fit must keep seeing every row exactly as the
+    pre-r13 limit(fit_cap) path did (fixture parity depends on it): a
+    cap far above the table yields the same centroids as cap=n."""
+    from hawk_pack_spark.operators.similarity import ivf_build
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(120, 5))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in mat[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    _, c_big = ivf_build(df, n_clusters=3, fit_cap=262_144)
+    _, c_eq = ivf_build(df, n_clusters=3, fit_cap=120)
+    assert c_big == c_eq
+
+
+def test_ivf_build_empty_sample_falls_back(spark):
+    """A tiny table x tiny fraction draws an empty sample; the fit must
+    fall back to the bounded full-table collect instead of raising."""
+    from hawk_pack_spark.operators.similarity import ivf_build
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, centers = ivf_build(
+        df, n_clusters=2, fit_fraction=1e-9
+    )
+    assert len(centers) == 2
+    assert assigned.count() == 5
+
+
+def test_knn_join_waiver_uses_counted_n(spark, monkeypatch):
+    """ADVICE r12: when auto-sizing already ran vectors.count(), the
+    broadcast-waiver band must key on that counted n — an unhinted
+    corpus inside the band gets the measured ~2x broadcast win too.
+    Band shrunk by monkeypatch so a 400-row fixture sits inside it."""
+    from hawk_pack_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(400, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def hinted(**kw):
+        # fit_fraction left defaulted so auto-sizing runs the count()
+        # (the regime ADVICE r12 describes); at 400 rows it stays None
+        # and the fit uses the bounded full-table path
+        g = similarity.knn_join(
+            df, k=3, n_clusters=4, nprobe=2, replicas=1,
+            descent_rounds=0, dim=8, **kw,
+        )
+        return "merge" in g._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    # default band: counted n=400 is below 25k -> pinned either way
+    assert hinted()
+    monkeypatch.setattr(similarity, "_BCAST_WAIVE_MIN_ROWS", 100)
+    monkeypatch.setattr(similarity, "_MERGE_PIN_MIN_ROWS", 1000)
+    assert not hinted()            # counted path now waives inside the band
+    assert not hinted(n_rows=400)  # hinted path unchanged
+    assert hinted(n_rows=5_000)    # above the (shrunk) band: pinned
