@@ -476,23 +476,22 @@ def knn_join(
     )
     # The assignment is the most expensive narrow stage at scale (one
     # tiled BLAS pass over n×n_clusters with n_clusters ∝ n) and has up
-    # to FIVE downstream consumers in one run — the derate volume
+    # to FOUR downstream consumers in one run — the derate volume
     # aggregate, the probe and member sides of the candidate join, and
-    # both salt-factor count reductions. Un-materialized, Spark
-    # re-executes it for each (measured at 10M/40k cells: ~95 min PER
-    # PASS on a throttled box — the whole run's cost was the recompute,
-    # r12). Materialize it ONCE past the point where a re-run costs
-    # more than the ~(8+dim·8)·n·m bytes of storage; small corpora keep
-    # the lazy plan (checkpoint overhead ≈ recompute there) — EXCEPT
-    # when the merge pin below is waived: a broadcast build side has no
-    # exchange, so AQE stage reuse cannot share topm between the probe
-    # and member consumers and the assignment would run twice (r12).
+    # the salt-factor reduction. Un-materialized, Spark re-executes it
+    # for each (measured at 10M/40k cells: ~95 min PER PASS on a
+    # throttled box — the whole run's cost was the recompute, r12).
+    # Materialize it ONCE unconditionally (r13): the r12 gate skipped
+    # small corpora on the assumption checkpoint overhead ≈ recompute
+    # there, but the same-process A/B at the sf0.1 fixture (n=2k)
+    # measured the eager checkpoint ~1 s FASTER — the consumers re-ran
+    # the parquet scan + assign per branch either way, and the
+    # checkpoint write of a 2k-row frame is milliseconds.
     _pin_waived = (
         _n_known is not None
         and _BCAST_WAIVE_MIN_ROWS <= _n_known <= _MERGE_PIN_MIN_ROWS
     )
-    if _n_known is None or _n_known > 500_000 or _pin_waived:
-        topm = topm.localCheckpoint(eager=True)
+    topm = topm.localCheckpoint(eager=True)
     if auto_derate and candidate_budget is not None:
         # Analytic fast path: under uniform cells the pair volume is
         # n·nprobe·replicas·(n/n_clusters); skew concentrates mass and
@@ -546,27 +545,30 @@ def knn_join(
     # sides get factor 1x1: the explodes are no-ops and the only
     # overhead is two (cluster, count) reductions + broadcast joins.
     salt_width = 500
-    mfac = (
-        members.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("_mc"))
+    # BOTH salt factors from ONE aggregation over topm (r13, guide
+    # §2.4: two operations keyed the same way share one exchange): the
+    # member count is the crank<=replicas subset and the probe count
+    # the crank<=nprobe subset of the SAME rows, so conditional sums in
+    # a single groupBy replace the two per-side groupBys + equi-join —
+    # one pass over the assignment instead of two, two fewer shuffle
+    # stages, byte-identical factors (measured ~1 s off the sf0.1
+    # fixture row; the win scales with topm, which is corpus-sized).
+    factors = (
+        topm.groupBy("cluster")
+        .agg(
+            F.sum((F.col("crank") <= replicas).cast("long")).alias("_mc"),
+            F.sum((F.col("crank") <= nprobe).cast("long")).alias("_pc"),
+        )
         .select(
             "cluster",
             F.greatest(F.lit(1), F.ceil(F.col("_mc") / salt_width))
             .cast("int")
             .alias("_fm"),
-        )
-    )
-    pfac = (
-        probes.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("_pc"))
-        .select(
-            "cluster",
             F.greatest(F.lit(1), F.ceil(F.col("_pc") / salt_width))
             .cast("int")
             .alias("_fp"),
         )
     )
-    factors = mfac.join(pfac, "cluster")
     members = (
         members.join(F.broadcast(factors), "cluster")
         .withColumn(
@@ -645,6 +647,22 @@ def knn_join(
         dv = vectors.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_dv")
         )
+
+        # The descent rescore joins attach the (id, vec) corpus to the
+        # candidate-pair list. Their pin band differs from the
+        # candidate join's (r13): broadcast WINS here at ANY known
+        # n <= 200k — the build side is the bare corpus projection
+        # (~n·dim·8 B, <=100 MB at the band top, a size AQE can judge
+        # honestly), not the salted/exploded frame whose estimate runs
+        # low, and the same-process A/B at the sf0.1 fixture (n=2k)
+        # measured the unpinned form ~1.2 s faster while the candidate
+        # join there measured 2x SLOWER unpinned (the r12 band). Above
+        # 200k or with n unknown the corpus-broadcast OOM risk (r9)
+        # keeps the pin.
+        def _pin_descent(df):
+            if _n_known is not None and _n_known <= _MERGE_PIN_MIN_ROWS:
+                return df
+            return df.hint("merge")
         for _ in range(descent_rounds):
             fwd = g.select("query_id", F.col("vec_id").alias("_mid"))
             rev = g.select(
@@ -660,11 +678,9 @@ def knn_join(
                 .where(F.col("query_id") != F.col("vec_id"))
             )
             allc = g.select("query_id", "vec_id").unionAll(nn2).distinct()
-            # qv/dv carry the full corpus with vectors — same
-            # no-broadcast pin as the cell join above
             rescored = (
-                allc.join(_pin(qv), "query_id")
-                .join(_pin(dv), "vec_id")
+                allc.join(_pin_descent(qv), "query_id")
+                .join(_pin_descent(dv), "vec_id")
                 .select(
                     "query_id",
                     "vec_id",

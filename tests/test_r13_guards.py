@@ -131,3 +131,32 @@ def test_knn_join_waiver_uses_counted_n(spark, monkeypatch):
     assert not hinted()            # counted path now waives inside the band
     assert not hinted(n_rows=400)  # hinted path unchanged
     assert hinted(n_rows=5_000)    # above the (shrunk) band: pinned
+
+
+def test_knn_join_descent_pin_waived_at_known_small_n(spark):
+    """r13: the NN-descent rescore joins waive the sort-merge pin at
+    ANY known n <= 200k (their build side is the bare corpus
+    projection, honestly sized — broadcast measured ~1.2 s faster at
+    the sf0.1 fixture), while the candidate join keeps the r12
+    [25k, 200k] band. Pinned as strictly fewer merge hints in the
+    optimized plan at known-small n than above the band."""
+    import numpy as np
+
+    from hawk_pack_spark.operators.similarity import knn_join
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(400, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def hints(n_rows):
+        g = knn_join(
+            df, k=3, n_clusters=4, nprobe=2, replicas=1,
+            descent_rounds=1, n_rows=n_rows, dim=8, fit_fraction=1.0,
+        )
+        return g._jdf.queryExecution().optimizedPlan().toString().lower().count("merge")
+
+    small, large = hints(400), hints(300_000)
+    assert 0 < small < large
