@@ -17,6 +17,20 @@ def _c(x: Column | str) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+def _let(val: Column, body) -> Column:
+    """Evaluate ``val`` ONCE per row and bind it as a lambda variable in
+    ``body`` (r13, guide §4/§1.2). Column expressions have no let-binding,
+    and higher-order functions run INTERPRETED: a subtree captured in a
+    lambda closure re-evaluates per array ELEMENT, so e.g. word_ngrams'
+    `slice(tokens(text), i, n)` re-tokenized the document once per output
+    gram — O(tokens²) splits per doc, measured 8x the whole stage. A
+    1-element array transform gives the missing let: `array(val)` forces
+    one evaluation, the lambda variable is a cheap per-row slot, and
+    `element_at(.., 1)` unwraps. Same value, same type, same null
+    semantics (array(NULL) passes NULL through the body unchanged)."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def hash64(col: Column | str, salt: str = "") -> Column:
     """Deterministic 60-bit hash: BIGINT of the first 15 hex chars of md5.
 
@@ -63,21 +77,33 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """All character n-grams (shingles) of the lowercased text.
 
     Guarded: F.sequence(1, 0) yields a DESCENDING [1,0], not empty, so
-    short strings must short-circuit to an empty array."""
-    s = F.lower(_c(col))
-    idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
-    return F.when(
-        F.length(s) >= n, F.transform(idx, lambda i: s.substr(i, F.lit(n)))
-    ).otherwise(F.array().cast("array<string>"))
+    short strings must short-circuit to an empty array. The lowercased
+    string is let-bound so the per-gram substr doesn't re-lowercase the
+    document per element (see _let)."""
+
+    def gram(s):
+        idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
+        return F.when(
+            F.length(s) >= n, F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return _let(F.lower(_c(col)), gram)
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-grams (space-joined) of the token list."""
-    ts = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(-1)))
-    return F.when(F.size(ts) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n)))).otherwise(
-        F.array()
-    )
+    """Word n-grams (space-joined) of the token list. The token array is
+    let-bound: captured in the per-gram slice lambda it would re-split
+    the document once per OUTPUT GRAM (interpreted HOF closure —
+    measured 8x the whole tokenize stage at sf0.1; see _let)."""
+
+    def gram(ts):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(-1)))
+        return F.when(
+            F.size(ts) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n))),
+        ).otherwise(F.array())
+
+    return _let(tokens(col), gram)
 
 
 def punct_ratio(col: Column | str) -> Column:
@@ -103,10 +129,12 @@ STOPWORDS = (
 
 
 def stopword_ratio(col: Column | str) -> Column:
-    ts = tokens(col)
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_sw = F.size(F.filter(ts, lambda t: F.array_contains(sw, t)))
-    return n_sw / F.greatest(F.size(ts), F.lit(1))
+    return _let(
+        tokens(col),
+        lambda ts: F.size(F.filter(ts, lambda t: F.array_contains(sw, t)))
+        / F.greatest(F.size(ts), F.lit(1)),
+    )
 
 
 def quality_score(col: Column | str) -> Column:
@@ -134,15 +162,20 @@ LANG_MARKERS = {
 
 
 def lang_id(col: Column | str) -> Column:
-    ts = tokens(col)
-    scores = []
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        score = F.size(F.filter(ts, lambda t: F.array_contains(arr, t)))
-        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
-    # max_by(lang, score) with deterministic lexicographic tie-break on lang
-    best = F.array_max(F.array(*scores))
-    return best["lang"]
+    def best_of(ts):
+        scores = []
+        for lang, markers in LANG_MARKERS.items():
+            arr = F.array(*[F.lit(m) for m in markers])
+            score = F.size(F.filter(ts, lambda t: F.array_contains(arr, t)))
+            scores.append(
+                F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            )
+        # max_by(lang, score), deterministic lexicographic tie-break on lang
+        return F.array_max(F.array(*scores))["lang"]
+
+    # the token array is let-bound: five per-language filters otherwise
+    # re-tokenize the document five times per row (see _let)
+    return _let(tokens(col), best_of)
 
 
 def hash_embedding(col: Column | str, dim: int = 32) -> Column:
@@ -151,12 +184,16 @@ def hash_embedding(col: Column | str, dim: int = 32) -> Column:
     vectors consumable by every vector operator (kNN, LSH, HNSW) with
     no model weights — and exactly reproducible in SQL."""
     # hash each token ONCE (md5 is the expensive part), then count per
-    # bucket over the small int array
-    buckets = F.transform(tokens(col), lambda t: F.pmod(hash64(t), F.lit(dim)))
+    # bucket over the small int array; the bucket array is let-bound —
+    # captured in the per-dimension filter it would re-run the md5 pass
+    # `dim` times per row (see _let)
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    return F.transform(
-        idx,
-        lambda i: F.size(F.filter(buckets, lambda b: b == i)).cast("double"),
+    return _let(
+        F.transform(tokens(col), lambda t: F.pmod(hash64(t), F.lit(dim))),
+        lambda buckets: F.transform(
+            idx,
+            lambda i: F.size(F.filter(buckets, lambda b: b == i)).cast("double"),
+        ),
     )
 
 

@@ -160,3 +160,62 @@ def test_knn_join_descent_pin_waived_at_known_small_n(spark):
 
     small, large = hints(400), hints(300_000)
     assert 0 < small < large
+
+
+def test_let_bound_text_functions_identical(spark):
+    """r13: word_ngrams/char_ngrams/lang_id/stopword_ratio/hash_embedding
+    let-bind their token arrays (interpreted-HOF closures re-evaluate a
+    captured subtree per array element — word_ngrams re-tokenized the
+    doc once per output gram, measured 8x the stage). Values must be
+    IDENTICAL to the naive non-bound forms, including the short-doc /
+    empty / null edges."""
+    from pyspark.sql import functions as F
+
+    from hawk_pack_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a b"),                       # shorter than gram width
+            (3, ""),                          # empty
+            (4, None),                        # null
+            (5, "  le la   et est  "),        # fr markers, ragged spaces
+            (6, "x " * 200),                  # long repeated
+        ],
+        "doc_id long, text string",
+    )
+
+    def naive_word_ngrams(col, n=3):
+        ts = T.tokens(col)
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(-1)))
+        return F.when(
+            F.size(ts) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n))),
+        ).otherwise(F.array())
+
+    def naive_char_ngrams(col, n=5):
+        s = F.lower(F.col(col) if isinstance(col, str) else col)
+        idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
+        return F.when(
+            F.length(s) >= n, F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    rows = docs.select(
+        (T.word_ngrams("text", 3) == naive_word_ngrams("text", 3)).alias("w"),
+        (T.char_ngrams("text", 5) == naive_char_ngrams("text", 5)).alias("c"),
+        T.word_ngrams("text", 3).isNull().alias("wn"),
+        F.col("text").isNull().alias("tn"),
+    ).collect()
+    for r in rows:
+        # null text -> null grams on both sides (== yields NULL there)
+        assert r["w"] or (r["wn"] and r["tn"])
+        assert r["c"] or r["tn"]
+    out = docs.where("text is not null").select(
+        T.lang_id("text").alias("lang"),
+        F.round(T.stopword_ratio("text"), 6).alias("swr"),
+        T.hash_embedding("text", 8).alias("emb"),
+    ).collect()
+    assert len(out) == 5
+    fr = [r for r in out if r["lang"] == "fr"]
+    assert len(fr) == 1  # row 5's markers still classify french
+    assert all(len(r["emb"]) == 8 for r in out)
