@@ -197,7 +197,15 @@ def pagerank(
     (once per invariant), independent of N — the iterative-dataflow
     discipline a 100 TB edge list requires.
     """
-    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    # The projected edge list is materialized FIRST (r13): nodes and ed
+    # are each eager checkpoints, so with e lazy the caller's upstream
+    # pipeline (e.g. the co-purchase self-join aggregation feeding the
+    # catalog rows) re-ran once per invariant — measured ~2 s per extra
+    # run at sf0.1. One edge-sized checkpoint up front runs upstream
+    # exactly once; both invariants then read its blocks.
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=True)
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     nodes = (
         e.select(F.col("_s").alias("node"))
@@ -582,7 +590,12 @@ def personalized_pagerank(
     loop, so the base tables are scanned twice total regardless of N;
     each iteration is one co-partitioned join + groupBy.
     """
-    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    # edge list materialized FIRST so the caller's upstream pipeline
+    # runs once, not once per invariant checkpoint (the r13 pagerank
+    # fix; see the comment there)
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=True)
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     s = sources.select(F.col(node_col).alias("node")).distinct()
     nodes = (

@@ -146,11 +146,16 @@ def q_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf_dir)
     und = copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    # materialized once (r13): the sources aggregate and bfs_distances'
+    # own edge checkpoint otherwise each re-run the co-purchase
+    # self-join aggregation (~2 s per extra run at sf0.1); the edge
+    # list is the already-reduced pair table, orders of magnitude
+    # smaller than lineitem
     edges = und.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).unionAll(
         und.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     sources = edges.agg(F.min("src").alias("node"))
     return bfs_distances(edges, sources, max_hops=4).select(
         F.col("node").alias("part"), F.col("dist").cast("int").alias("dist")
