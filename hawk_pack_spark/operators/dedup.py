@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hawk_pack_spark.functions.text import hash64, tokens
+from hawk_pack_spark.operators.materialize import materialize
 
 
 def exact_dedup(
@@ -479,10 +480,10 @@ def jaccard_prefix_join(
     # materialize the per-doc token arrays ONCE: four consumers below
     # (postings explode, sizes, and both verify sides) otherwise each
     # re-run the tokenize + sort + distinct over corpus bytes (guide §5)
-    toks = df.select(
+    toks = materialize(df.select(
         F.col(id_col).alias("_id"),
         F.array_sort(F.array_distinct(elems)).alias("_ts"),
-    ).where(F.size("_ts") > 0).localCheckpoint()
+    ).where(F.size("_ts") > 0))
     posting = toks.select("_id", F.explode("_ts").alias("_tok"))
     dfreq = posting.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     # rare-first rank per doc: sort tokens by (df, token) inside each doc
@@ -498,10 +499,10 @@ def jaccard_prefix_join(
     sizes = toks.select("_id", F.size("_ts").alias("_sz"))
     # prefix length |s| - ceil(tau*|s|) + 1, integer-exact ceil
     # (materialized once: it feeds BOTH sides of the candidate join)
-    pre = ranked.join(sizes, "_id").where(
+    pre = materialize(ranked.join(sizes, "_id").where(
         F.col("_rnk")
         <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(p_num) / F.lit(q_den)) + 1
-    ).localCheckpoint()
+    ))
     a = pre.select(F.col("_id").alias("_ia"), "_tok")
     b = pre.select(F.col("_id").alias("_ib"), "_tok")
     cand = (
@@ -666,13 +667,13 @@ def containment_prefix_join(
     # same materialize-once discipline as jaccard_prefix_join: toks has
     # four consumers (postings, sizes, both verify sides), posting three
     # (dfreq, the ranked prefix cut, the full index side of the join)
-    toks = df.select(
+    toks = materialize(df.select(
         F.col(id_col).alias("_id"),
         F.array_sort(F.array_distinct(elems)).alias("_ts"),
-    ).where(F.size("_ts") > 0).localCheckpoint()
-    posting = toks.select(
+    ).where(F.size("_ts") > 0))
+    posting = materialize(toks.select(
         "_id", F.explode("_ts").alias("_tok")
-    ).localCheckpoint()
+    ))
     dfreq = posting.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     ranked = posting.join(dfreq, "_tok").withColumn(
         "_rnk",
@@ -765,14 +766,14 @@ def cosine_prefix_join(
     # two separate consumers, so the tokenize + explode + groupBy
     # pipeline otherwise runs per consumer (guide §5; postings-sized,
     # same discipline as `unit` further down)
-    tf = (
+    tf = materialize(
         df.select(
             F.col(id_col).alias("_id"),
             F.explode(elems).alias("_tok"),
         )
         .groupBy("_id", "_tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_tf"))
-    ).localCheckpoint()
+    )
     n_docs = df.select(F.col(id_col)).distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("_nd")
     )
@@ -791,7 +792,8 @@ def cosine_prefix_join(
             * F.log(F.col("_nd").cast("double") / F.col("_df").cast("double")),
         )
         .where(F.col("_w") > 0)  # corpus-universal terms carry no signal
-    ).localCheckpoint()
+    )
+    w = materialize(w)
     norms = (
         w.groupBy("_id")
         .agg(
@@ -809,11 +811,12 @@ def cosine_prefix_join(
     # materialize the unit postings ONCE: three downstream branches
     # (prefix side + both verify sides) would otherwise each recompute
     # the tokenize + two groupBys — measured as the dominant cost at
-    # the 10x gate. localCheckpoint keeps the corpus-postings-sized
-    # table, the same loop-invariant discipline as pagerank.
-    unit = w.join(norms, "_id").select(
+    # the 10x gate. The barrier is size-gated (r13, materialize()):
+    # localCheckpoint while bounded, lineage-keeping DISK_ONLY persist
+    # when the postings table is corpus-sized.
+    unit = materialize(w.join(norms, "_id").select(
         "_id", "_tok", "_df", (F.col("_w") / F.col("_norm")).alias("_u")
-    ).localCheckpoint()
+    ))
     # canonical-desc running suffix norm²: a term is PREFIX iff the
     # suffix norm² including it is >= tau (strict-tail rule above)
     wdesc = Window.partitionBy("_id").orderBy(

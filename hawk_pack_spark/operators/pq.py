@@ -165,6 +165,7 @@ def ivfpq_build(
     ``partitionBy("cell")`` for a pruned on-disk layout; ``centers``
     the coarse centroid list (driver-held routing metadata, same shape
     as `ivf_build`'s); ``codebooks`` the (m, k, d/m) numpy array."""
+    from hawk_pack_spark.operators.materialize import materialize
     from hawk_pack_spark.operators.similarity import ivf_build
 
     assigned, centers = ivf_build(
@@ -187,8 +188,12 @@ def ivfpq_build(
         # collect), pq_encode a third time and the cell re-join a
         # fourth — each pass otherwise re-runs the k-means assignment
         # UDF over the corpus (guide §5: reuse beats recompute; an
-        # index build materializes its input exactly once)
-    ).localCheckpoint()
+        # index build materializes its input exactly once). The
+        # residual frame is CORPUS-sized, so the barrier is the
+        # size-gated dispatch (r13): localCheckpoint at bounded scale,
+        # lineage-keeping DISK_ONLY persist when corpus-sized.
+    )
+    resid = materialize(resid)
     codebooks = pq_train(
         resid, m=m, k=k, vec_col="_resid", sample_size=sample_size,
         seed=seed, iters=pq_iters,
@@ -500,6 +505,7 @@ def ivfsq8_build(
     ``partitionBy("cell")`` for the pruned on-disk layout; ``cnorm``
     is the query-independent code-norm term Σ_j scale_j²·c_j²,
     precomputed at encode time so the scan is one matmul per cell."""
+    from hawk_pack_spark.operators.materialize import materialize
     from hawk_pack_spark.operators.similarity import (
         ivf_build,
         sq8_encode,
@@ -524,8 +530,9 @@ def ivfsq8_build(
         ).alias("_resid"),
         # same materialize-once rationale as ivfpq_build: sq8_train,
         # sq8_encode and the cell re-join each re-derive the k-means
-        # assignment otherwise
-    ).localCheckpoint()
+        # assignment otherwise; size-gated barrier (r13), see ivfpq_build
+    )
+    resid = materialize(resid)
     lo, scale = sq8_train(resid, vec_col="_resid")
     enc = sq8_encode(resid, lo, scale, vec_id="vec_id", vec_col="_resid")
     encoded = enc.join(resid.select("vec_id", "cell"), "vec_id").select(
