@@ -59,3 +59,34 @@ def _avg_exact(col, cnt, alias: str, scale: int = 6):
     return F.round(
         F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / cnt, 6
     ).alias(alias)
+
+
+def low_stream_shuffle(fn):
+    """Scope ``spark.sql.shuffle.partitions`` down for a streaming
+    catalog row (r13, guide §2.2 right-size partitions — VERDICT r12
+    item 6). Structured Streaming pins the STATE-STORE partition count
+    to the shuffle-partition setting at first start, so the session
+    default (cores: 32 on the bench box) made every micro-batch run 32
+    state-store init/commit tasks for kilobytes of keyed state — pure
+    per-batch overhead. State partitioning should track STATE SIZE, not
+    core count: ``SPARK_GRAFT_STREAM_SHUFFLE`` (default 8) sizes it,
+    and deployments with genuinely large keyed state raise it. Results
+    are partitioning-independent (state is hash-keyed either way);
+    measured same-session at sf0.1: streaming_attribution 20.0→8.7 s,
+    streaming_curation_pipeline 10.7→6.6 s, streaming_event_windows
+    4.9→3.4 s. The previous value is restored after the row (the
+    stateful work all happens inside the row's own stream runs)."""
+    import functools
+    import os
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return wrapped

@@ -548,6 +548,7 @@ FROM r
 """
 
 
+@low_stream_shuffle
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Misra-Gries heavy hitters (streaming/stateful.py
     `streaming_heavy_hitters`) ≡ the batch GROUP BY when capacity ≥

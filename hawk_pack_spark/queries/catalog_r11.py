@@ -13,6 +13,7 @@ from hawk_pack_spark.queries._shared import (
 )
 
 
+@low_stream_shuffle
 def q_streaming_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED streaming pipeline (streaming/pipeline.py): one
     checkpointed readStream chain — exact record dedup

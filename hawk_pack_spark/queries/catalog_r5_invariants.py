@@ -71,6 +71,7 @@ FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
 """
 
 
+@low_stream_shuffle
 def q_op_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The coroutine op-stream protocol (reference src/coroutine.rs:
     218-304) as one invariant row: the design-(b) driver loop over
@@ -129,6 +130,7 @@ FROM embeddings WHERE vec_id < 60
 """
 
 
+@low_stream_shuffle
 def q_streaming_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming ingest (§2.12; the reference's op-stream
     consumed as micro-batches) as one invariant row: two parquet
@@ -200,6 +202,7 @@ FROM embeddings WHERE vec_id < 50
 """
 
 
+@low_stream_shuffle
 def q_streaming_durable_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DURABLE streaming near-dup store (StreamingNearDup with
     store_path: append-only parquet band buckets + accepted-id log) and
@@ -261,6 +264,7 @@ FROM documents WHERE doc_id < 60
 """
 
 
+@low_stream_shuffle
 def q_streaming_delta_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming delta persistence (StreamingIndex(jdbc_url=...)): every
     micro-batch row-level-upserts the TOUCHED shards' graph rows into
@@ -344,6 +348,7 @@ FROM embeddings WHERE vec_id < 50
 """
 
 
+@low_stream_shuffle
 def q_streaming_query_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The online READ half of the reference's serving loop
     (coroutine.rs query ops) as one invariant row: a manifest bundle is

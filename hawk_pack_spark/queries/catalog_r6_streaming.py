@@ -90,6 +90,7 @@ def _run_stream_to_memory(spark, tmp: str, build, name: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+@low_stream_shuffle
 def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation (streaming/windows.py
     `windowed_event_counts`) ≡ the batch GROUP BY, row-for-row. The
@@ -150,6 +151,7 @@ GROUP BY 1, 2, 3
 """
 
 
+@low_stream_shuffle
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization (streaming/windows.py
     `sessionize_stream`: applyInPandasWithState + EventTimeTimeout) ≡
@@ -215,6 +217,7 @@ FROM s GROUP BY user_id, sess_id
 """
 
 
+@low_stream_shuffle
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (streaming/joins.py
     `attribution_join_stream`: watermarked two-sided-bounded inner join
@@ -288,6 +291,7 @@ GROUP BY purchase_id
 """
 
 
+@low_stream_shuffle
 def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming exact dedup (streaming/joins.py
     `dedup_exact_stream` = dropDuplicatesWithinWatermark): the events

@@ -564,6 +564,7 @@ FROM ch
 """
 
 
+@low_stream_shuffle
 def q_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming materialized-view maintenance
     (streaming/maintenance.py): orders stream as three micro-batches;
