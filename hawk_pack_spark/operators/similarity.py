@@ -31,6 +31,14 @@ _MERGE_PIN_MIN_ROWS = 200_000
 # build's adaptive materialization barriers cost more than the trivial
 # sort there, r12) — so the pin is waived only inside this band
 _BCAST_WAIVE_MIN_ROWS = 25_000
+# _kmeans_fit_np size dispatches (r13, the 10M-defaults OOM/latency
+# lessons): the Lloyd's score matrix tiles above this many (n, k)
+# float64 entries (512 MB — the single-shot path below it is every
+# fixture/bench regime, byte-identical), and k-means++'s k sequential
+# O(pool) draws hand over to a uniform distinct init above this k
+# (every pre-existing regime is ≤4096 cells, incl. the r11 1M receipt)
+_FIT_TILE_ENTRIES = 64 * 1024 * 1024
+_PP_SEED_MAX_K = 4096
 
 
 def hash_embeddings(
@@ -104,19 +112,33 @@ def _kmeans_fit_np(x: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
         pool = x[rng.choice(n, size=32 * k_eff, replace=False)]
     np_pool = len(pool)
     centers = np.empty((k_eff, x.shape[1]), dtype=np.float64)
-    xx = (pool * pool).sum(1)
-    centers[0] = pool[rng.randint(np_pool)]
-    d2 = np.maximum(xx - 2.0 * (pool @ centers[0]) + (centers[0] ** 2).sum(), 0.0)
-    for j in range(1, k_eff):
-        tot = d2.sum()
-        if tot <= 0.0:  # every remaining point coincides with a center
-            centers[j:] = pool[rng.choice(np_pool, size=k_eff - j)]
-            break
-        centers[j] = pool[rng.choice(np_pool, p=d2 / tot)]
-        dj = np.maximum(
-            xx - 2.0 * (pool @ centers[j]) + (centers[j] ** 2).sum(), 0.0
+    if k_eff > _PP_SEED_MAX_K:
+        # Seeding is SIZE-DISPATCHED too (r13): k-means++ is k_eff
+        # SEQUENTIAL O(pool) draws — at knn_join's 10M auto-sizing
+        # (k=40k over a 160k sample) that alone measured ~9 of the
+        # fit's 9.6 minutes. At huge k relative to structure the
+        # standard coarse-quantizer recipe is a uniform distinct init
+        # polished by Lloyd's (plus the empty-cell re-seed below);
+        # every pre-existing regime (fixtures ≤256 cells, the 1M
+        # family 256, the r11 1M knn_join receipt 4000) keeps the
+        # exact ++ stream unchanged.
+        centers[:] = pool[np.sort(rng.choice(np_pool, size=k_eff, replace=False))]
+    else:
+        xx = (pool * pool).sum(1)
+        centers[0] = pool[rng.randint(np_pool)]
+        d2 = np.maximum(
+            xx - 2.0 * (pool @ centers[0]) + (centers[0] ** 2).sum(), 0.0
         )
-        np.minimum(d2, dj, out=d2)
+        for j in range(1, k_eff):
+            tot = d2.sum()
+            if tot <= 0.0:  # every remaining point coincides with a center
+                centers[j:] = pool[rng.choice(np_pool, size=k_eff - j)]
+                break
+            centers[j] = pool[rng.choice(np_pool, p=d2 / tot)]
+            dj = np.maximum(
+                xx - 2.0 * (pool @ centers[j]) + (centers[j] ** 2).sum(), 0.0
+            )
+            np.minimum(d2, dj, out=d2)
     if k_eff < k:
         centers = np.vstack([centers] * (k // k_eff + 1))[:k]
     xx = (x * x).sum(1)
@@ -124,11 +146,32 @@ def _kmeans_fit_np(x: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
     # (n, k) matmul plus an in-place bias row per iteration — no second
     # n×k temporary (the naive d = xx − 2xCᵀ + cc form is memory-bandwidth
     # bound on its broadcast temporaries, measured 4x slower at 50k×256).
+    # The (n, k) score matrix itself is SIZE-DISPATCHED (r13): at
+    # knn_join's 10M auto-sizing (160k sample × 40k cells) a single-shot
+    # matmul is a 51 GB driver allocation — the first 10M defaults run
+    # died in the kernel OOM killer at 78 GB RSS exactly here. Below the
+    # bound (every fixture/bench regime: 1M family is 50k × 256 ≈ 13M
+    # entries) the one-matmul path is UNCHANGED — byte-identical fits;
+    # above it the rows tile at ~512 MB per score block (argmax/max per
+    # row are independent, so tiling changes only allocation, not math).
     prev = None
     for _ in range(iters):
-        s = x @ centers.T
-        s -= 0.5 * (centers * centers).sum(1)[None, :]
-        assign = s.argmax(1)
+        kk = len(centers)
+        cbias = 0.5 * (centers * centers).sum(1)[None, :]
+        if n * kk <= _FIT_TILE_ENTRIES:
+            s = x @ centers.T
+            s -= cbias
+            assign = s.argmax(1)
+            smax = None  # s retained; max computed lazily below
+        else:
+            assign = np.empty(n, dtype=np.int64)
+            smax = np.empty(n, dtype=np.float64)
+            tile = max(1, _FIT_TILE_ENTRIES // kk)
+            for i0 in range(0, n, tile):
+                st = x[i0:i0 + tile] @ centers.T
+                st -= cbias
+                assign[i0:i0 + tile] = st.argmax(1)
+                smax[i0:i0 + tile] = st.max(1)
         if prev is not None and np.array_equal(assign, prev):
             break  # converged: further iterations are no-ops
         prev = assign
@@ -144,7 +187,9 @@ def _kmeans_fit_np(x: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
             # padding — reachable via knn_join's auto-sizing on corpora
             # above ~12.5M rows) cycles the farthest points instead of
             # crashing on the shape mismatch (ADVICE r12).
-            far = np.argsort(2.0 * s.max(1) - xx)
+            if smax is None:
+                smax = s.max(1)
+            far = np.argsort(2.0 * smax - xx)
             need = int((~ne).sum())
             take = far[:need] if need <= n else np.resize(far, need)
             centers[~ne] = x[take]

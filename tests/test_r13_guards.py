@@ -287,3 +287,48 @@ def test_prefix_joins_identical_under_reliable_materialize(spark, sf_dir, monkey
     c_rel = sorted(map(tuple, cosine_prefix_join(d, 0.8, gram_n=3).collect()))
     assert j_loc == j_rel and len(j_loc) > 0
     assert c_loc == c_rel
+
+
+def test_kmeans_fit_tiled_assignment_matches_single_shot(monkeypatch):
+    """The Lloyd's score matrix tiles above _FIT_TILE_ENTRIES (the 10M
+    defaults run OOM-killed the driver at 78 GB RSS on the single-shot
+    160k x 40k matmul). Tiling must not change the fit: per-row argmax/
+    max are independent of row blocking, so a tiny forced tile bound
+    must reproduce the single-shot centers on the same (sample, seed)."""
+    import hawk_pack_spark.operators.similarity as S
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(3000, 16))
+    ref = S._kmeans_fit_np(x, 64, seed=42, iters=6)
+    monkeypatch.setattr(S, "_FIT_TILE_ENTRIES", 4096)  # ~64-row tiles
+    tiled = S._kmeans_fit_np(x, 64, seed=42, iters=6)
+    assert np.allclose(ref, tiled, rtol=0, atol=1e-12)
+
+
+def test_kmeans_fit_large_k_seeding_bounded_and_deterministic():
+    """Above _PP_SEED_MAX_K cells the seeding is a uniform distinct
+    draw (k-means++'s k sequential O(pool) steps measured ~8 min alone
+    at the 10M auto-sizing); the fit must stay deterministic, return
+    k centers, and keep every center finite. k=4200 > the 4096 gate
+    with n=9000 keeps the test CPU-bounded."""
+    from hawk_pack_spark.operators.similarity import _kmeans_fit_np
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(9000, 8))
+    c1 = _kmeans_fit_np(x, 4200, seed=42, iters=3)
+    c2 = _kmeans_fit_np(x, 4200, seed=42, iters=3)
+    assert c1.shape == (4200, 8)
+    assert np.isfinite(c1).all()
+    assert np.array_equal(c1, c2)
+
+
+def test_kmeans_fit_dispatch_thresholds_clear_current_regimes():
+    """Static pin: every fixture/bench fit regime stays on the exact
+    pre-r13 paths — the largest current sample x cells product (the 1M
+    family: 50k x 256) sits under the tile gate, and the largest
+    current cell count (the r11 1M knn_join receipt: 4000) under the
+    seeding gate."""
+    import hawk_pack_spark.operators.similarity as S
+
+    assert 50_000 * 256 <= S._FIT_TILE_ENTRIES
+    assert 4000 <= S._PP_SEED_MAX_K
